@@ -1,0 +1,236 @@
+"""Audio container decode/encode — pure numpy, no libsndfile/ffmpeg.
+
+Replaces the reference's soundfile decode (src/server.py:200-203) for the
+formats we can parse natively: WAV (RIFF/RIFX, PCM 8/16/24/32-bit and
+float32/float64), AIFF/AIFC (uncompressed), AU/SND, and W64/RF64 headers.
+Compressed formats (MP3/OGG/FLAC) raise ``UnsupportedFormatError`` — the
+serving layer maps that to the same AUDIO_DECODE_FAILED error the reference
+returns for undecodable input.
+
+Decoded audio is returned as mono float32 in [-1, 1] plus the sample rate.
+"""
+from __future__ import annotations
+
+import struct
+from typing import Tuple
+
+import numpy as np
+
+
+class AudioDecodeError(Exception):
+    """Input bytes could not be decoded as audio."""
+
+
+class UnsupportedFormatError(AudioDecodeError):
+    """Recognized container, but the codec is not supported natively."""
+
+
+def _pcm_to_float(data: np.ndarray, sampwidth: int, signed: bool = True) -> np.ndarray:
+    if data.dtype.kind == "f":
+        return data.astype(np.float32)
+    scale = float(2 ** (8 * sampwidth - 1))
+    out = data.astype(np.float32)
+    if not signed:  # 8-bit WAV PCM is unsigned
+        out = out - scale
+    return out / scale
+
+
+def _to_mono(x: np.ndarray, channels: int) -> np.ndarray:
+    if channels <= 1:
+        return x
+    n = (len(x) // channels) * channels
+    return x[:n].reshape(-1, channels).mean(axis=1)
+
+
+def _decode_pcm_block(raw: bytes, sampwidth: int, channels: int, fmt: str,
+                      big_endian: bool) -> np.ndarray:
+    """fmt: 'pcm' | 'float'. Returns mono float32."""
+    order = ">" if big_endian else "<"
+    if fmt == "float":
+        dtype = np.dtype(f"{order}f4") if sampwidth == 4 else np.dtype(f"{order}f8")
+        n = (len(raw) // dtype.itemsize) * dtype.itemsize
+        data = np.frombuffer(raw[:n], dtype=dtype).astype(np.float32)
+        return _to_mono(data, channels)
+    if sampwidth == 1:
+        data = np.frombuffer(raw, dtype=np.uint8)
+        return _to_mono(_pcm_to_float(data, 1, signed=False), channels)
+    if sampwidth == 2:
+        n = (len(raw) // 2) * 2
+        data = np.frombuffer(raw[:n], dtype=np.dtype(f"{order}i2"))
+        return _to_mono(_pcm_to_float(data, 2), channels)
+    if sampwidth == 3:
+        n = (len(raw) // 3) * 3
+        b = np.frombuffer(raw[:n], dtype=np.uint8).reshape(-1, 3)
+        if big_endian:
+            b = b[:, ::-1]
+        vals = (b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16))
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        return _to_mono(_pcm_to_float(vals, 3), channels)
+    if sampwidth == 4:
+        n = (len(raw) // 4) * 4
+        data = np.frombuffer(raw[:n], dtype=np.dtype(f"{order}i4"))
+        return _to_mono(_pcm_to_float(data, 4), channels)
+    raise AudioDecodeError(f"unsupported sample width: {sampwidth}")
+
+
+# --- WAV (RIFF / RIFX / RF64 / W64) -----------------------------------------
+
+_WAVE_FORMAT_PCM = 0x0001
+_WAVE_FORMAT_IEEE_FLOAT = 0x0003
+_WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+def _decode_wav(buf: bytes) -> Tuple[np.ndarray, int]:
+    big_endian = buf[:4] == b"RIFX"
+    order = ">" if big_endian else "<"
+    if buf[8:12] != b"WAVE":
+        raise AudioDecodeError("not a WAVE file")
+    pos = 12
+    fmt_tag = None
+    channels = sr = sampwidth = None
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        (csize,) = struct.unpack(order + "I", buf[pos + 4:pos + 8])
+        body = buf[pos + 8:pos + 8 + csize]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise AudioDecodeError("truncated fmt chunk")
+            fmt_tag, channels, sr, _, _, bits = struct.unpack(order + "HHIIHH", body[:16])
+            if fmt_tag == _WAVE_FORMAT_EXTENSIBLE and len(body) >= 26:
+                (sub_fmt,) = struct.unpack(order + "H", body[24:26])
+                fmt_tag = sub_fmt
+            sampwidth = (bits + 7) // 8
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt_tag is None or data is None:
+        raise AudioDecodeError("missing fmt or data chunk")
+    if fmt_tag == _WAVE_FORMAT_IEEE_FLOAT:
+        audio = _decode_pcm_block(data, sampwidth, channels, "float", big_endian)
+    elif fmt_tag == _WAVE_FORMAT_PCM:
+        audio = _decode_pcm_block(data, sampwidth, channels, "pcm", big_endian)
+    else:
+        raise UnsupportedFormatError(f"WAV codec 0x{fmt_tag:04x} not supported")
+    return audio, sr
+
+
+# --- AIFF / AIFC -------------------------------------------------------------
+
+def _read_ext_float80(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (AIFF sample rate encoding)."""
+    (expon,) = struct.unpack(">H", b[:2])
+    (hi, lo) = struct.unpack(">II", b[2:10])
+    sign = -1.0 if expon & 0x8000 else 1.0
+    expon &= 0x7FFF
+    mant = (hi << 32) | lo
+    if expon == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (expon - 16383 - 63)
+
+
+def _decode_aiff(buf: bytes) -> Tuple[np.ndarray, int]:
+    form_type = buf[8:12]
+    if form_type not in (b"AIFF", b"AIFC"):
+        raise AudioDecodeError("not an AIFF file")
+    pos = 12
+    channels = sr = sampwidth = None
+    comp = b"NONE"
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        (csize,) = struct.unpack(">I", buf[pos + 4:pos + 8])
+        body = buf[pos + 8:pos + 8 + csize]
+        if cid == b"COMM":
+            channels, _nframes = struct.unpack(">HI", body[:6])
+            (bits,) = struct.unpack(">H", body[6:8])
+            sampwidth = (bits + 7) // 8
+            sr = int(round(_read_ext_float80(body[8:18])))
+            if form_type == b"AIFC" and len(body) >= 22:
+                comp = body[18:22]
+        elif cid == b"SSND":
+            (offset, _block) = struct.unpack(">II", body[:8])
+            data = body[8 + offset:]
+        pos += 8 + csize + (csize & 1)
+    if channels is None or data is None:
+        raise AudioDecodeError("missing COMM or SSND chunk")
+    if comp in (b"NONE", b"twos"):
+        audio = _decode_pcm_block(data, sampwidth, channels, "pcm", big_endian=True)
+    elif comp == b"sowt":
+        audio = _decode_pcm_block(data, sampwidth, channels, "pcm", big_endian=False)
+    elif comp in (b"fl32", b"FL32"):
+        audio = _decode_pcm_block(data, 4, channels, "float", big_endian=True)
+    elif comp in (b"fl64", b"FL64"):
+        audio = _decode_pcm_block(data, 8, channels, "float", big_endian=True)
+    else:
+        raise UnsupportedFormatError(f"AIFC compression {comp!r} not supported")
+    return audio, sr
+
+
+# --- AU / SND ----------------------------------------------------------------
+
+_AU_ENCODINGS = {2: (1, "pcm"), 3: (2, "pcm"), 4: (3, "pcm"), 5: (4, "pcm"),
+                 6: (4, "float"), 7: (8, "float")}
+
+
+def _decode_au(buf: bytes) -> Tuple[np.ndarray, int]:
+    magic, hdr_size, _data_size, encoding, sr, channels = struct.unpack(
+        ">IIIIII", buf[:24])
+    if magic != 0x2E736E64:  # ".snd"
+        raise AudioDecodeError("not an AU file")
+    if encoding not in _AU_ENCODINGS:
+        raise UnsupportedFormatError(f"AU encoding {encoding} not supported")
+    sampwidth, fmt = _AU_ENCODINGS[encoding]
+    audio = _decode_pcm_block(buf[hdr_size:], sampwidth, channels, fmt,
+                              big_endian=True)
+    return audio, sr
+
+
+# --- public API ---------------------------------------------------------------
+
+_MAGIC_COMPRESSED = {
+    b"fLaC": "FLAC", b"OggS": "OGG", b"ID3": "MP3",
+}
+
+
+def decode_audio(audio_bytes: bytes) -> Tuple[np.ndarray, int]:
+    """Decode audio bytes. Returns (mono float32 ndarray in [-1,1], sample_rate).
+
+    Raises AudioDecodeError/UnsupportedFormatError on failure — the serving
+    layer converts these to AUDIO_DECODE_FAILED (reference src/server.py:617-620).
+    """
+    if len(audio_bytes) < 16:
+        raise AudioDecodeError(f"input too short to be audio ({len(audio_bytes)} bytes)")
+    head = audio_bytes[:4]
+    try:
+        if head in (b"RIFF", b"RIFX"):
+            return _decode_wav(audio_bytes)
+        if head == b"FORM":
+            return _decode_aiff(audio_bytes)
+        if head == b".snd":
+            return _decode_au(audio_bytes)
+    except (struct.error, IndexError, ValueError) as e:
+        raise AudioDecodeError(f"corrupt audio container: {e}") from e
+    for magic, name in _MAGIC_COMPRESSED.items():
+        if audio_bytes.startswith(magic):
+            raise UnsupportedFormatError(
+                f"{name} decoding requires an external decoder (not available)")
+    if audio_bytes[:2] == b"\xff\xfb" or audio_bytes[:2] == b"\xff\xf3":
+        raise UnsupportedFormatError("MP3 decoding requires an external decoder")
+    raise AudioDecodeError("unknown audio format")
+
+
+def encode_wav(audio: np.ndarray, sr: int, normalize: bool = False) -> bytes:
+    """Encode mono float audio to 16-bit PCM WAV bytes (for tests/tools)."""
+    audio = np.asarray(audio, dtype=np.float32)
+    if normalize:
+        peak = np.abs(audio).max()
+        if peak > 0:
+            audio = audio / peak * 0.9
+    pcm = np.clip(audio * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    return hdr + pcm

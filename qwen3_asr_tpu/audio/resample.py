@@ -1,0 +1,65 @@
+"""Polyphase FIR resampling in JAX (TPU-friendly).
+
+Replaces librosa.resample for the WebSocket 8 kHz → 16 kHz path
+(reference src/server.py:32-42). Implemented as zero-stuffing + one
+convolution with a Kaiser-windowed sinc low-pass — the classic
+``resample_poly`` algorithm expressed as dense vector ops instead of a
+per-phase scalar loop, so XLA maps it onto the VPU.
+"""
+from __future__ import annotations
+
+import functools
+from math import gcd
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _kaiser_lowpass(up: int, down: int, ntaps_per_phase: int = 10,
+                    beta: float = 5.0) -> np.ndarray:
+    """Kaiser-windowed sinc low-pass, scipy.resample_poly-compatible defaults."""
+    max_rate = max(up, down)
+    f_c = 1.0 / max_rate           # normalized cutoff (Nyquist of lower rate)
+    half_len = ntaps_per_phase * max_rate
+    n = np.arange(-half_len, half_len + 1)
+    h = f_c * np.sinc(f_c * n)
+    h *= np.kaiser(2 * half_len + 1, beta)
+    h /= np.sum(h)  # firwin-style: unity gain at DC
+    h *= up
+    return h.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("up", "down", "n_out"))
+def _resample_impl(x: jax.Array, h: jax.Array, up: int, down: int,
+                   n_out: int) -> jax.Array:
+    n_in = x.shape[0]
+    # Zero-stuff: [n_in*up]
+    up_x = jnp.zeros((n_in * up,), dtype=x.dtype).at[::up].set(x)
+    # Convolve centered (group delay = (len(h)-1)/2 samples at the high rate).
+    pad = (h.shape[0] - 1) // 2
+    padded = jnp.pad(up_x, (pad, pad))
+    filtered = jnp.convolve(padded, h, mode="valid")
+    return filtered[::down][:n_out]
+
+
+def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Resample float32 audio between sample rates with a polyphase FIR."""
+    if orig_sr == target_sr:
+        return np.asarray(audio, dtype=np.float32)
+    g = gcd(orig_sr, target_sr)
+    up, down = target_sr // g, orig_sr // g
+    x = jnp.asarray(audio, dtype=jnp.float32)
+    h = jnp.asarray(_kaiser_lowpass(up, down))
+    n_out = int(np.ceil(len(audio) * up / down))
+    out = _resample_impl(x, h, up, down, n_out)
+    return np.asarray(out)
+
+
+def resample_pcm_bytes(pcm_bytes: bytes, orig_sr: int, target_sr: int = 16000) -> bytes:
+    """Resample raw PCM s16le bytes (reference src/server.py:32-42 contract)."""
+    if orig_sr == target_sr:
+        return pcm_bytes
+    samples = np.frombuffer(pcm_bytes, dtype=np.int16).astype(np.float32)
+    out = resample(samples, orig_sr, target_sr)
+    return np.clip(out, -32768, 32767).astype(np.int16).tobytes()

@@ -1,0 +1,103 @@
+"""Tests for the pure-numpy audio codec."""
+import struct
+
+import numpy as np
+import pytest
+
+from qwen3_asr_tpu.audio.codec import (
+    AudioDecodeError,
+    UnsupportedFormatError,
+    decode_audio,
+    encode_wav,
+)
+from tests.util_audio import tone
+
+
+def test_wav_roundtrip():
+    audio = tone(0.5, 440.0)
+    wav = encode_wav(audio, 16000)
+    decoded, sr = decode_audio(wav)
+    assert sr == 16000
+    assert decoded.dtype == np.float32
+    assert len(decoded) == len(audio)
+    assert np.max(np.abs(decoded - audio)) < 1e-3  # 16-bit quantization
+
+
+def test_wav_float32():
+    audio = tone(0.1)
+    pcm = audio.astype("<f4").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 16000, 64000, 4, 32)
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    decoded, sr = decode_audio(hdr + pcm)
+    assert np.allclose(decoded, audio, atol=1e-6)
+
+
+def test_wav_stereo_to_mono():
+    audio = tone(0.1)
+    stereo = np.stack([audio, -audio], axis=1).reshape(-1)
+    pcm = np.clip(stereo * 32767, -32768, 32767).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 16000, 64000, 4, 16)
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    decoded, sr = decode_audio(hdr + pcm)
+    assert len(decoded) == len(audio)
+    assert np.max(np.abs(decoded)) < 1e-3  # L+R cancel
+
+
+def test_wav_24bit():
+    audio = tone(0.05)
+    vals = np.clip(audio * (2**23 - 1), -(2**23), 2**23 - 1).astype(np.int32)
+    b = np.zeros((len(vals), 3), dtype=np.uint8)
+    b[:, 0] = vals & 0xFF
+    b[:, 1] = (vals >> 8) & 0xFF
+    b[:, 2] = (vals >> 16) & 0xFF
+    pcm = b.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 48000, 3, 24)
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    decoded, _ = decode_audio(hdr + pcm)
+    assert np.max(np.abs(decoded - audio)) < 1e-4
+
+
+def test_aiff_decode():
+    audio = tone(0.1)
+    pcm = np.clip(audio * 32767, -32768, 32767).astype(">i2").tobytes()
+    # 80-bit extended float for 16000.0: exponent 16383+13=16396, mantissa top bits
+    sr80 = struct.pack(">H", 16396) + struct.pack(">II", 0xFA000000, 0)
+    comm = struct.pack(">HI", 1, len(audio)) + struct.pack(">H", 16) + sr80
+    ssnd = struct.pack(">II", 0, 0) + pcm
+    body = (b"AIFF"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    buf = b"FORM" + struct.pack(">I", len(body)) + body
+    decoded, sr = decode_audio(buf)
+    assert sr == 16000
+    assert np.max(np.abs(decoded - audio)) < 1e-3
+
+
+def test_au_decode():
+    audio = tone(0.1)
+    pcm = np.clip(audio * 32767, -32768, 32767).astype(">i2").tobytes()
+    hdr = struct.pack(">IIIIII", 0x2E736E64, 24, len(pcm), 3, 16000, 1)
+    decoded, sr = decode_audio(hdr + pcm)
+    assert sr == 16000
+    assert np.max(np.abs(decoded - audio)) < 1e-3
+
+
+def test_garbage_rejected():
+    with pytest.raises(AudioDecodeError):
+        decode_audio(b"this is not audio at all, sorry")
+
+
+def test_truncated_wav_rejected():
+    wav = encode_wav(tone(0.1), 16000)
+    with pytest.raises(AudioDecodeError):
+        decode_audio(wav[:20])
+
+
+def test_compressed_formats_unsupported():
+    with pytest.raises(UnsupportedFormatError):
+        decode_audio(b"fLaC" + b"\x00" * 100)
+    with pytest.raises(UnsupportedFormatError):
+        decode_audio(b"OggS" + b"\x00" * 100)
