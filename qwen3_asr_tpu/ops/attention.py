@@ -1,0 +1,92 @@
+"""Attention ops with a pluggable backend.
+
+``attend`` is the single attention entry point used by both the audio
+encoder (bidirectional, block-diagonal window mask) and the text decoder
+(causal + KV cache). The default backend is pure-XLA einsum (compiles and
+fuses well everywhere, used on CPU in tests); on TPU the Pallas
+flash-attention backend (ops/flash_attention.py) is selected for long
+sequences where the O(T·S) scores materialization matters.
+
+GQA is computed without materializing repeated K/V: queries are reshaped to
+[B, n_kv, group, T, D] so each KV head serves its query group in one einsum
+— the "commute sum and matmul" trick for MXU efficiency.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def attend_xla(q: jax.Array, k: jax.Array, v: jax.Array, *,
+               mask: Optional[jax.Array] = None,
+               scale: Optional[float] = None) -> jax.Array:
+    """Reference XLA attention.
+
+    q: [B, Nq, T, D]; k, v: [B, Nkv, S, D]; mask: broadcastable to
+    [B, 1, T, S] (True = attend). Returns [B, Nq, T, D] in q.dtype.
+    """
+    b, nq, t, d = q.shape
+    nkv = k.shape[1]
+    assert nq % nkv == 0, f"query heads {nq} not divisible by kv heads {nkv}"
+    g = nq // nkv
+    if scale is None:
+        scale = d ** -0.5
+
+    qg = q.reshape(b, nkv, g, t, d)
+    scores = jnp.einsum("bhgtd,bhsd->bhgts", qg, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = jnp.where(mask[:, :, None, :, :] if mask.ndim == 4
+                           else mask[:, None, None, :, :], scores, _MASK_VALUE)
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgts,bhsd->bhgtd", weights.astype(v.dtype), v)
+    return out.reshape(b, nq, t, d)
+
+
+def attend(q, k, v, *, mask=None, scale=None, backend: str = "auto"):
+    """Dispatch to the best attention backend for the platform/shape."""
+    if backend in ("auto", "xla"):
+        if backend == "auto" and _should_use_flash(q, k):
+            from .flash_attention import flash_attend
+            return flash_attend(q, k, v, mask=mask, scale=scale)
+        return attend_xla(q, k, v, mask=mask, scale=scale)
+    if backend == "flash":
+        from .flash_attention import flash_attend
+        return flash_attend(q, k, v, mask=mask, scale=scale)
+    raise ValueError(f"unknown attention backend: {backend}")
+
+
+def _should_use_flash(q, k) -> bool:
+    try:
+        platform = q.devices().pop().platform if hasattr(q, "devices") else \
+            jax.default_backend()
+    except Exception:
+        platform = jax.default_backend()
+    if platform != "tpu":
+        return False
+    # Flash pays off once the scores tile stops fitting comfortably in VMEM.
+    t, s = q.shape[-2], k.shape[-2]
+    return t >= 256 and s >= 256
+
+
+def make_causal_mask(t: int, s: int, offset: int = 0) -> jax.Array:
+    """[t, s] boolean causal mask; query i attends key j iff j <= i + offset."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
+    return cols <= rows + offset
+
+
+def make_block_diagonal_mask(t: int, block: int) -> jax.Array:
+    """[t, t] boolean mask: bidirectional attention within fixed-size blocks.
+
+    The TPU-native equivalent of the reference encoder's varlen cu_seqlens
+    windowing (transformers qwen3_omni_moe modeling: windowed FA2 attention):
+    static shape, no ragged tensors, fuses into the attention kernel.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0) // block
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1) // block
+    return rows == cols

@@ -1,0 +1,168 @@
+"""Checkpoint subsystem: HF safetensors → stacked JAX pytrees, with cache.
+
+This is the TPU build's equivalent of the reference's "checkpointing"
+(HF weight cache volume + from_pretrained, reference src/server.py:320,
+compose.yaml models volume; SURVEY.md §5): weights are converted once from
+HuggingFace layout (per-layer torch ``[out, in]`` Linears) into this
+framework's stacked-scan layout ([L, in, out]) and memoized on disk as a
+single orbax/npz artifact so subsequent loads are a straight mmap.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import AsrConfig, AudioEncoderConfig, DecoderConfig
+from ..utils.logging import log
+
+Array = np.ndarray
+
+
+def _find_prefix(sd: Dict[str, Array], marker: str) -> str:
+    """Locate the key prefix for a submodule (e.g. 'model.', 'thinker.model.')."""
+    for key in sd:
+        idx = key.find(marker)
+        if idx >= 0:
+            return key[:idx]
+    raise KeyError(f"no parameter key contains {marker!r}; keys like: "
+                   f"{list(sd)[:5]}")
+
+
+def _stack(sd: Dict[str, Array], pattern: str, n: int,
+           transpose: bool = False) -> np.ndarray:
+    arrs = []
+    for i in range(n):
+        a = sd[pattern.format(i=i)]
+        arrs.append(a.T if transpose else a)
+    return np.stack(arrs)
+
+
+def convert_decoder_state_dict(sd: Dict[str, Array], cfg: DecoderConfig,
+                               dtype=jnp.float32, prefix: Optional[str] = None
+                               ) -> dict:
+    """HF Qwen3ForCausalLM state_dict (numpy) → stacked decoder pytree."""
+    if prefix is None:
+        prefix = _find_prefix(sd, "layers.0.self_attn.q_proj")
+    p = prefix
+    lyr = p + "layers.{i}.{name}.weight"
+    n = cfg.num_hidden_layers
+
+    def stk(name, transpose=True):
+        return _stack(sd, lyr.replace("{name}", name), n, transpose=transpose)
+
+    params = {
+        "embed": jnp.asarray(sd[p + "embed_tokens.weight"], dtype),
+        "layers": {
+            "ln1": jnp.asarray(stk("input_layernorm", transpose=False), dtype),
+            "ln2": jnp.asarray(stk("post_attention_layernorm", transpose=False), dtype),
+            "wq": jnp.asarray(stk("self_attn.q_proj"), dtype),
+            "wk": jnp.asarray(stk("self_attn.k_proj"), dtype),
+            "wv": jnp.asarray(stk("self_attn.v_proj"), dtype),
+            "wo": jnp.asarray(stk("self_attn.o_proj"), dtype),
+            "q_norm": jnp.asarray(stk("self_attn.q_norm", transpose=False), dtype),
+            "k_norm": jnp.asarray(stk("self_attn.k_norm", transpose=False), dtype),
+            "w_gate": jnp.asarray(stk("mlp.gate_proj"), dtype),
+            "w_up": jnp.asarray(stk("mlp.up_proj"), dtype),
+            "w_down": jnp.asarray(stk("mlp.down_proj"), dtype),
+        },
+        "final_norm": jnp.asarray(sd[p + "norm.weight"], dtype),
+    }
+    lm_head_key = None
+    for cand in ("lm_head.weight", p.split("model.")[0] + "lm_head.weight"):
+        if cand in sd:
+            lm_head_key = cand
+            break
+    if not cfg.tie_word_embeddings:
+        if lm_head_key is None:
+            raise KeyError("untied config but no lm_head.weight in checkpoint")
+        params["lm_head"] = jnp.asarray(sd[lm_head_key].T, dtype)
+    return params
+
+
+def convert_encoder_state_dict(sd: Dict[str, Array], cfg: AudioEncoderConfig,
+                               dtype=jnp.float32, prefix: Optional[str] = None
+                               ) -> dict:
+    """HF Qwen3-Omni-style AuT audio encoder state_dict → stacked pytree.
+
+    HF layout (transformers qwen3_omni_moe modeling, audio tower):
+    conv2d{1,2,3}.{weight,bias}, conv_out.weight, layers.{i}.self_attn.{q,k,v,out}_proj
+    (with bias), self_attn_layer_norm, fc1/fc2, final_layer_norm, ln_post,
+    proj1, proj2.
+    """
+    if prefix is None:
+        prefix = _find_prefix(sd, "conv2d1.weight")
+    p = prefix
+    n = cfg.encoder_layers
+    lyr = p + "layers.{i}.{name}.{kind}"
+
+    def stk(name, kind="weight", transpose=True):
+        pat = lyr.replace("{name}", name).replace("{kind}", kind)
+        return _stack(sd, pat, n, transpose=transpose and kind == "weight")
+
+    params = {
+        # conv weights kept in torch OIHW; the encoder transposes as needed.
+        "conv1_w": jnp.asarray(sd[p + "conv2d1.weight"], dtype),
+        "conv1_b": jnp.asarray(sd[p + "conv2d1.bias"], dtype),
+        "conv2_w": jnp.asarray(sd[p + "conv2d2.weight"], dtype),
+        "conv2_b": jnp.asarray(sd[p + "conv2d2.bias"], dtype),
+        "conv3_w": jnp.asarray(sd[p + "conv2d3.weight"], dtype),
+        "conv3_b": jnp.asarray(sd[p + "conv2d3.bias"], dtype),
+        "conv_out_w": jnp.asarray(sd[p + "conv_out.weight"].T, dtype),
+        "layers": {
+            "ln1_w": jnp.asarray(stk("self_attn_layer_norm"), dtype),
+            "ln1_b": jnp.asarray(stk("self_attn_layer_norm", "bias"), dtype),
+            "wq": jnp.asarray(stk("self_attn.q_proj"), dtype),
+            "bq": jnp.asarray(stk("self_attn.q_proj", "bias"), dtype),
+            "wk": jnp.asarray(stk("self_attn.k_proj"), dtype),
+            "bk": jnp.asarray(stk("self_attn.k_proj", "bias"), dtype),
+            "wv": jnp.asarray(stk("self_attn.v_proj"), dtype),
+            "bv": jnp.asarray(stk("self_attn.v_proj", "bias"), dtype),
+            "wo": jnp.asarray(stk("self_attn.out_proj"), dtype),
+            "bo": jnp.asarray(stk("self_attn.out_proj", "bias"), dtype),
+            "ln2_w": jnp.asarray(stk("final_layer_norm"), dtype),
+            "ln2_b": jnp.asarray(stk("final_layer_norm", "bias"), dtype),
+            "fc1_w": jnp.asarray(stk("fc1"), dtype),
+            "fc1_b": jnp.asarray(stk("fc1", "bias"), dtype),
+            "fc2_w": jnp.asarray(stk("fc2"), dtype),
+            "fc2_b": jnp.asarray(stk("fc2", "bias"), dtype),
+        },
+        "ln_post_w": jnp.asarray(sd[p + "ln_post.weight"], dtype),
+        "ln_post_b": jnp.asarray(sd[p + "ln_post.bias"], dtype),
+        "proj1_w": jnp.asarray(sd[p + "proj1.weight"].T, dtype),
+        "proj1_b": jnp.asarray(sd[p + "proj1.bias"], dtype),
+        "proj2_w": jnp.asarray(sd[p + "proj2.weight"].T, dtype),
+        "proj2_b": jnp.asarray(sd[p + "proj2.bias"], dtype),
+    }
+    return params
+
+
+def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
+    """Read all *.safetensors shards in a checkpoint directory into numpy."""
+    from safetensors.numpy import load_file
+    sd: Dict[str, np.ndarray] = {}
+    files = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files under {path}")
+    for f in files:
+        sd.update(load_file(os.path.join(path, f)))
+    return sd
+
+
+def load_asr_checkpoint(path: str, dtype=jnp.bfloat16):
+    """Load a local HF-format Qwen3-ASR checkpoint directory.
+
+    Returns (AsrConfig, {"encoder": ..., "decoder": ...}).
+    """
+    cfg_path = os.path.join(path, "config.json")
+    with open(cfg_path) as f:
+        cfg = AsrConfig.from_dict(json.load(f))
+    sd = load_safetensors_dir(path)
+    dec = convert_decoder_state_dict(sd, cfg.decoder, dtype)
+    enc = convert_encoder_state_dict(sd, cfg.encoder, dtype)
+    log.info("Checkpoint loaded from {} ({} tensors)", path, len(sd))
+    return cfg, {"encoder": enc, "decoder": dec}
