@@ -47,7 +47,9 @@ def convert_decoder_state_dict(sd: Dict[str, Array], cfg: DecoderConfig,
                                ) -> dict:
     """HF Qwen3ForCausalLM state_dict (numpy) → stacked decoder pytree."""
     if prefix is None:
-        prefix = _find_prefix(sd, "layers.0.self_attn.q_proj")
+        # mlp.gate_proj exists only in the decoder (the audio encoder uses
+        # fc1/fc2), so it is an unambiguous marker in combined checkpoints.
+        prefix = _find_prefix(sd, "layers.0.mlp.gate_proj")
     p = prefix
     lyr = p + "layers.{i}.{name}.weight"
     n = cfg.num_hidden_layers

@@ -1,0 +1,267 @@
+"""TranscriptionEngine: bucketed, jit-cached, batched ASR inference.
+
+The TPU-native engine behind every endpoint. Design (SURVEY.md §7.2-7.3):
+
+* **Length buckets** — audio is zero-padded (silence) to one of
+  ``AUDIO_BUCKETS_S`` so every (frontend, encoder, decode) executable is
+  compiled once and stays warm; the 450 ms WS re-transcription cadence never
+  recompiles. This replaces CUDA-graph warming (reference src/server.py:437-458).
+* **Left-padded prompt budget** — language/context lines of any length fit
+  a fixed prompt shape (no recompiles when clients switch languages).
+* **On-device decode loop** — see runtime/generate.py.
+* **Batching** — same-bucket requests can run as one batch (DP-shardable
+  over a mesh; see parallel/).
+* **Long audio** — clips beyond the largest bucket are split at the
+  lowest-energy point inside a search window (silence-boundary chunking,
+  the behavior the reference delegates to its SDK per LEARNING_LOG.md:216-218),
+  one result per segment with start/end times.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.frontend import HOP_LENGTH, LogMelFrontend
+from ..audio.resample import resample
+from ..models.asr import AsrModel, normalize_language
+from ..models.encoder import encoder_output_length
+from ..runtime.generate import build_greedy_fn, strip_generation
+from ..utils.logging import log
+
+TARGET_SR = 16000
+AUDIO_BUCKETS_S: Tuple[float, ...] = (1, 2, 4, 6, 10, 15, 20, 30)
+PREFIX_BUDGET = 64          # left-padded prompt prefix tokens
+MAX_SEGMENT_S = 30.0        # beyond this, silence-boundary chunking
+
+
+@dataclasses.dataclass
+class TranscriptionResult:
+    """Mirrors the reference SDK result object (.text/.language/.timestamps
+    plus segment times used by subtitle generation)."""
+    text: str
+    language: str = ""
+    start_time: float = 0.0
+    end_time: float = 0.0
+    timestamps: Optional[List[dict]] = None
+
+
+def max_new_tokens_for(seconds: float) -> int:
+    """Token budget per bucket: generous for dense CJK speech (~8 tok/s)."""
+    return int(16 + 8 * seconds)
+
+
+class TranscriptionEngine:
+    def __init__(self, model: AsrModel, dtype=jnp.float32,
+                 cache_dtype=None):
+        self.model = model
+        self.dtype = dtype
+        self.cache_dtype = cache_dtype or dtype
+        self.frontend = LogMelFrontend(n_mels=model.cfg.encoder.num_mel_bins)
+        self._encode_jit = jax.jit(model.encode_audio)
+        self._generate_fns = {}   # (prompt_len, max_new) -> fn
+        chunk = model.cfg.encoder.n_window * 2
+        self._chunk_frames = chunk
+        self._suffix_ids = model.tokenizer.encode(model.template.suffix_text())
+        self.last_used = time.time()
+
+    # -- bucketing ---------------------------------------------------------------
+    def bucket_frames(self, n_samples: int) -> Tuple[int, float]:
+        """Smallest bucket (mel frames, seconds) covering n_samples."""
+        mel_frames = max(1, n_samples // HOP_LENGTH)
+        for sec in AUDIO_BUCKETS_S:
+            frames = int(sec * 100)
+            frames = ((frames + self._chunk_frames - 1)
+                      // self._chunk_frames) * self._chunk_frames
+            if mel_frames <= frames:
+                return frames, sec
+        frames = int(AUDIO_BUCKETS_S[-1] * 100)
+        frames = ((frames + self._chunk_frames - 1)
+                  // self._chunk_frames) * self._chunk_frames
+        return frames, AUDIO_BUCKETS_S[-1]
+
+    def _generate_fn(self, prompt_len: int, max_new: int):
+        key = (prompt_len, max_new)
+        fn = self._generate_fns.get(key)
+        if fn is None:
+            fn = build_greedy_fn(self.model.cfg.decoder, prompt_len, max_new,
+                                 self.model.eos_id, self.model.pad_id,
+                                 cache_dtype=self.cache_dtype)
+            self._generate_fns[key] = fn
+        return fn
+
+    # -- core batched path --------------------------------------------------------
+    def _run_bucket(self, clips: Sequence[np.ndarray], bucket_frames: int,
+                    bucket_s: float, language: Optional[str],
+                    context: str = "") -> List[str]:
+        """All clips already ≤ bucket. Returns decoded texts."""
+        n_samples = bucket_frames * HOP_LENGTH
+        batch = len(clips)
+
+        mels = []
+        for clip in clips:
+            padded = np.zeros(n_samples, dtype=np.float32)
+            padded[:len(clip)] = clip[:n_samples]
+            mel, _ = self.frontend(padded)
+            mels.append(mel)
+        mel = jnp.stack(mels)                                   # [B, M, T]
+
+        feature_lens = jnp.full((batch,), bucket_frames, jnp.int32)
+        audio_embeds, _ = self._encode_jit(mel.astype(self.dtype),
+                                           feature_lens)
+
+        prefix_ids, suffix_ids, _ = self.model.prompt_ids(
+            0, language, context)
+        if len(prefix_ids) > PREFIX_BUDGET:
+            prefix_ids = prefix_ids[-PREFIX_BUDGET:]
+        pad_count = PREFIX_BUDGET - len(prefix_ids)
+        padded_prefix = [self.model.pad_id] * pad_count + prefix_ids
+
+        inputs = self.model.build_inputs_embeds(padded_prefix, suffix_ids,
+                                                audio_embeds)
+        inputs = inputs.astype(self.dtype)
+        prompt_len = inputs.shape[1]
+        max_new = max_new_tokens_for(bucket_s)
+
+        fn = self._generate_fn(prompt_len, max_new)
+        valid_from = jnp.full((batch,), pad_count, jnp.int32)
+        result = fn(self.model.params["decoder"], inputs, valid_from)
+
+        tokens = np.asarray(result.tokens)
+        lengths = np.asarray(result.lengths)
+        texts = []
+        for i in range(batch):
+            ids = strip_generation(tokens[i], int(lengths[i]),
+                                   self.model.eos_id)
+            texts.append(self.model.tokenizer.decode(ids).strip())
+        return texts
+
+    # -- segmentation ---------------------------------------------------------------
+    @staticmethod
+    def _split_long_audio(audio: np.ndarray, max_samples: int,
+                          search_s: float = 5.0) -> List[Tuple[int, np.ndarray]]:
+        """Split at the lowest-energy 25 ms frame within the last
+        ``search_s`` seconds of each max-length window."""
+        if len(audio) <= max_samples:
+            return [(0, audio)]
+        segments = []
+        start = 0
+        search = int(search_s * TARGET_SR)
+        frame = 400
+        while len(audio) - start > max_samples:
+            hi = start + max_samples
+            lo = max(start + 1, hi - search)
+            window = audio[lo:hi]
+            n_frames = max(1, len(window) // frame)
+            frames = window[:n_frames * frame].reshape(n_frames, frame)
+            energies = np.sqrt(np.mean(frames ** 2, axis=1))
+            cut = lo + int(np.argmin(energies)) * frame + frame // 2
+            segments.append((start, audio[start:cut]))
+            start = cut
+        segments.append((start, audio[start:]))
+        return segments
+
+    # -- public API -------------------------------------------------------------------
+    def transcribe(self, audio: np.ndarray, sr: int,
+                   language: Optional[str] = None,
+                   return_timestamps: bool = False,
+                   context: str = "") -> List[TranscriptionResult]:
+        """SDK-parity surface (reference src/server.py:866-869)."""
+        self.last_used = time.time()
+        audio = np.asarray(audio, dtype=np.float32)
+        if audio.ndim > 1:
+            audio = audio.mean(axis=1)
+        if sr != TARGET_SR:
+            audio = resample(audio, sr, TARGET_SR)
+        if len(audio) == 0:
+            return []
+
+        lang_code, _ = normalize_language(language)
+        max_samples = int(MAX_SEGMENT_S * TARGET_SR)
+        segments = self._split_long_audio(audio, max_samples)
+
+        results: List[TranscriptionResult] = []
+        for seg_start, seg in segments:
+            bucket_frames, bucket_s = self.bucket_frames(len(seg))
+            text = self._run_bucket([seg], bucket_frames, bucket_s,
+                                    language, context)[0]
+            start_t = seg_start / TARGET_SR
+            end_t = (seg_start + len(seg)) / TARGET_SR
+            res = TranscriptionResult(
+                text=text, language=lang_code or "auto",
+                start_time=start_t, end_time=end_t)
+            if return_timestamps and text:
+                res.timestamps = _estimate_word_timestamps(text, start_t, end_t)
+            results.append(res)
+        return results
+
+    def transcribe_batch(self, clips: Sequence[Tuple[np.ndarray, int]],
+                         language: Optional[str] = None
+                         ) -> List[TranscriptionResult]:
+        """Batch same-bucket clips into single device dispatches."""
+        self.last_used = time.time()
+        prepped = []
+        for audio, sr in clips:
+            audio = np.asarray(audio, dtype=np.float32)
+            if audio.ndim > 1:
+                audio = audio.mean(axis=1)
+            if sr != TARGET_SR:
+                audio = resample(audio, sr, TARGET_SR)
+            prepped.append(audio)
+
+        lang_code, _ = normalize_language(language)
+        by_bucket = {}
+        for idx, audio in enumerate(prepped):
+            bf, bs = self.bucket_frames(len(audio))
+            by_bucket.setdefault((bf, bs), []).append(idx)
+
+        out: List[Optional[TranscriptionResult]] = [None] * len(prepped)
+        for (bf, bs), idxs in by_bucket.items():
+            texts = self._run_bucket([prepped[i] for i in idxs], bf, bs,
+                                     language)
+            for i, text in zip(idxs, texts):
+                out[i] = TranscriptionResult(
+                    text=text, language=lang_code or "auto",
+                    start_time=0.0, end_time=len(prepped[i]) / TARGET_SR)
+        return out  # type: ignore[return-value]
+
+    # -- warmup --------------------------------------------------------------------
+    def warmup(self, buckets: Optional[Sequence[float]] = None,
+               language: Optional[str] = "en") -> None:
+        """Compile executables for the given buckets (default: smallest two).
+
+        With USE_CUDA_GRAPHS=true the lifecycle layer sweeps ALL buckets —
+        the mapped TPU equivalent of CUDA kernel-cache warming."""
+        buckets = buckets or AUDIO_BUCKETS_S[:2]
+        rng = np.random.default_rng(42)
+        for sec in buckets:
+            dummy = (rng.standard_normal(int(TARGET_SR * sec))
+                     .astype(np.float32) * 0.01)
+            t0 = time.time()
+            self.transcribe(dummy, TARGET_SR, language=language)
+            log.info("Warmup bucket {}s compiled in {:.1f}s", sec,
+                     time.time() - t0)
+
+
+def _estimate_word_timestamps(text: str, start_t: float, end_t: float
+                              ) -> List[dict]:
+    """Char-proportional word timing (reference subtitle.py fast mode idea)."""
+    words = text.split()
+    if not words:
+        return []
+    total_chars = sum(len(w) for w in words) + len(words) - 1
+    dur = max(end_t - start_t, 1e-3)
+    out = []
+    pos = 0
+    for w in words:
+        w_start = start_t + dur * pos / max(total_chars, 1)
+        pos += len(w)
+        w_end = start_t + dur * pos / max(total_chars, 1)
+        pos += 1
+        out.append({"word": w, "start": round(w_start, 3),
+                    "end": round(w_end, 3)})
+    return out

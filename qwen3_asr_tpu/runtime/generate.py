@@ -1,0 +1,118 @@
+"""On-device autoregressive generation: jitted prefill + lax.while_loop decode.
+
+This is the TPU answer to the reference's decode-loop bottleneck
+(~50 ms/token of Python/HF-generate overhead, GPU util ~25%,
+reference src/server.py:322-326): the ENTIRE greedy loop — embedding
+lookup, L decoder layers, logits, argmax, EOS check — runs inside one XLA
+executable with a persistent KV cache. Host round-trips per request: one
+dispatch + one result fetch, regardless of token count. Early exit when all
+rows hit EOS via the while_loop condition.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.config import DecoderConfig
+from ..models.decoder import (
+    KVCache,
+    decoder_forward,
+    embed_tokens,
+    init_kv_cache,
+    lm_logits,
+)
+from ..ops.attention import make_causal_mask
+
+
+class GenerateResult(NamedTuple):
+    tokens: jax.Array    # [B, max_new] int32, pad_id beyond EOS
+    lengths: jax.Array   # [B] int32 tokens generated incl. EOS
+    steps: jax.Array     # scalar int32: loop iterations executed
+
+
+def build_greedy_fn(cfg: DecoderConfig, prompt_len: int, max_new: int,
+                    eos_id: int, pad_id: int, cache_dtype=jnp.bfloat16):
+    """Build a jitted greedy generator for a static (prompt_len, max_new).
+
+    Returned fn: (decoder_params, inputs_embeds [B, prompt_len, H],
+    valid_from [B] int32) → GenerateResult. One executable per length
+    bucket — compiled once, reused for every request in the bucket (the XLA
+    replacement for CUDA graph warming, SURVEY.md §2.2).
+
+    ``valid_from`` supports LEFT-padded prompts: positions < valid_from are
+    masked out as attention keys, so a variable-length prefix (language
+    line, context words) fits a fixed prompt budget without recompiling.
+    RoPE is relative, so the constant per-row offset is harmless.
+    """
+    total = prompt_len + max_new
+
+    @jax.jit
+    def generate(params, inputs_embeds, valid_from):
+        b = inputs_embeds.shape[0]
+        cache = init_kv_cache(cfg, b, total, dtype=cache_dtype)
+        key_ok = jnp.arange(total)[None, :] >= valid_from[:, None]  # [B,S]
+
+        # ---- prefill ----------------------------------------------------------
+        positions = jnp.broadcast_to(jnp.arange(prompt_len), (b, prompt_len))
+        mask = jnp.broadcast_to(make_causal_mask(prompt_len, total),
+                                (b, prompt_len, total))
+        mask = mask & key_ok[:, None, :]
+        hidden, cache = decoder_forward(params, cfg, inputs_embeds, positions,
+                                        cache, jnp.int32(0), mask)
+        first = jnp.argmax(lm_logits(params, cfg, hidden[:, -1]), axis=-1)
+        first = first.astype(jnp.int32)
+
+        tokens0 = jnp.full((b, max_new), pad_id, jnp.int32)
+        tokens0 = tokens0.at[:, 0].set(first)
+        done0 = first == eos_id
+
+        class _C(NamedTuple):
+            cache: KVCache
+            last: jax.Array
+            done: jax.Array
+            tokens: jax.Array
+            i: jax.Array
+
+        def cond(c):
+            return (c.i < max_new) & ~jnp.all(c.done)
+
+        def body(c):
+            pos = prompt_len + c.i
+            ids = c.last[:, None]
+            hidden = embed_tokens(params, cfg, ids)
+            positions = jnp.full((b, 1), pos, jnp.int32)
+            mask = (jnp.arange(total) <= pos)[None, None, :]
+            mask = jnp.broadcast_to(mask, (b, 1, total)) & key_ok[:, None, :]
+            hidden, cache = decoder_forward(params, cfg, hidden, positions,
+                                            c.cache, pos.astype(jnp.int32),
+                                            mask)
+            nxt = jnp.argmax(lm_logits(params, cfg, hidden[:, -1]),
+                             axis=-1).astype(jnp.int32)
+            nxt = jnp.where(c.done, pad_id, nxt)
+            tokens = jax.lax.dynamic_update_slice(
+                c.tokens, nxt[:, None], (0, c.i))
+            done = c.done | (nxt == eos_id)
+            return _C(cache, nxt, done, tokens, c.i + 1)
+
+        init = _C(cache, first, done0, tokens0, jnp.int32(1))
+        final = jax.lax.while_loop(cond, body, init)
+
+        is_tok = (final.tokens != pad_id)
+        lengths = jnp.sum(is_tok.astype(jnp.int32), axis=-1)
+        return GenerateResult(final.tokens, lengths, final.i)
+
+    return generate
+
+
+def strip_generation(tokens, length: int, eos_id: int) -> list:
+    """Trim one row of generated ids to the text span (drop EOS/pad)."""
+    out = []
+    for t in tokens[:length]:
+        t = int(t)
+        if t == eos_id:
+            break
+        out.append(t)
+    return out

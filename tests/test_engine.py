@@ -1,0 +1,105 @@
+"""End-to-end engine tests on the tiny CPU checkpoint."""
+import numpy as np
+import pytest
+
+from tests.fixtures import load_tiny_model, write_tiny_checkpoint
+from tests.util_audio import speech_like, tone
+from qwen3_asr_tpu.runtime.engine import (
+    AUDIO_BUCKETS_S,
+    TranscriptionEngine,
+    max_new_tokens_for,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    path = tmp_path_factory.mktemp("ckpt") / "tiny"
+    write_tiny_checkpoint(str(path))
+    model = load_tiny_model(str(path))
+    return TranscriptionEngine(model)
+
+
+def test_transcribe_returns_result(engine):
+    results = engine.transcribe(speech_like(1.0, seed=0), 16000, language="en")
+    assert len(results) == 1
+    r = results[0]
+    assert isinstance(r.text, str)
+    assert r.language == "en"
+    assert r.start_time == 0.0
+    assert abs(r.end_time - 1.0) < 0.01
+
+
+def test_transcribe_deterministic(engine):
+    a = engine.transcribe(speech_like(1.0, seed=1), 16000, language="en")
+    b = engine.transcribe(speech_like(1.0, seed=1), 16000, language="en")
+    assert a[0].text == b[0].text
+
+
+def test_bucket_reuse_no_recompile(engine):
+    """Different clips in the same bucket reuse one executable."""
+    engine.transcribe(speech_like(0.8, seed=2), 16000)
+    n = len(engine._generate_fns)
+    engine.transcribe(speech_like(0.9, seed=3), 16000)
+    engine.transcribe(tone(0.5), 16000)
+    assert len(engine._generate_fns) == n
+
+
+def test_language_change_no_recompile(engine):
+    engine.transcribe(speech_like(0.5, seed=4), 16000, language="en")
+    n = len(engine._generate_fns)
+    engine.transcribe(speech_like(0.5, seed=4), 16000, language="zh")
+    engine.transcribe(speech_like(0.5, seed=4), 16000, language=None)
+    assert len(engine._generate_fns) == n
+
+
+def test_empty_audio(engine):
+    assert engine.transcribe(np.zeros(0, dtype=np.float32), 16000) == []
+
+
+def test_resampled_input(engine):
+    audio8k = speech_like(1.0, sr=8000, seed=5)
+    results = engine.transcribe(audio8k, 8000, language="en")
+    assert len(results) == 1
+
+
+def test_long_audio_segmentation(engine):
+    """Audio beyond 30s is split at low-energy boundaries."""
+    clip = speech_like(2.0, seed=6)
+    gap = np.zeros(8000, dtype=np.float32)
+    long_audio = np.concatenate([clip, gap] * 14)  # 35s
+    results = engine.transcribe(long_audio, 16000, language="en")
+    assert len(results) >= 2
+    assert results[0].start_time == 0.0
+    assert results[-1].end_time == pytest.approx(len(long_audio) / 16000, abs=0.01)
+    # segments are contiguous
+    for a, b in zip(results, results[1:]):
+        assert a.end_time == pytest.approx(b.start_time, abs=0.01)
+
+
+def test_timestamps(engine):
+    results = engine.transcribe(speech_like(1.0, seed=7), 16000,
+                                language="en", return_timestamps=True)
+    r = results[0]
+    if r.text:
+        assert r.timestamps
+        for ts in r.timestamps:
+            assert r.start_time <= ts["start"] <= ts["end"] <= r.end_time + 1e-6
+
+
+def test_batch_same_results(engine):
+    clips = [(speech_like(0.7, seed=s), 16000) for s in (10, 11, 12)]
+    batch = engine.transcribe_batch(clips, language="en")
+    solo = [engine.transcribe(c, sr, language="en")[0] for c, sr in clips]
+    assert [r.text for r in batch] == [r.text for r in solo]
+
+
+def test_bucket_frames_chunk_aligned(engine):
+    chunk = engine._chunk_frames
+    for sec in AUDIO_BUCKETS_S:
+        frames, _ = engine.bucket_frames(int(sec * 16000))
+        assert frames % chunk == 0
+
+
+def test_max_new_tokens_budget():
+    assert max_new_tokens_for(6) == 64
+    assert max_new_tokens_for(30) == 256
