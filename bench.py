@@ -1,0 +1,104 @@
+"""Benchmark: batched 1.7B transcription throughput (RTFx per chip).
+
+Prints ONE JSON line:
+  {"metric": "rtfx_1.7b_batch8_20s", "value": N, "unit": "x_realtime",
+   "vs_baseline": N}
+
+Baseline: the reference stack transcribes 20 s of audio in ~1.27 s warm on
+an RTX 4060 → 15.7× real-time (BASELINE.md). We measure the same shape of
+work — batch of 20 s clips through the full engine (log-mel frontend, AuT
+encoder, prompt assembly, greedy decode at the bucket's full token budget,
+detokenize) — on one TPU chip.
+
+Weights are zero-initialized 1.7B-shaped bf16 (compute-identical to real
+weights; zero logits never hit EOS, so decode runs the FULL token budget —
+a worst-case number).
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_engine(preset_name: str, dtype):
+    import jax
+    import jax.numpy as jnp
+    from qwen3_asr_tpu.models.asr import AsrModel
+    from qwen3_asr_tpu.models.config import preset
+    from qwen3_asr_tpu.models.decoder import init_decoder_params
+    from qwen3_asr_tpu.models.encoder import init_encoder_params
+    from qwen3_asr_tpu.runtime.engine import TranscriptionEngine
+    from qwen3_asr_tpu.text.tokenizer import BpeTokenizer, bytes_to_unicode
+
+    cfg = preset(preset_name)
+    key = jax.random.PRNGKey(0)
+    shapes = {
+        "encoder": jax.eval_shape(
+            lambda: init_encoder_params(cfg.encoder, key, dtype)),
+        "decoder": jax.eval_shape(
+            lambda: init_decoder_params(cfg.decoder, key, dtype)),
+    }
+    # One jitted call materializes the whole zero tree (a single device
+    # dispatch — dozens of eager jnp.zeros are slow over a remote tunnel).
+    params = jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
+
+    # Byte-level vocab + chat specials — enough for prompt assembly.
+    byte_vocab = {c: i for i, c in enumerate(bytes_to_unicode().values())}
+    specials = {t: 151640 + i for i, t in enumerate(
+        ["<|endoftext|>", "<|im_start|>", "<|im_end|>", "<|AUDIO|>",
+         "<|audio_bos|>", "<|audio_eos|>"])}
+    tok = BpeTokenizer(byte_vocab, [], specials)
+    model = AsrModel(cfg, params, tok)
+    return TranscriptionEngine(model, dtype=dtype, cache_dtype=dtype)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from qwen3_asr_tpu.runtime.engine import enable_compilation_cache
+    enable_compilation_cache()
+
+    backend = jax.default_backend()
+    preset_name = os.getenv("BENCH_PRESET", "tiny" if backend == "cpu" else "1.7b")
+    dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
+    batch = int(os.getenv("BENCH_BATCH", "8"))
+    clip_s = float(os.getenv("BENCH_CLIP_S", "20"))
+    iters = int(os.getenv("BENCH_ITERS", "3"))
+
+    engine = build_engine(preset_name, dtype)
+
+    rng = np.random.default_rng(0)
+    clips = [(rng.standard_normal(int(16000 * clip_s)).astype(np.float32) * 0.05,
+              16000) for _ in range(batch)]
+
+    # Warmup/compile
+    t0 = time.time()
+    engine.transcribe_batch(clips, language="en")
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(iters):
+        engine.transcribe_batch(clips, language="en")
+    elapsed = time.time() - t0
+
+    audio_s = batch * clip_s * iters
+    rtfx = audio_s / elapsed
+    baseline_rtfx = 15.7  # reference warm 20s/1.27s on RTX 4060
+    print(json.dumps({
+        "metric": f"rtfx_{preset_name}_batch{batch}_{int(clip_s)}s",
+        "value": round(rtfx, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtfx / baseline_rtfx, 3),
+        "detail": {
+            "backend": backend, "batch": batch, "clip_s": clip_s,
+            "iters": iters, "compile_s": round(compile_s, 1),
+            "wall_s": round(elapsed, 2),
+            "decode_tokens_per_clip": 16 + int(8 * clip_s),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

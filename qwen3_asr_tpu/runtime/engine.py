@@ -26,17 +26,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..audio.frontend import HOP_LENGTH, LogMelFrontend
+from ..audio.frontend import HOP_LENGTH, LogMelFrontend, _log_mel_impl
 from ..audio.resample import resample
 from ..models.asr import AsrModel, normalize_language
-from ..models.encoder import encoder_output_length
-from ..runtime.generate import build_greedy_fn, strip_generation
+from ..models.decoder import embed_tokens
+from ..models.encoder import encoder_forward, encoder_output_length
+from ..runtime.generate import greedy_generate, strip_generation
 from ..utils.logging import log
 
 TARGET_SR = 16000
 AUDIO_BUCKETS_S: Tuple[float, ...] = (1, 2, 4, 6, 10, 15, 20, 30)
 PREFIX_BUDGET = 64          # left-padded prompt prefix tokens
 MAX_SEGMENT_S = 30.0        # beyond this, silence-boundary chunking
+
+
+def enable_compilation_cache(path: str = None) -> None:
+    """Persistent XLA compilation cache: executables survive restarts, so a
+    redeploy never pays the multi-minute 1.7B compile again (the durable
+    version of CUDA kernel-cache warming)."""
+    import os as _os
+    path = path or _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   _os.path.expanduser("~/.cache/qwen3_asr_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:  # pragma: no cover - older jax
+        log.warning("compilation cache unavailable: {}", e)
 
 
 @dataclasses.dataclass
@@ -84,15 +99,58 @@ class TranscriptionEngine:
                   // self._chunk_frames) * self._chunk_frames
         return frames, AUDIO_BUCKETS_S[-1]
 
-    def _generate_fn(self, prompt_len: int, max_new: int):
-        key = (prompt_len, max_new)
+    def _fused_fn(self, bucket_frames: int, bucket_s: float):
+        """ONE jitted executable per bucket: raw audio samples → generated
+        token ids. Fuses log-mel frontend, AuT encoder, prompt embedding,
+        prefill, and the while_loop decode — a single device dispatch per
+        request (critical when host↔device latency is high; optimal on TPU
+        regardless: XLA fuses across the whole graph)."""
+        max_new = max_new_tokens_for(bucket_s)
+        key = (bucket_frames, max_new)
         fn = self._generate_fns.get(key)
-        if fn is None:
-            fn = build_greedy_fn(self.model.cfg.decoder, prompt_len, max_new,
-                                 self.model.eos_id, self.model.pad_id,
-                                 cache_dtype=self.cache_dtype)
-            self._generate_fns[key] = fn
-        return fn
+        if fn is not None:
+            return fn
+
+        cfg = self.model.cfg
+        n_samples = bucket_frames * HOP_LENGTH
+        window = self.frontend.window
+        mel_fb = self.frontend.mel_fb
+        n_mels = self.frontend.n_mels
+        suffix = jnp.asarray(self._suffix_ids, jnp.int32)
+        dtype = self.dtype
+        eos_id, pad_id = self.model.eos_id, self.model.pad_id
+        cache_dtype = self.cache_dtype
+
+        @jax.jit
+        def run(params, audio, prefix_ids, valid_from):
+            """audio: [B, n_samples] f32; prefix_ids: [B, PREFIX_BUDGET]
+            (left-padded with pad_id); valid_from: [B] first-real-token idx."""
+            b = audio.shape[0]
+
+            def mel_one(a):
+                m, _ = _log_mel_impl(a, jnp.int32(n_samples), window, mel_fb,
+                                     n_mels)
+                return m
+            mel = jax.vmap(mel_one)(audio).astype(dtype)       # [B, M, T]
+
+            feature_lens = jnp.full((b,), bucket_frames, jnp.int32)
+            audio_embeds, _ = encoder_forward(params["encoder"], cfg.encoder,
+                                              mel, feature_lens)
+
+            pre = embed_tokens(params["decoder"], cfg.decoder, prefix_ids)
+            suf = embed_tokens(params["decoder"], cfg.decoder,
+                               jnp.broadcast_to(suffix[None, :],
+                                                (b, suffix.shape[0])))
+            inputs = jnp.concatenate(
+                [pre.astype(dtype), audio_embeds.astype(dtype),
+                 suf.astype(dtype)], axis=1)
+
+            return greedy_generate(params["decoder"], cfg.decoder, inputs,
+                                   valid_from, max_new=max_new, eos_id=eos_id,
+                                   pad_id=pad_id, cache_dtype=cache_dtype)
+
+        self._generate_fns[key] = run
+        return run
 
     # -- core batched path --------------------------------------------------------
     def _run_bucket(self, clips: Sequence[np.ndarray], bucket_frames: int,
@@ -102,34 +160,21 @@ class TranscriptionEngine:
         n_samples = bucket_frames * HOP_LENGTH
         batch = len(clips)
 
-        mels = []
-        for clip in clips:
-            padded = np.zeros(n_samples, dtype=np.float32)
-            padded[:len(clip)] = clip[:n_samples]
-            mel, _ = self.frontend(padded)
-            mels.append(mel)
-        mel = jnp.stack(mels)                                   # [B, M, T]
+        audio = np.zeros((batch, n_samples), dtype=np.float32)
+        for i, clip in enumerate(clips):
+            audio[i, :min(len(clip), n_samples)] = clip[:n_samples]
 
-        feature_lens = jnp.full((batch,), bucket_frames, jnp.int32)
-        audio_embeds, _ = self._encode_jit(mel.astype(self.dtype),
-                                           feature_lens)
-
-        prefix_ids, suffix_ids, _ = self.model.prompt_ids(
-            0, language, context)
+        prefix_ids, _, _ = self.model.prompt_ids(0, language, context)
         if len(prefix_ids) > PREFIX_BUDGET:
             prefix_ids = prefix_ids[-PREFIX_BUDGET:]
         pad_count = PREFIX_BUDGET - len(prefix_ids)
-        padded_prefix = [self.model.pad_id] * pad_count + prefix_ids
+        prefix = np.full((batch, PREFIX_BUDGET), self.model.pad_id, np.int32)
+        prefix[:, pad_count:] = prefix_ids
+        valid_from = np.full((batch,), pad_count, np.int32)
 
-        inputs = self.model.build_inputs_embeds(padded_prefix, suffix_ids,
-                                                audio_embeds)
-        inputs = inputs.astype(self.dtype)
-        prompt_len = inputs.shape[1]
-        max_new = max_new_tokens_for(bucket_s)
-
-        fn = self._generate_fn(prompt_len, max_new)
-        valid_from = jnp.full((batch,), pad_count, jnp.int32)
-        result = fn(self.model.params["decoder"], inputs, valid_from)
+        fn = self._fused_fn(bucket_frames, bucket_s)
+        result = fn(self.model.params, jnp.asarray(audio),
+                    jnp.asarray(prefix), jnp.asarray(valid_from))
 
         tokens = np.asarray(result.tokens)
         lengths = np.asarray(result.lengths)

@@ -1,4 +1,4 @@
-"""On-device autoregressive generation: jitted prefill + lax.while_loop decode.
+"""On-device autoregressive generation: prefill + lax.while_loop decode.
 
 This is the TPU answer to the reference's decode-loop bottleneck
 (~50 ms/token of Python/HF-generate overhead, GPU util ~25%,
@@ -7,11 +7,15 @@ lookup, L decoder layers, logits, argmax, EOS check — runs inside one XLA
 executable with a persistent KV cache. Host round-trips per request: one
 dispatch + one result fetch, regardless of token count. Early exit when all
 rows hit EOS via the while_loop condition.
+
+``greedy_generate`` is traceable so the engine can FUSE it with the audio
+frontend and encoder into a single executable per length bucket (one device
+dispatch per request — essential when the host↔device link has high
+latency, and optimal on TPU regardless).
 """
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -33,76 +37,77 @@ class GenerateResult(NamedTuple):
     steps: jax.Array     # scalar int32: loop iterations executed
 
 
+class _Carry(NamedTuple):
+    cache: KVCache
+    last: jax.Array
+    done: jax.Array
+    tokens: jax.Array
+    i: jax.Array
+
+
+def greedy_generate(params, cfg: DecoderConfig, inputs_embeds: jax.Array,
+                    valid_from: jax.Array, *, max_new: int, eos_id: int,
+                    pad_id: int, cache_dtype=jnp.bfloat16) -> GenerateResult:
+    """Traceable greedy generation (call inside jit; static by shapes).
+
+    inputs_embeds: [B, prompt_len, H]; valid_from: [B] int32 — LEFT-padded
+    prompts: positions < valid_from are masked out as attention keys, so a
+    variable-length prefix (language line, context words) fits a fixed
+    prompt budget without recompiling. RoPE is relative, so the constant
+    per-row offset is harmless.
+    """
+    b, prompt_len, _ = inputs_embeds.shape
+    total = prompt_len + max_new
+    cache = init_kv_cache(cfg, b, total, dtype=cache_dtype)
+    key_ok = jnp.arange(total)[None, :] >= valid_from[:, None]   # [B, S]
+
+    # ---- prefill -------------------------------------------------------------
+    positions = jnp.broadcast_to(jnp.arange(prompt_len), (b, prompt_len))
+    mask = jnp.broadcast_to(make_causal_mask(prompt_len, total),
+                            (b, prompt_len, total)) & key_ok[:, None, :]
+    hidden, cache = decoder_forward(params, cfg, inputs_embeds, positions,
+                                    cache, jnp.int32(0), mask)
+    first = jnp.argmax(lm_logits(params, cfg, hidden[:, -1]),
+                       axis=-1).astype(jnp.int32)
+
+    tokens0 = jnp.full((b, max_new), pad_id, jnp.int32).at[:, 0].set(first)
+    done0 = first == eos_id
+
+    # ---- decode loop -----------------------------------------------------------
+    def cond(c: _Carry):
+        return (c.i < max_new) & ~jnp.all(c.done)
+
+    def body(c: _Carry):
+        pos = prompt_len + c.i
+        hidden = embed_tokens(params, cfg, c.last[:, None])
+        positions = jnp.full((b, 1), pos, jnp.int32)
+        mask = jnp.broadcast_to((jnp.arange(total) <= pos)[None, None, :],
+                                (b, 1, total)) & key_ok[:, None, :]
+        hidden, cache = decoder_forward(params, cfg, hidden, positions,
+                                        c.cache, pos.astype(jnp.int32), mask)
+        nxt = jnp.argmax(lm_logits(params, cfg, hidden[:, -1]),
+                         axis=-1).astype(jnp.int32)
+        nxt = jnp.where(c.done, pad_id, nxt)
+        tokens = jax.lax.dynamic_update_slice(c.tokens, nxt[:, None], (0, c.i))
+        return _Carry(cache, nxt, c.done | (nxt == eos_id), tokens, c.i + 1)
+
+    final = jax.lax.while_loop(
+        cond, body, _Carry(cache, first, done0, tokens0, jnp.int32(1)))
+
+    lengths = jnp.sum((final.tokens != pad_id).astype(jnp.int32), axis=-1)
+    return GenerateResult(final.tokens, lengths, final.i)
+
+
 def build_greedy_fn(cfg: DecoderConfig, prompt_len: int, max_new: int,
                     eos_id: int, pad_id: int, cache_dtype=jnp.bfloat16):
-    """Build a jitted greedy generator for a static (prompt_len, max_new).
-
-    Returned fn: (decoder_params, inputs_embeds [B, prompt_len, H],
-    valid_from [B] int32) → GenerateResult. One executable per length
-    bucket — compiled once, reused for every request in the bucket (the XLA
-    replacement for CUDA graph warming, SURVEY.md §2.2).
-
-    ``valid_from`` supports LEFT-padded prompts: positions < valid_from are
-    masked out as attention keys, so a variable-length prefix (language
-    line, context words) fits a fixed prompt budget without recompiling.
-    RoPE is relative, so the constant per-row offset is harmless.
-    """
-    total = prompt_len + max_new
+    """Standalone jitted greedy generator for a static (prompt_len, max_new)."""
 
     @jax.jit
     def generate(params, inputs_embeds, valid_from):
-        b = inputs_embeds.shape[0]
-        cache = init_kv_cache(cfg, b, total, dtype=cache_dtype)
-        key_ok = jnp.arange(total)[None, :] >= valid_from[:, None]  # [B,S]
-
-        # ---- prefill ----------------------------------------------------------
-        positions = jnp.broadcast_to(jnp.arange(prompt_len), (b, prompt_len))
-        mask = jnp.broadcast_to(make_causal_mask(prompt_len, total),
-                                (b, prompt_len, total))
-        mask = mask & key_ok[:, None, :]
-        hidden, cache = decoder_forward(params, cfg, inputs_embeds, positions,
-                                        cache, jnp.int32(0), mask)
-        first = jnp.argmax(lm_logits(params, cfg, hidden[:, -1]), axis=-1)
-        first = first.astype(jnp.int32)
-
-        tokens0 = jnp.full((b, max_new), pad_id, jnp.int32)
-        tokens0 = tokens0.at[:, 0].set(first)
-        done0 = first == eos_id
-
-        class _C(NamedTuple):
-            cache: KVCache
-            last: jax.Array
-            done: jax.Array
-            tokens: jax.Array
-            i: jax.Array
-
-        def cond(c):
-            return (c.i < max_new) & ~jnp.all(c.done)
-
-        def body(c):
-            pos = prompt_len + c.i
-            ids = c.last[:, None]
-            hidden = embed_tokens(params, cfg, ids)
-            positions = jnp.full((b, 1), pos, jnp.int32)
-            mask = (jnp.arange(total) <= pos)[None, None, :]
-            mask = jnp.broadcast_to(mask, (b, 1, total)) & key_ok[:, None, :]
-            hidden, cache = decoder_forward(params, cfg, hidden, positions,
-                                            c.cache, pos.astype(jnp.int32),
-                                            mask)
-            nxt = jnp.argmax(lm_logits(params, cfg, hidden[:, -1]),
-                             axis=-1).astype(jnp.int32)
-            nxt = jnp.where(c.done, pad_id, nxt)
-            tokens = jax.lax.dynamic_update_slice(
-                c.tokens, nxt[:, None], (0, c.i))
-            done = c.done | (nxt == eos_id)
-            return _C(cache, nxt, done, tokens, c.i + 1)
-
-        init = _C(cache, first, done0, tokens0, jnp.int32(1))
-        final = jax.lax.while_loop(cond, body, init)
-
-        is_tok = (final.tokens != pad_id)
-        lengths = jnp.sum(is_tok.astype(jnp.int32), axis=-1)
-        return GenerateResult(final.tokens, lengths, final.i)
+        assert inputs_embeds.shape[1] == prompt_len
+        return greedy_generate(params, cfg, inputs_embeds, valid_from,
+                               max_new=max_new, eos_id=eos_id, pad_id=pad_id,
+                               cache_dtype=cache_dtype)
 
     return generate
 

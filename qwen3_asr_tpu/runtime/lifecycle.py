@@ -1,0 +1,221 @@
+"""Model lifecycle: lazy load, idle auto-unload, warmup, health.
+
+Parity with the reference's lifecycle manager (src/server.py:271-527):
+double-checked async lock around load/unload, idle watchdog (30 s poll,
+IDLE_TIMEOUT default 120 s), warmup on load, dual-model (fast 0.6B for WS
+partials, DUAL_MODEL=true), speculative decoding (USE_SPECULATIVE=true,
+draft-accept heuristic), and a /health info dict. CUDA-era knobs map to
+TPU equivalents: USE_CUDA_GRAPHS=true → warmup sweep over ALL jit buckets.
+
+MODEL_ID resolution:
+* a local directory  → HF-format checkpoint (config.json + safetensors +
+  tokenizer.json) via runtime/checkpoint.py
+* ``preset:<name>``  → synthetic zero-weight model of that architecture
+  (benchmarks, smoke tests)
+* anything else      → error: this build has no network egress; weights
+  must be mounted (same operational model as the reference's ./models
+  volume, compose.yaml:10-11).
+"""
+from __future__ import annotations
+
+import asyncio
+import gc
+import os
+import time
+from typing import Optional
+
+from ..models.asr import AsrModel
+from ..utils.logging import log
+from .queue import PriorityInferQueue, infer_executor
+
+
+def _load_engine_sync(model_id: str, fast: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    from ..runtime.engine import TranscriptionEngine
+
+    backend = jax.default_backend()
+    dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
+
+    if os.path.isdir(model_id):
+        from ..runtime.checkpoint import load_asr_checkpoint
+        from ..text.tokenizer import BpeTokenizer
+        cfg, params = load_asr_checkpoint(model_id, dtype=dtype)
+        tok_path = os.path.join(model_id, "tokenizer.json")
+        tokenizer = BpeTokenizer.from_file(tok_path)
+        model = AsrModel(cfg, params, tokenizer)
+    elif model_id.startswith("preset:"):
+        from ..models.config import preset
+        from ..models.decoder import init_decoder_params
+        from ..models.encoder import init_encoder_params
+        from ..text.tokenizer import BpeTokenizer, bytes_to_unicode
+        cfg = preset(model_id.split(":", 1)[1])
+        key = jax.random.PRNGKey(0)
+        shapes = {
+            "encoder": jax.eval_shape(
+                lambda: init_encoder_params(cfg.encoder, key, dtype)),
+            "decoder": jax.eval_shape(
+                lambda: init_decoder_params(cfg.decoder, key, dtype)),
+        }
+        # Single dispatch for the whole zero tree (tunnel-friendly).
+        params = jax.jit(lambda: jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
+        byte_vocab = {c: i for i, c in enumerate(bytes_to_unicode().values())}
+        specials = {t: 151640 + i for i, t in enumerate(
+            ["<|endoftext|>", "<|im_start|>", "<|im_end|>", "<|AUDIO|>",
+             "<|audio_bos|>", "<|audio_eos|>"])}
+        tokenizer = BpeTokenizer(byte_vocab, [], specials)
+        model = AsrModel(cfg, params, tokenizer)
+    else:
+        raise FileNotFoundError(
+            f"MODEL_ID '{model_id}' is not a local checkpoint directory. "
+            "This deployment has no network egress — mount the HF checkpoint "
+            "(config.json + *.safetensors + tokenizer.json) and point "
+            "MODEL_ID at it, or use 'preset:<name>' for synthetic weights.")
+
+    return TranscriptionEngine(model, dtype=dtype)
+
+
+class ModelManager:
+    """Owns the engine(s) + scheduler; one per serving process."""
+
+    def __init__(self):
+        self.engine = None
+        self.fast_engine = None
+        self.loaded_model_id: Optional[str] = None
+        self.queue = PriorityInferQueue()
+        self._lock = asyncio.Lock()
+        self._last_used = 0.0
+        self.idle_timeout = int(os.getenv("IDLE_TIMEOUT", "120"))
+        self.request_timeout = int(os.getenv("REQUEST_TIMEOUT", "300"))
+        self._watchdog_task: Optional[asyncio.Task] = None
+
+    # -- lifecycle -------------------------------------------------------------
+    def start(self):
+        self.queue.start()
+        self._watchdog_task = asyncio.create_task(self._idle_watchdog())
+
+    def stop(self):
+        self.queue.stop()
+        if self._watchdog_task:
+            self._watchdog_task.cancel()
+            self._watchdog_task = None
+
+    def _load_sync(self):
+        if self.engine is not None:
+            return
+        model_id = os.getenv("MODEL_ID", "Qwen/Qwen3-ASR-1.7B")
+        t0 = time.time()
+        log.info("Loading {}...", model_id)
+        self.engine = _load_engine_sync(model_id)
+        self.loaded_model_id = model_id
+
+        use_spec = os.getenv("USE_SPECULATIVE", "").lower() == "true"
+        dual = os.getenv("DUAL_MODEL", "").lower() == "true"
+        if use_spec or dual:
+            fast_id = os.getenv("FAST_MODEL_ID", "Qwen/Qwen3-ASR-0.6B")
+            if fast_id != model_id:
+                try:
+                    log.info("Loading fast model {} ({})...", fast_id,
+                             "speculative" if use_spec else "dual-model")
+                    self.fast_engine = _load_engine_sync(fast_id, fast=True)
+                except Exception as e:
+                    log.error("Fast model load failed: {}, using single model", e)
+            else:
+                log.info("Fast and main model identical; skipping dual load")
+
+        # Warmup: small buckets always; all buckets when USE_CUDA_GRAPHS=true
+        # (the mapped equivalent of CUDA kernel-cache warming,
+        # reference src/server.py:437-458).
+        sweep_all = os.getenv("USE_CUDA_GRAPHS", "").lower() == "true"
+        if os.getenv("SKIP_WARMUP", "").lower() != "true":
+            from ..runtime.engine import AUDIO_BUCKETS_S
+            buckets = AUDIO_BUCKETS_S if sweep_all else AUDIO_BUCKETS_S[:2]
+            self.engine.warmup(buckets)
+            if self.fast_engine is not None:
+                self.fast_engine.warmup(buckets)
+
+        self._last_used = time.time()
+        log.info("Model loaded in {:.1f}s", time.time() - t0)
+
+    def _unload_sync(self):
+        if self.engine is None:
+            return
+        log.info("Unloading model (idle timeout)...")
+        from ..sidecars import subtitle
+        subtitle.unload_aligner()
+        self.engine = None
+        self.fast_engine = None
+        gc.collect()
+        log.info("Model unloaded")
+
+    async def ensure_loaded(self):
+        self._last_used = time.time()
+        if self.engine is not None:
+            return
+        async with self._lock:
+            if self.engine is not None:
+                return
+            await asyncio.get_event_loop().run_in_executor(
+                infer_executor(), self._load_sync)
+            self._last_used = time.time()
+
+    async def _idle_watchdog(self):
+        while True:
+            await asyncio.sleep(30)
+            if self.idle_timeout <= 0 or self.engine is None:
+                continue
+            if time.time() - self._last_used > self.idle_timeout:
+                async with self._lock:
+                    if (self.engine is not None
+                            and time.time() - self._last_used > self.idle_timeout):
+                        await asyncio.get_event_loop().run_in_executor(
+                            infer_executor(), self._unload_sync)
+
+    # -- inference entry -----------------------------------------------------------
+    def transcribe_sync(self, audio, sr, lang_code, return_timestamps,
+                        use_fast: bool = False, context: str = ""):
+        """Runs ON the inference thread. Mirrors _do_transcribe
+        (reference src/server.py:849-923) incl. speculative + dual-model."""
+        self._last_used = time.time()
+        use_spec = (os.getenv("USE_SPECULATIVE", "").lower() == "true"
+                    and self.fast_engine is not None)
+        if use_spec:
+            draft = self.fast_engine.transcribe(
+                audio, sr, lang_code, return_timestamps, context)
+            draft_text = draft[0].text if draft else ""
+            # Result-level accept heuristic (reference src/server.py:837-840).
+            if len(draft_text) < 100 and "[" not in draft_text:
+                return draft
+            return self.engine.transcribe(audio, sr, lang_code,
+                                          return_timestamps, context)
+        eng = (self.fast_engine if use_fast and self.fast_engine is not None
+               else self.engine)
+        return eng.transcribe(audio, sr, lang_code, return_timestamps, context)
+
+    # -- health ---------------------------------------------------------------------
+    def health_info(self) -> dict:
+        info = {
+            "status": "ok",
+            "model_loaded": self.engine is not None,
+            "model_id": self.loaded_model_id,
+        }
+        try:
+            import jax
+            devices = jax.devices()
+            info["device"] = str(devices[0].device_kind) if devices else None
+            info["num_devices"] = len(devices)
+            if self.engine is not None:
+                stats = getattr(devices[0], "memory_stats", lambda: None)()
+                if stats:
+                    info["hbm_used_mb"] = round(
+                        stats.get("bytes_in_use", 0) / 1024 ** 2)
+                    info["hbm_limit_mb"] = round(
+                        stats.get("bytes_limit", 0) / 1024 ** 2)
+        except Exception:
+            pass
+        return info
+
+
+manager = ModelManager()

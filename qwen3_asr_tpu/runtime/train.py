@@ -1,0 +1,80 @@
+"""Training step: LM cross-entropy fine-tuning of the ASR stack under pjit.
+
+The reference is inference-only; this adds the standard fine-tune objective
+(next-token CE on the transcript conditioned on audio) so the framework
+covers training-scale deployment: the step jits over a DP×TP mesh with the
+same param shardings serving uses — XLA emits the ICI collectives
+(psum for grads over dp, all-reduce for tp partials) automatically.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.config import AsrConfig
+from ..models.decoder import decoder_forward, embed_tokens, init_kv_cache, lm_logits
+from ..models.encoder import encoder_forward
+from ..ops.attention import make_causal_mask
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def asr_loss(params: dict, cfg: AsrConfig, mel: jax.Array,
+             feature_lens: jax.Array, prompt_ids: jax.Array,
+             target_ids: jax.Array, target_mask: jax.Array) -> jax.Array:
+    """CE loss of target transcript tokens given audio.
+
+    mel: [B, M, T_mel]; prompt_ids: [B, T_pre] text prefix (audio span is
+    appended after it); target_ids/mask: [B, T_tgt].
+    """
+    dec = cfg.decoder
+    audio_embeds, _ = encoder_forward(params["encoder"], cfg.encoder, mel,
+                                      feature_lens)
+    pre = embed_tokens(params["decoder"], dec, prompt_ids)
+    tgt = embed_tokens(params["decoder"], dec, target_ids)
+    inputs = jnp.concatenate([pre, audio_embeds.astype(pre.dtype), tgt],
+                             axis=1)
+    b, t, _ = inputs.shape
+    positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+    cache = init_kv_cache(dec, b, t, dtype=inputs.dtype)
+    mask = jnp.broadcast_to(make_causal_mask(t, t), (b, t, t))
+    hidden, _ = decoder_forward(params["decoder"], dec, inputs, positions,
+                                cache, jnp.int32(0), mask)
+
+    # Predict target token i from position (prefix+audio+i-1).
+    tgt_start = t - target_ids.shape[1]
+    pred_hidden = hidden[:, tgt_start - 1:-1]
+    logits = lm_logits(params["decoder"], dec, pred_hidden)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    token_logp = jnp.take_along_axis(logp, target_ids[..., None],
+                                     axis=-1)[..., 0]
+    mask_f = target_mask.astype(jnp.float32)
+    return -(token_logp * mask_f).sum() / jnp.maximum(mask_f.sum(), 1.0)
+
+
+def make_train_step(cfg: AsrConfig, optimizer: optax.GradientTransformation
+                    ) -> Callable:
+    """Build a jittable (state, batch) → (state, loss) step."""
+
+    def step(state: TrainState, batch: dict) -> Tuple[TrainState, jax.Array]:
+        loss, grads = jax.value_and_grad(asr_loss)(
+            state.params, cfg, batch["mel"], batch["feature_lens"],
+            batch["prompt_ids"], batch["target_ids"], batch["target_mask"])
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+def init_train_state(params: dict, optimizer: optax.GradientTransformation
+                     ) -> TrainState:
+    return TrainState(params, optimizer.init(params), jnp.int32(0))

@@ -1,0 +1,707 @@
+"""Standalone API server: all public endpoints over aiohttp.
+
+Contract parity with the reference server (src/server.py:546-1380):
+same routes, same request forms, same response JSON/SRT/SSE shapes, same
+WS protocol (handshake, binary PCM s16le, flush/reset/config actions,
+cumulative partials, VAD auto-flush, disconnect flush), same error codes,
+same env-var surface.
+
+Run: ``python -m qwen3_asr_tpu.serving.server [--port 8000]``
+"""
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import time
+import uuid
+
+import numpy as np
+from aiohttp import WSMsgType, web
+
+from ..audio.codec import AudioDecodeError, decode_audio
+from ..audio.resample import resample_pcm_bytes
+from ..audio.vad import is_speech
+from ..config import TARGET_SR, validate_env
+from ..runtime.lifecycle import ModelManager
+from ..text.repetition import detect_and_fix_repetitions
+from ..utils.logging import log, set_request_id, reset_request_id
+from .http import (
+    add_docs_routes,
+    build_openapi,
+    error_response,
+    multipart_body,
+    parse_bool,
+    read_upload,
+    request_id_middleware,
+)
+from .schemas import API_DESCRIPTION, API_TAGS
+
+API_TITLE = "Qwen3-ASR"
+API_VERSION = "0.14.0"
+
+# ── WebSocket streaming config (reference src/server.py:139-155) ─────────────
+WS_BUFFER_SIZE = int(os.getenv("WS_BUFFER_SIZE", str(int(TARGET_SR * 2 * 0.45))))
+WS_FLUSH_SILENCE_MS = int(os.getenv("WS_FLUSH_SILENCE_MS", "600"))
+WS_WINDOW_MAX_S = float(os.getenv("WS_WINDOW_MAX_S", "6.0"))
+WS_WINDOW_MAX_BYTES = int(WS_WINDOW_MAX_S * TARGET_SR * 2)
+ASR_USE_SERVER_VAD = os.getenv("ASR_USE_SERVER_VAD", "true").lower() == "true"
+
+
+def get_manager(request: web.Request) -> ModelManager:
+    return request.app["manager"]
+
+
+# ── endpoint handlers ─────────────────────────────────────────────────────────
+
+async def health(request: web.Request) -> web.Response:
+    mgr = get_manager(request)
+    return web.json_response(mgr.health_info())
+
+
+async def _decode_or_error(file_bytes, filename, endpoint):
+    if file_bytes is None or len(file_bytes) == 0:
+        return None, error_response("AUDIO_DECODE_FAILED",
+                                    "Could not decode audio: empty file",
+                                    422, fileSize=0)
+    try:
+        audio, sr = decode_audio(file_bytes)
+        return (audio, sr), None
+    except AudioDecodeError as e:
+        log.error("{} | audio decode failed: {}", endpoint, e)
+        return None, error_response("AUDIO_DECODE_FAILED",
+                                    f"Could not decode audio: {e}", 422,
+                                    fileSize=len(file_bytes))
+
+
+async def transcribe(request: web.Request) -> web.Response:
+    mgr = get_manager(request)
+    await mgr.ensure_loaded()
+
+    fields, file_bytes, filename = await read_upload(request)
+    language = fields.get("language", "auto")
+    return_timestamps = parse_bool(fields.get("return_timestamps"))
+    log.info("POST /v1/audio/transcriptions | file={} size={} language={}",
+             filename, len(file_bytes or b""), language)
+    t0 = time.time()
+
+    decoded, err = await _decode_or_error(file_bytes, filename,
+                                          "POST /v1/audio/transcriptions")
+    if err:
+        return err
+    audio, sr = decoded
+    lang_code = None if language == "auto" else language
+
+    try:
+        results = await asyncio.wait_for(
+            mgr.queue.submit(
+                lambda: mgr.transcribe_sync(audio, sr, lang_code,
+                                            return_timestamps),
+                priority=1),
+            timeout=mgr.request_timeout)
+    except asyncio.TimeoutError:
+        log.warning("POST /v1/audio/transcriptions | timed out after {:.2f}s",
+                    time.time() - t0)
+        return error_response("TRANSCRIPTION_TIMEOUT", "Transcription timed out",
+                              504, elapsed=round(time.time() - t0, 2))
+
+    if results:
+        text = detect_and_fix_repetitions(results[0].text)
+        language_code = results[0].language
+    else:
+        text, language_code = "", (lang_code or language)
+
+    body = {"text": text, "language": language_code}
+    if return_timestamps and results and results[0].timestamps:
+        body["timestamps"] = results[0].timestamps
+    log.info("POST /v1/audio/transcriptions | completed in {:.2f}s "
+             "text_len={} lang={}", time.time() - t0, len(text), language_code)
+    return web.json_response(body)
+
+
+async def translate_endpoint(request: web.Request) -> web.Response:
+    from ..sidecars.translator import translate_srt, translate_text
+    mgr = get_manager(request)
+    await mgr.ensure_loaded()
+
+    fields, file_bytes, filename = await read_upload(request)
+    language = fields.get("language", "en")
+    response_format = fields.get("response_format", "json")
+    log.info("POST /v1/audio/translations | file={} size={} target={} format={}",
+             filename, len(file_bytes or b""), language, response_format)
+    t0 = time.time()
+
+    decoded, err = await _decode_or_error(file_bytes, filename,
+                                          "POST /v1/audio/translations")
+    if err:
+        return err
+    audio, sr = decoded
+    target_lang = "en" if language.lower() not in ("en", "zh") else language.lower()
+
+    try:
+        results = await asyncio.wait_for(
+            mgr.queue.submit(
+                lambda: mgr.transcribe_sync(audio, sr, None, False),
+                priority=1),
+            timeout=mgr.request_timeout)
+    except asyncio.TimeoutError:
+        log.warning("POST /v1/audio/translations | timed out after {:.2f}s",
+                    time.time() - t0)
+        return error_response("TRANSCRIPTION_TIMEOUT", "Transcription timed out",
+                              504, elapsed=round(time.time() - t0, 2))
+
+    if response_format.lower() == "srt":
+        if not results:
+            return web.Response(text="", content_type="text/plain",
+                                charset="utf-8")
+        for r in results:
+            r.text = detect_and_fix_repetitions(r.text)
+        from ..sidecars.subtitle import generate_srt_from_results
+        from ..runtime.queue import infer_executor
+        original_srt = await asyncio.get_event_loop().run_in_executor(
+            infer_executor(),
+            lambda: generate_srt_from_results(results, audio, sr, mode="fast",
+                                              max_line_chars=42))
+        try:
+            translated_srt = await translate_srt(original_srt, target_lang)
+        except Exception as e:
+            log.error("POST /v1/audio/translations | translation API failed "
+                      "in {:.2f}s error={}", time.time() - t0, e)
+            return error_response("TRANSLATION_FAILED",
+                                  f"Translation API failed: {e}", 502)
+        log.info("POST /v1/audio/translations | completed in {:.2f}s format={}",
+                 time.time() - t0, response_format)
+        return web.Response(
+            text=translated_srt, content_type="text/plain", charset="utf-8",
+            headers={"Content-Disposition":
+                     'attachment; filename="translated_subtitles.srt"'})
+
+    text = detect_and_fix_repetitions(results[0].text) if results else ""
+    if text.strip():
+        try:
+            translated_text = await translate_text(text, target_lang)
+        except Exception as e:
+            log.error("POST /v1/audio/translations | translation API failed "
+                      "in {:.2f}s error={}", time.time() - t0, e)
+            return error_response("TRANSLATION_FAILED",
+                                  f"Translation API failed: {e}", 502)
+    else:
+        translated_text = ""
+    log.info("POST /v1/audio/translations | completed in {:.2f}s format={}",
+             time.time() - t0, response_format)
+    return web.json_response({"text": translated_text, "language": target_lang})
+
+
+async def generate_subtitles(request: web.Request) -> web.Response:
+    mgr = get_manager(request)
+    await mgr.ensure_loaded()
+
+    fields, file_bytes, filename = await read_upload(request)
+    language = fields.get("language", "auto")
+    mode = fields.get("mode", "accurate")
+    try:
+        max_line_chars = int(fields.get("max_line_chars", "42"))
+    except ValueError:
+        max_line_chars = 42
+    log.info("POST /v1/audio/subtitles | file={} size={} language={} mode={}",
+             filename, len(file_bytes or b""), language, mode)
+    t0 = time.time()
+
+    if mode not in ("fast", "accurate"):
+        return error_response("INVALID_MODE",
+                              f"mode must be 'fast' or 'accurate', got '{mode}'",
+                              422)
+
+    decoded, err = await _decode_or_error(file_bytes, filename,
+                                          "POST /v1/audio/subtitles")
+    if err:
+        return err
+    audio, sr = decoded
+    lang_code = None if language == "auto" else language
+
+    from ..runtime.queue import infer_executor
+    from ..sidecars import subtitle as subtitle_mod
+
+    if mode == "accurate":
+        try:
+            await asyncio.get_event_loop().run_in_executor(
+                infer_executor(), subtitle_mod.load_aligner)
+        except Exception as e:
+            log.error("POST /v1/audio/subtitles | aligner load failed: {}", e)
+            return error_response(
+                "SUBTITLE_TIMEOUT" if "timeout" in str(e).lower() else
+                "WORKER_ERROR", f"ForcedAligner unavailable: {e}", 503)
+
+    try:
+        results = await asyncio.wait_for(
+            mgr.queue.submit(
+                lambda: mgr.transcribe_sync(audio, sr, lang_code, False),
+                priority=1),
+            timeout=mgr.request_timeout)
+    except asyncio.TimeoutError:
+        log.warning("POST /v1/audio/subtitles | timed out after {:.2f}s",
+                    time.time() - t0)
+        return error_response("SUBTITLE_TIMEOUT",
+                              "Subtitle generation timed out", 504,
+                              elapsed=round(time.time() - t0, 2))
+
+    if not results:
+        return web.Response(
+            text="", content_type="text/plain", charset="utf-8",
+            headers={"Content-Disposition":
+                     'attachment; filename="subtitles.srt"'})
+
+    for r in results:
+        r.text = detect_and_fix_repetitions(r.text)
+
+    srt_content = await asyncio.get_event_loop().run_in_executor(
+        infer_executor(),
+        lambda: subtitle_mod.generate_srt_from_results(
+            results=results, audio=audio, sr=sr, mode=mode,
+            max_line_chars=max_line_chars))
+
+    log.info("POST /v1/audio/subtitles | completed in {:.2f}s mode={} srt_len={}",
+             time.time() - t0, mode, len(srt_content))
+    return web.Response(
+        text=srt_content, content_type="text/plain", charset="utf-8",
+        headers={"Content-Disposition":
+                 'attachment; filename="subtitles.srt"'})
+
+
+# ── SSE streaming (reference src/server.py:926-1050) ─────────────────────────
+
+async def sse_transcribe_generator(mgr: ModelManager, audio, sr, lang_code,
+                                   return_timestamps):
+    """Yield SSE 'data:' lines for progressive chunked transcription."""
+    from ..config import SSE_CHUNK_SECONDS, SSE_OVERLAP_SECONDS
+    audio_duration = len(audio) / sr
+    t0 = time.time()
+    chunk_count = 0
+    log.info("SSE stream | audio={:.2f}s lang={}", audio_duration,
+             lang_code or "auto")
+    try:
+        chunk_samples = TARGET_SR * SSE_CHUNK_SECONDS
+        overlap_samples = TARGET_SR * SSE_OVERLAP_SECONDS
+        if sr != TARGET_SR:
+            chunk_samples = sr * SSE_CHUNK_SECONDS
+            overlap_samples = sr * SSE_OVERLAP_SECONDS
+
+        if len(audio) <= chunk_samples:
+            results = await mgr.queue.submit(
+                lambda: mgr.transcribe_sync(audio, sr, lang_code,
+                                            return_timestamps),
+                priority=1)
+            if results:
+                data = {"text": detect_and_fix_repetitions(results[0].text),
+                        "language": results[0].language, "is_final": True}
+                if return_timestamps and results[0].timestamps:
+                    data["timestamps"] = results[0].timestamps
+            else:
+                data = {"text": "", "language": lang_code or "auto",
+                        "is_final": True}
+            chunk_count += 1
+            yield f"data: {json.dumps(data)}\n\n"
+        else:
+            start = 0
+            chunk_index = 0
+            while start < len(audio):
+                end = min(start + chunk_samples, len(audio))
+                chunk = audio[start:end]
+                is_last = end >= len(audio)
+                results = await mgr.queue.submit(
+                    lambda c=chunk: mgr.transcribe_sync(
+                        c, sr, lang_code, return_timestamps),
+                    priority=1)
+                if results:
+                    data = {"text": detect_and_fix_repetitions(results[0].text),
+                            "language": results[0].language,
+                            "is_final": is_last, "chunk_index": chunk_index}
+                else:
+                    data = {"text": "", "language": lang_code or "auto",
+                            "is_final": is_last, "chunk_index": chunk_index}
+                chunk_count += 1
+                yield f"data: {json.dumps(data)}\n\n"
+                chunk_index += 1
+                if is_last:
+                    break
+                start = end - overlap_samples
+
+        log.info("SSE stream | done chunks={} elapsed={:.2f}s", chunk_count,
+                 time.time() - t0)
+        yield f"data: {json.dumps({'done': True})}\n\n"
+    except Exception as e:
+        log.error("SSE stream | error after {:.2f}s: {}", time.time() - t0, e)
+        yield ("data: " + json.dumps({
+            "code": "SSE_STREAM_ERROR", "message": str(e),
+            "statusCode": 500}) + "\n\n")
+
+
+async def transcribe_stream(request: web.Request) -> web.StreamResponse:
+    mgr = get_manager(request)
+    await mgr.ensure_loaded()
+
+    fields, file_bytes, filename = await read_upload(request)
+    language = fields.get("language", "auto")
+    return_timestamps = parse_bool(fields.get("return_timestamps"))
+    log.info("POST /v1/audio/transcriptions/stream | file={} size={} language={}",
+             filename, len(file_bytes or b""), language)
+
+    decoded, err = await _decode_or_error(
+        file_bytes, filename, "POST /v1/audio/transcriptions/stream")
+    if err:
+        return err
+    audio, sr = decoded
+    lang_code = None if language == "auto" else language
+
+    response = web.StreamResponse(
+        status=200,
+        headers={"Content-Type": "text/event-stream",
+                 "Cache-Control": "no-cache",
+                 "Connection": "keep-alive",
+                 "X-Accel-Buffering": "no"})
+    await response.prepare(request)
+    async for event in sse_transcribe_generator(mgr, audio, sr, lang_code,
+                                                return_timestamps):
+        await response.write(event.encode("utf-8"))
+    await response.write_eof()
+    return response
+
+
+# ── WebSocket session engine (reference src/server.py:1053-1375) ─────────────
+
+async def _transcribe_with_context(mgr: ModelManager, audio_bytes: bytes,
+                                   pad_silence: bool, lang_code,
+                                   use_vad: bool) -> str:
+    """Bandpass + VAD gate + priority-0 inference over the window bytes."""
+    audio_duration = len(audio_bytes) / 2 / TARGET_SR
+    t0 = time.time()
+    try:
+        full_audio = bytearray(audio_bytes)
+        if pad_silence:
+            full_audio.extend(bytes(int((WS_FLUSH_SILENCE_MS / 1000)
+                                        * TARGET_SR * 2)))
+        if len(full_audio) == 0:
+            return ""
+
+        audio = np.frombuffer(bytes(full_audio), dtype=np.int16)
+        audio = audio.astype(np.float32) / 32768.0
+        # Telephony bandpass (fused FIR; reference uses butterworth sosfilt)
+        from ..audio.frontend import Bandpass
+        bp = _get_bandpass()
+        audio = np.asarray(bp(audio))
+
+        if use_vad and not is_speech(audio):
+            log.info("_transcribe_with_context | VAD: silence, skipping inference")
+            return ""
+
+        results = await asyncio.wait_for(
+            mgr.queue.submit(
+                lambda: mgr.transcribe_sync(audio, TARGET_SR, lang_code, False,
+                                            use_fast=not pad_silence),
+                priority=0),
+            timeout=mgr.request_timeout)
+        if results:
+            text = detect_and_fix_repetitions(results[0].text)
+            log.info("_transcribe_with_context | done elapsed={:.2f}s "
+                     "text_len={}", time.time() - t0, len(text))
+            return text
+        return ""
+    except asyncio.TimeoutError:
+        log.warning("_transcribe_with_context | timed out after {:.2f}s "
+                    "audio={:.2f}s", time.time() - t0, audio_duration)
+        return "[timeout]"
+    except Exception as e:
+        log.error("_transcribe_with_context | error after {:.2f}s: {}",
+                  time.time() - t0, e)
+        return f"[error: {e}]"
+
+
+_bandpass = None
+
+
+def _get_bandpass():
+    global _bandpass
+    if _bandpass is None:
+        from ..audio.frontend import Bandpass
+        _bandpass = Bandpass()
+    return _bandpass
+
+
+async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
+    mgr = get_manager(request)
+    ws = web.WebSocketResponse(compress=False)  # per-message-deflate off
+    await ws.prepare(request)
+
+    ws_req_id = request.query.get("request_id") or str(uuid.uuid4())
+    token = set_request_id(ws_req_id)
+    log.info("[WS] Client connected")
+
+    audio_buffer = bytearray()
+    audio_window = bytearray()
+    lang_code = "English"  # default; overridden by config action
+    use_vad = ASR_USE_SERVER_VAD
+    vad_param = request.query.get("use_server_vad")
+    if vad_param is not None:
+        use_vad = vad_param.lower() in ("true", "1", "yes")
+    client_sr = int(request.query.get("sample_rate", str(TARGET_SR)))
+    chunk_count = 0
+    prev_had_speech = False
+
+    try:
+        if client_sr not in (8000, 16000):
+            await ws.send_json({
+                "code": "UNSUPPORTED_SAMPLE_RATE",
+                "message": f"sample_rate must be 8000 or 16000, got {client_sr}",
+                "statusCode": 400})
+            await ws.close()
+            return ws
+
+        await mgr.ensure_loaded()
+        await ws.send_json({
+            "status": "connected",
+            "sample_rate": client_sr,
+            "format": "pcm_s16le",
+            "buffer_size": WS_BUFFER_SIZE,
+            "window_max_s": WS_WINDOW_MAX_S,
+            "use_server_vad": use_vad,
+        })
+
+        async for msg in ws:
+            if msg.type == WSMsgType.TEXT:
+                try:
+                    cmd = json.loads(msg.data)
+                except json.JSONDecodeError:
+                    log.warning("[WS] invalid JSON command: {!r}",
+                                msg.data[:80])
+                    await ws.send_json({"code": "INVALID_JSON",
+                                        "message": "Invalid JSON command",
+                                        "statusCode": 400})
+                    continue
+                action = cmd.get("action", "")
+
+                if action == "flush":
+                    if audio_buffer:
+                        audio_window.extend(audio_buffer)
+                        audio_buffer.clear()
+                    if len(audio_window) > 0:
+                        text = await _transcribe_with_context(
+                            mgr, bytes(audio_window), True, lang_code, use_vad)
+                        chunk_count += 1
+                        await ws.send_json({"text": text, "is_partial": False,
+                                            "is_final": True})
+                    else:
+                        await ws.send_json({"text": "", "is_partial": False,
+                                            "is_final": True})
+                    audio_window.clear()
+
+                elif action == "reset":
+                    audio_buffer.clear()
+                    audio_window.clear()
+                    await ws.send_json({"status": "buffer_reset"})
+
+                elif action == "config":
+                    new_lang = cmd.get("language")
+                    if new_lang == "auto":
+                        lang_code = None
+                    elif new_lang:
+                        lang_code = new_lang
+                    if "use_server_vad" in cmd:
+                        use_vad = bool(cmd["use_server_vad"])
+                    await ws.send_json({"status": "configured",
+                                        "language": lang_code or "auto",
+                                        "use_server_vad": use_vad})
+
+                else:
+                    log.warning("[WS] unknown action: {!r}", action)
+                    await ws.send_json({"code": "UNKNOWN_ACTION",
+                                        "message": f"Unknown action: {action!r}",
+                                        "statusCode": 400})
+
+            elif msg.type == WSMsgType.BINARY:
+                incoming = msg.data
+                if client_sr != TARGET_SR:
+                    incoming = resample_pcm_bytes(incoming, client_sr,
+                                                  TARGET_SR)
+                audio_buffer.extend(incoming)
+
+                if len(audio_buffer) >= WS_BUFFER_SIZE:
+                    audio_window.extend(audio_buffer)
+                    audio_buffer.clear()
+                    if len(audio_window) > WS_WINDOW_MAX_BYTES:
+                        trim = len(audio_window) - WS_WINDOW_MAX_BYTES
+                        trim = (trim // 2) * 2
+                        audio_window = audio_window[trim:]
+
+                    vad_flushed = False
+                    if use_vad:
+                        tail = (bytes(audio_window[-WS_BUFFER_SIZE:])
+                                if len(audio_window) >= WS_BUFFER_SIZE
+                                else bytes(audio_window))
+                        tail_f = (np.frombuffer(tail, dtype=np.int16)
+                                  .astype(np.float32) / 32768.0)
+                        has_speech = is_speech(tail_f)
+                        if not has_speech and prev_had_speech:
+                            prev_had_speech = False
+                            vad_flushed = True
+                            text = await _transcribe_with_context(
+                                mgr, bytes(audio_window), True, lang_code,
+                                use_vad)
+                            chunk_count += 1
+                            if text:
+                                await ws.send_json({"text": text,
+                                                    "is_partial": False,
+                                                    "is_final": True})
+                            audio_window.clear()
+                        else:
+                            prev_had_speech = has_speech
+
+                    if not vad_flushed:
+                        text = await _transcribe_with_context(
+                            mgr, bytes(audio_window), False, lang_code,
+                            use_vad)
+                        chunk_count += 1
+                        if text:
+                            await ws.send_json({"text": text,
+                                                "is_partial": True,
+                                                "is_final": False})
+
+            elif msg.type in (WSMsgType.CLOSE, WSMsgType.CLOSING,
+                              WSMsgType.ERROR):
+                break
+
+        # Disconnect: transcribe remaining audio (reference 1261-1279).
+        if audio_buffer:
+            audio_window.extend(audio_buffer)
+        if len(audio_window) > 0:
+            try:
+                text = await _transcribe_with_context(
+                    mgr, bytes(audio_window), True, lang_code, use_vad)
+                chunk_count += 1
+                if text:
+                    log.info("[WS] Final transcription on disconnect: {}", text)
+            except Exception:
+                pass
+        log.info("[WS] Client disconnected | chunks_processed={}", chunk_count)
+
+    except Exception as e:
+        log.error("WebSocket error: {}", e)
+        try:
+            await ws.send_json({"code": "WEBSOCKET_ERROR", "message": str(e),
+                                "statusCode": 500})
+        except Exception:
+            pass
+    finally:
+        reset_request_id(token)
+        try:
+            await ws.close()
+        except Exception:
+            pass
+    return ws
+
+
+# ── app assembly ──────────────────────────────────────────────────────────────
+
+def route_metadata() -> list:
+    audio_field = {"type": "string", "format": "binary",
+                   "description": "Audio file", "x-required": True}
+    return [
+        {"path": "/health", "method": "GET", "tags": ["System"],
+         "summary": "Health check",
+         "description": "Returns service status, model loading state, and accelerator info.",
+         "responses": {"200": {
+             "description": "Service health",
+             "content": {"application/json": {"schema": {
+                 "$ref": "#/components/schemas/HealthResponse"}}}}}},
+        {"path": "/v1/audio/transcriptions", "method": "POST",
+         "tags": ["Transcription"], "summary": "Transcribe audio file",
+         "description": "Upload an audio file and get the transcribed text back. Language is auto-detected by default.",
+         "request_body": multipart_body({
+             "file": dict(audio_field),
+             "language": {"type": "string", "default": "auto"},
+             "return_timestamps": {"type": "boolean", "default": False}}),
+         "responses": {"200": {
+             "description": "Transcription",
+             "content": {"application/json": {"schema": {
+                 "$ref": "#/components/schemas/TranscriptionResponse"}}}},
+             "422": {"description": "Audio decode or validation error",
+                     "content": {"application/json": {"schema": {
+                         "$ref": "#/components/schemas/ErrorResponse"}}}},
+             "504": {"description": "Inference timed out",
+                     "content": {"application/json": {"schema": {
+                         "$ref": "#/components/schemas/ErrorResponse"}}}}}},
+        {"path": "/v1/audio/translations", "method": "POST",
+         "tags": ["Translation"], "summary": "Translate audio file",
+         "description": "Transcribe audio and translate the text into English or Chinese using an external LLM. Returns JSON by default, or SRT subtitles with `response_format=srt`.",
+         "request_body": multipart_body({
+             "file": dict(audio_field),
+             "language": {"type": "string", "default": "en"},
+             "response_format": {"type": "string", "default": "json"}}),
+         "responses": {"200": {
+             "description": "Translation",
+             "content": {"application/json": {"schema": {
+                 "$ref": "#/components/schemas/TranslationResponse"}}}}}},
+        {"path": "/v1/audio/subtitles", "method": "POST",
+         "tags": ["Subtitles"], "summary": "Generate SRT subtitles",
+         "description": "Generate SRT subtitle file from audio. **fast** mode uses heuristic timestamps (no extra model). **accurate** mode uses ForcedAligner for word-level timing.",
+         "request_body": multipart_body({
+             "file": dict(audio_field),
+             "language": {"type": "string", "default": "auto"},
+             "mode": {"type": "string", "default": "accurate"},
+             "max_line_chars": {"type": "integer", "default": 42}}),
+         "responses": {"200": {"description": "SRT subtitle file",
+                               "content": {"text/plain": {}}}}},
+        {"path": "/v1/audio/transcriptions/stream", "method": "POST",
+         "tags": ["Streaming"], "summary": "Stream transcription (SSE)",
+         "description": "Upload a long audio file and receive transcription results as Server-Sent Events. Audio is split into overlapping chunks transcribed progressively.",
+         "request_body": multipart_body({
+             "file": dict(audio_field),
+             "language": {"type": "string", "default": "auto"},
+             "return_timestamps": {"type": "boolean", "default": False}}),
+         "responses": {"200": {"description": "SSE stream of transcription chunks",
+                               "content": {"text/event-stream": {}}}}},
+    ]
+
+
+def build_app(manager: ModelManager | None = None) -> web.Application:
+    app = web.Application(middlewares=[request_id_middleware],
+                          client_max_size=512 * 1024 ** 2)
+    app["manager"] = manager or ModelManager()
+
+    app.router.add_get("/health", health)
+    app.router.add_post("/v1/audio/transcriptions", transcribe)
+    app.router.add_post("/v1/audio/translations", translate_endpoint)
+    app.router.add_post("/v1/audio/subtitles", generate_subtitles)
+    app.router.add_post("/v1/audio/transcriptions/stream", transcribe_stream)
+    app.router.add_get("/ws/transcribe", websocket_transcribe)
+
+    openapi = build_openapi(API_TITLE, API_VERSION, API_DESCRIPTION,
+                            API_TAGS, route_metadata())
+    add_docs_routes(app, openapi, API_TITLE)
+
+    async def on_startup(app):
+        validate_env()
+        app["manager"].start()
+
+    async def on_cleanup(app):
+        app["manager"].stop()
+
+    app.on_startup.append(on_startup)
+    app.on_cleanup.append(on_cleanup)
+    return app
+
+
+def main():
+    import argparse
+    parser = argparse.ArgumentParser(description="Qwen3-ASR TPU server")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int,
+                        default=int(os.getenv("PORT", "8000")))
+    args = parser.parse_args()
+    from ..utils.logging import intercept_stdlib_logging
+    intercept_stdlib_logging()
+    web.run_app(build_app(), host=args.host, port=args.port,
+                access_log=None)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,324 @@
+"""HTTP/WS/SSE serving tests against the full app with the tiny CPU model.
+
+Mirrors the reference E2E surface (E2Etest/test_api_http.py,
+test_websocket.py) but in-process via aiohttp's test utilities — the
+"CPU-backend fake model" tier recommended in SURVEY.md §4.3.
+"""
+import asyncio
+import json
+import os
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from tests.fixtures import write_tiny_checkpoint
+from tests.util_audio import speech_like, tone
+from qwen3_asr_tpu.audio.codec import encode_wav
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ckpt") / "tiny")
+    write_tiny_checkpoint(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def loop():
+    loop = asyncio.new_event_loop()
+    yield loop
+    loop.close()
+
+
+@pytest.fixture(scope="module")
+def client(ckpt_dir, loop):
+    os.environ["MODEL_ID"] = ckpt_dir
+    os.environ["SKIP_WARMUP"] = "true"
+    os.environ["REQUEST_TIMEOUT"] = "120"
+    from qwen3_asr_tpu.serving.server import build_app
+
+    app = build_app()
+    client = TestClient(TestServer(app), loop=loop)
+    loop.run_until_complete(client.start_server())
+    yield client
+    loop.run_until_complete(client.close())
+
+
+def _wav_form(audio=None, duration=0.6, **fields):
+    import aiohttp
+    if audio is None:
+        audio = speech_like(duration, seed=0)
+    form = aiohttp.FormData()
+    form.add_field("file", encode_wav(audio, 16000), filename="test.wav",
+                   content_type="audio/wav")
+    for k, v in fields.items():
+        form.add_field(k, str(v))
+    return form
+
+
+# ── health / docs ────────────────────────────────────────────────────────────
+
+def test_health(client, loop):
+    async def go():
+        resp = await client.get("/health")
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["status"] == "ok"
+        assert "model_loaded" in body
+        assert resp.headers.get("X-Request-ID")
+    loop.run_until_complete(go())
+
+
+def test_request_id_echo(client, loop):
+    async def go():
+        resp = await client.get("/health",
+                                headers={"X-Request-ID": "my-trace-42"})
+        assert resp.headers["X-Request-ID"] == "my-trace-42"
+    loop.run_until_complete(go())
+
+
+def test_docs_and_openapi(client, loop):
+    async def go():
+        resp = await client.get("/docs")
+        assert resp.status == 200
+        assert "swagger" in (await resp.text()).lower()
+        resp = await client.get("/openapi.json")
+        spec = await resp.json()
+        for path in ("/health", "/v1/audio/transcriptions",
+                     "/v1/audio/translations", "/v1/audio/subtitles",
+                     "/v1/audio/transcriptions/stream"):
+            assert path in spec["paths"], path
+        assert "TranscriptionResponse" in spec["components"]["schemas"]
+    loop.run_until_complete(go())
+
+
+# ── transcription ────────────────────────────────────────────────────────────
+
+def test_transcribe_basic(client, loop):
+    async def go():
+        resp = await client.post("/v1/audio/transcriptions",
+                                 data=_wav_form(language="en"))
+        assert resp.status == 200
+        body = await resp.json()
+        assert set(body) >= {"text", "language"}
+        assert body["language"] == "en"
+    loop.run_until_complete(go())
+
+
+def test_transcribe_garbage_bytes(client, loop):
+    async def go():
+        import aiohttp
+        form = aiohttp.FormData()
+        form.add_field("file", b"this is not audio", filename="x.wav")
+        resp = await client.post("/v1/audio/transcriptions", data=form)
+        assert resp.status == 422
+        body = await resp.json()
+        assert body["code"] == "AUDIO_DECODE_FAILED"
+        assert body["statusCode"] == 422
+        assert "requestId" in body["context"]
+    loop.run_until_complete(go())
+
+
+def test_transcribe_empty_file(client, loop):
+    async def go():
+        import aiohttp
+        form = aiohttp.FormData()
+        form.add_field("file", b"", filename="empty.wav")
+        resp = await client.post("/v1/audio/transcriptions", data=form)
+        assert resp.status == 422
+    loop.run_until_complete(go())
+
+
+def test_transcribe_truncated_wav(client, loop):
+    async def go():
+        import aiohttp
+        wav = encode_wav(tone(0.2), 16000)[:40]
+        form = aiohttp.FormData()
+        form.add_field("file", wav, filename="trunc.wav")
+        resp = await client.post("/v1/audio/transcriptions", data=form)
+        assert resp.status == 422
+    loop.run_until_complete(go())
+
+
+# ── SSE streaming ────────────────────────────────────────────────────────────
+
+def test_sse_stream_short(client, loop):
+    async def go():
+        resp = await client.post("/v1/audio/transcriptions/stream",
+                                 data=_wav_form(language="en"))
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/event-stream")
+        raw = (await resp.read()).decode()
+        events = [json.loads(line[6:]) for line in raw.splitlines()
+                  if line.startswith("data: ")]
+        assert events[-1] == {"done": True}
+        assert any(e.get("is_final") for e in events[:-1])
+    loop.run_until_complete(go())
+
+
+def test_sse_stream_long_chunks(client, loop):
+    async def go():
+        audio = speech_like(12.0, seed=1)  # > 5s ⇒ chunked
+        resp = await client.post("/v1/audio/transcriptions/stream",
+                                 data=_wav_form(audio=audio, language="en"))
+        raw = (await resp.read()).decode()
+        events = [json.loads(line[6:]) for line in raw.splitlines()
+                  if line.startswith("data: ")]
+        chunked = [e for e in events if "chunk_index" in e]
+        assert len(chunked) >= 2
+        assert chunked[-1]["is_final"]
+        assert [e["chunk_index"] for e in chunked] == list(range(len(chunked)))
+    loop.run_until_complete(go())
+
+
+# ── subtitles ────────────────────────────────────────────────────────────────
+
+def test_subtitles_fast(client, loop):
+    async def go():
+        resp = await client.post("/v1/audio/subtitles",
+                                 data=_wav_form(language="en", mode="fast"))
+        assert resp.status == 200
+        assert "attachment" in resp.headers.get("Content-Disposition", "")
+        srt = await resp.text()
+        assert isinstance(srt, str)  # may be empty for random tiny model
+    loop.run_until_complete(go())
+
+
+def test_subtitles_invalid_mode(client, loop):
+    async def go():
+        resp = await client.post("/v1/audio/subtitles",
+                                 data=_wav_form(mode="wrong"))
+        assert resp.status == 422
+        body = await resp.json()
+        assert body["code"] == "INVALID_MODE"
+    loop.run_until_complete(go())
+
+
+# ── translations ─────────────────────────────────────────────────────────────
+
+def test_translations_failure_shape(client, loop):
+    """No external LLM configured → TRANSLATION_FAILED 502 (or empty text
+    passthrough when transcript is empty)."""
+    async def go():
+        os.environ["OPENAI_BASE_URL"] = "http://127.0.0.1:1"  # unroutable
+        os.environ["TRANSLATE_TIMEOUT"] = "2"
+        resp = await client.post("/v1/audio/translations",
+                                 data=_wav_form(language="en"))
+        assert resp.status in (200, 502)
+        body = await resp.json()
+        if resp.status == 502:
+            assert body["code"] == "TRANSLATION_FAILED"
+        else:
+            assert body["language"] == "en"
+    loop.run_until_complete(go())
+
+
+# ── WebSocket ────────────────────────────────────────────────────────────────
+
+def _pcm(audio: np.ndarray) -> bytes:
+    return np.clip(audio * 32767, -32768, 32767).astype("<i2").tobytes()
+
+
+def test_ws_handshake_and_flush(client, loop):
+    async def go():
+        ws = await client.ws_connect("/ws/transcribe")
+        hello = await ws.receive_json()
+        assert hello["status"] == "connected"
+        assert hello["format"] == "pcm_s16le"
+        assert hello["buffer_size"] == 14400
+        assert hello["window_max_s"] == 6.0
+        assert hello["sample_rate"] == 16000
+        assert isinstance(hello["use_server_vad"], bool)
+
+        await ws.send_bytes(_pcm(speech_like(0.3, seed=2)))
+        await ws.send_json({"action": "flush"})
+        msg = await ws.receive_json()
+        assert msg["is_final"] is True
+        assert msg["is_partial"] is False
+        await ws.close()
+    loop.run_until_complete(go())
+
+
+def test_ws_partials_cumulative(client, loop):
+    async def go():
+        ws = await client.ws_connect("/ws/transcribe?use_server_vad=false")
+        await ws.receive_json()  # handshake
+        audio = speech_like(1.2, seed=3)
+        pcm = _pcm(audio)
+        got_partial = False
+        # send > 450ms to trigger partials
+        for i in range(0, len(pcm), 14400):
+            await ws.send_bytes(pcm[i:i + 14400])
+            try:
+                msg = await asyncio.wait_for(ws.receive_json(), timeout=10)
+                if msg.get("is_partial"):
+                    got_partial = True
+            except asyncio.TimeoutError:
+                pass
+        await ws.send_json({"action": "reset"})
+        # drain until buffer_reset
+        for _ in range(10):
+            msg = await asyncio.wait_for(ws.receive_json(), timeout=10)
+            if msg.get("status") == "buffer_reset":
+                break
+        else:
+            raise AssertionError("no buffer_reset ack")
+        await ws.close()
+        # Random tiny model may emit empty text (no partial sent) — the
+        # protocol round-trip itself is the assertion here.
+        assert True
+    loop.run_until_complete(go())
+
+
+def test_ws_config_action(client, loop):
+    async def go():
+        ws = await client.ws_connect("/ws/transcribe")
+        await ws.receive_json()
+        await ws.send_json({"action": "config", "language": "zh",
+                            "use_server_vad": False})
+        msg = await ws.receive_json()
+        assert msg == {"status": "configured", "language": "zh",
+                       "use_server_vad": False}
+        await ws.send_json({"action": "config", "language": "auto"})
+        msg = await ws.receive_json()
+        assert msg["language"] == "auto"
+        await ws.close()
+    loop.run_until_complete(go())
+
+
+def test_ws_unknown_action_and_bad_json(client, loop):
+    async def go():
+        ws = await client.ws_connect("/ws/transcribe")
+        await ws.receive_json()
+        await ws.send_json({"action": "bogus"})
+        msg = await ws.receive_json()
+        assert msg["code"] == "UNKNOWN_ACTION"
+        assert msg["statusCode"] == 400
+        await ws.send_str("{not json")
+        msg = await ws.receive_json()
+        assert msg["code"] == "INVALID_JSON"
+        await ws.close()
+    loop.run_until_complete(go())
+
+
+def test_ws_unsupported_sample_rate(client, loop):
+    async def go():
+        ws = await client.ws_connect("/ws/transcribe?sample_rate=44100")
+        msg = await ws.receive_json()
+        assert msg["code"] == "UNSUPPORTED_SAMPLE_RATE"
+        assert msg["statusCode"] == 400
+    loop.run_until_complete(go())
+
+
+def test_ws_8k_resample(client, loop):
+    async def go():
+        ws = await client.ws_connect("/ws/transcribe?sample_rate=8000")
+        hello = await ws.receive_json()
+        assert hello["sample_rate"] == 8000
+        await ws.send_bytes(_pcm(speech_like(0.3, sr=8000, seed=4)))
+        await ws.send_json({"action": "flush"})
+        msg = await ws.receive_json()
+        assert msg["is_final"] is True
+        await ws.close()
+    loop.run_until_complete(go())
