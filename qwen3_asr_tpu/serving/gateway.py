@@ -1,0 +1,414 @@
+"""Gateway process: public routing + worker lifecycle supervision.
+
+Parity with reference src/gateway.py: spawns the worker as a subprocess,
+polls its /health for up to 30 s, kills it after IDLE_TIMEOUT to reclaim
+RAM (respawn on next request), pre-spawns when IDLE_TIMEOUT=0, forwards
+X-Request-ID headers / request_id query params, relays SSE line-by-line,
+pumps WebSocket traffic bidirectionally, and merges worker health into its
+own. The VRAM pre-check (nvidia-smi, gateway.py:34-44) maps to an HBM
+check sourced from the last worker health snapshot — the gateway must NOT
+touch the TPU itself (chips are single-process).
+
+Run: ``python -m qwen3_asr_tpu.serving.gateway [--port 8000]``
+"""
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import subprocess
+import sys
+import time
+import uuid
+
+import aiohttp
+from aiohttp import WSMsgType, web
+
+from ..config import validate_env
+from ..utils.logging import get_request_id, log, reset_request_id, set_request_id
+from .http import (
+    add_docs_routes,
+    build_openapi,
+    error_response,
+    request_id_middleware,
+)
+from .schemas import API_DESCRIPTION, API_TAGS
+from .server import API_TITLE, API_VERSION, route_metadata
+
+WORKER_HOST = os.getenv("WORKER_HOST", "127.0.0.1")
+WORKER_PORT = int(os.getenv("WORKER_PORT", "8001"))
+IDLE_TIMEOUT = int(os.getenv("IDLE_TIMEOUT", "120"))
+REQUEST_TIMEOUT = int(os.getenv("REQUEST_TIMEOUT", "300"))
+MIN_FREE_HBM_MB = int(os.getenv("MIN_FREE_HBM_MB", "3500"))
+
+
+class WorkerSupervisor:
+    """Owns the worker subprocess: spawn, readiness poll, idle kill."""
+
+    def __init__(self):
+        self.proc: subprocess.Popen | None = None
+        self.last_used = time.time()
+        self._lock = asyncio.Lock()
+        self._last_health: dict = {}
+
+    def alive(self) -> bool:
+        return self.proc is not None and self.proc.poll() is None
+
+    def _check_hbm_available(self) -> tuple[bool, int]:
+        """HBM headroom pre-check from the last worker health snapshot.
+        (The gateway never initializes the TPU backend itself — chips are
+        exclusive to the worker process.)"""
+        used = self._last_health.get("hbm_used_mb")
+        limit = self._last_health.get("hbm_limit_mb")
+        if used is None or limit is None or not limit:
+            return True, -1  # can't check — optimistically proceed
+        free = limit - used
+        return free >= MIN_FREE_HBM_MB, free
+
+    async def ensure(self):
+        async with self._lock:
+            if not self.alive():
+                ok, free_mb = self._check_hbm_available()
+                if not ok:
+                    log.error("Not enough HBM to start worker: {}MB free, "
+                              "need ~{}MB", free_mb, MIN_FREE_HBM_MB)
+                    raise RuntimeError(f"Insufficient HBM: {free_mb}MB free")
+                log.info("Starting worker process... (HBM free: {}MB)",
+                         free_mb)
+                self.proc = subprocess.Popen([
+                    sys.executable, "-m", "qwen3_asr_tpu.serving.worker",
+                    "--host", WORKER_HOST, "--port", str(WORKER_PORT),
+                ])
+                deadline = int(os.getenv("WORKER_STARTUP_TIMEOUT", "120"))
+                for _ in range(deadline):
+                    await asyncio.sleep(1)
+                    try:
+                        async with aiohttp.ClientSession() as session:
+                            async with session.get(
+                                    f"http://{WORKER_HOST}:{WORKER_PORT}/health",
+                                    timeout=aiohttp.ClientTimeout(total=3)
+                            ) as resp:
+                                if resp.status == 200:
+                                    self._last_health = await resp.json()
+                                    log.info("Worker process ready")
+                                    break
+                    except Exception:
+                        continue
+                else:
+                    log.error("Worker process failed to become ready "
+                              "after {}s", deadline)
+            self.last_used = time.time()
+
+    async def kill(self):
+        async with self._lock:
+            if self.alive():
+                log.info("Killing worker process (idle timeout)...")
+                self.proc.terminate()
+                try:
+                    self.proc.wait(timeout=10)
+                except subprocess.TimeoutExpired:
+                    self.proc.kill()
+                self.proc = None
+                log.info("Worker process killed -- RAM reclaimed")
+
+    async def idle_watchdog(self):
+        while True:
+            await asyncio.sleep(30)
+            if IDLE_TIMEOUT <= 0:
+                continue
+            if self.alive() and time.time() - self.last_used > IDLE_TIMEOUT:
+                await self.kill()
+
+
+def _trace_headers() -> dict:
+    req_id = get_request_id()
+    return {"X-Request-ID": req_id} if req_id else {}
+
+
+def _worker_url(path: str) -> str:
+    return f"http://{WORKER_HOST}:{WORKER_PORT}{path}"
+
+
+async def _proxy_error(resp: aiohttp.ClientResponse, url: str) -> web.Response:
+    body = await resp.text()
+    log.error("Gateway proxy error | url={} status={}", url, resp.status)
+    try:
+        worker_error = json.loads(body)
+        if "code" in worker_error:
+            return web.json_response(worker_error, status=resp.status)
+    except (json.JSONDecodeError, KeyError):
+        pass
+    return error_response("WORKER_ERROR", body, resp.status)
+
+
+async def _forward_multipart(request: web.Request, sup: WorkerSupervisor,
+                             worker_path: str, field_defaults: dict):
+    """Read the public multipart request, re-issue it to the worker."""
+    from .http import read_upload
+    await sup.ensure()
+    fields, file_bytes, filename = await read_upload(request)
+    form = aiohttp.FormData()
+    form.add_field("file", file_bytes or b"", filename=filename or "audio.wav",
+                   content_type="audio/wav")
+    for key, default in field_defaults.items():
+        form.add_field(key, str(fields.get(key, default)))
+    url = _worker_url(worker_path)
+    session = aiohttp.ClientSession()
+    resp = await session.post(
+        url, data=form, headers=_trace_headers(),
+        timeout=aiohttp.ClientTimeout(total=REQUEST_TIMEOUT))
+    sup.last_used = time.time()
+    return session, resp, url, fields
+
+
+async def gw_transcribe(request: web.Request) -> web.Response:
+    sup: WorkerSupervisor = request.app["supervisor"]
+    t0 = time.time()
+    session, resp, url, _ = await _forward_multipart(
+        request, sup, "/transcribe",
+        {"language": "auto", "return_timestamps": "false"})
+    try:
+        if resp.status != 200:
+            return await _proxy_error(resp, url)
+        body = await resp.json()
+        log.info("Gateway POST /v1/audio/transcriptions | proxied in {:.2f}s",
+                 time.time() - t0)
+        return web.json_response(body)
+    finally:
+        await session.close()
+
+
+async def gw_translate(request: web.Request) -> web.Response:
+    sup: WorkerSupervisor = request.app["supervisor"]
+    t0 = time.time()
+    session, resp, url, fields = await _forward_multipart(
+        request, sup, "/translate",
+        {"language": "en", "response_format": "json"})
+    try:
+        if resp.status != 200:
+            return await _proxy_error(resp, url)
+        log.info("Gateway POST /v1/audio/translations | proxied in {:.2f}s",
+                 time.time() - t0)
+        if fields.get("response_format", "json").lower() == "srt":
+            srt = await resp.text()
+            return web.Response(
+                text=srt, content_type="text/plain", charset="utf-8",
+                headers={"Content-Disposition":
+                         'attachment; filename="translated_subtitles.srt"'})
+        return web.json_response(await resp.json())
+    finally:
+        await session.close()
+
+
+async def gw_subtitles(request: web.Request) -> web.Response:
+    sup: WorkerSupervisor = request.app["supervisor"]
+    t0 = time.time()
+    session, resp, url, _ = await _forward_multipart(
+        request, sup, "/subtitles",
+        {"language": "auto", "mode": "accurate", "max_line_chars": "42"})
+    try:
+        if resp.status != 200:
+            return await _proxy_error(resp, url)
+        srt = await resp.text()
+        log.info("Gateway POST /v1/audio/subtitles | proxied in {:.2f}s",
+                 time.time() - t0)
+        return web.Response(
+            text=srt, content_type="text/plain", charset="utf-8",
+            headers={"Content-Disposition":
+                     'attachment; filename="subtitles.srt"'})
+    finally:
+        await session.close()
+
+
+async def gw_transcribe_stream(request: web.Request) -> web.StreamResponse:
+    sup: WorkerSupervisor = request.app["supervisor"]
+    t0 = time.time()
+    session, resp, url, _ = await _forward_multipart(
+        request, sup, "/transcribe/stream",
+        {"language": "auto", "return_timestamps": "false"})
+    try:
+        if resp.status != 200:
+            return await _proxy_error(resp, url)
+        response = web.StreamResponse(
+            status=200,
+            headers={"Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache",
+                     "Connection": "keep-alive",
+                     "X-Accel-Buffering": "no"})
+        await response.prepare(request)
+        chunk_count = 0
+        try:
+            async for line in resp.content:
+                sup.last_used = time.time()
+                chunk_count += 1
+                await response.write(line)
+            log.info("Gateway POST /v1/audio/transcriptions/stream | done "
+                     "chunks={} elapsed={:.2f}s", chunk_count,
+                     time.time() - t0)
+        except Exception as e:
+            log.error("Gateway POST /v1/audio/transcriptions/stream | error "
+                      "after {:.2f}s: {}", time.time() - t0, e)
+        await response.write_eof()
+        return response
+    finally:
+        await session.close()
+
+
+async def gw_websocket(request: web.Request) -> web.WebSocketResponse:
+    """Bidirectional WS pump client ↔ worker (reference gateway.py:340-419)."""
+    sup: WorkerSupervisor = request.app["supervisor"]
+    ws = web.WebSocketResponse(compress=False)
+    await ws.prepare(request)
+
+    ws_req_id = str(uuid.uuid4())
+    token = set_request_id(ws_req_id)
+    log.info("[GW-WS] Client connected, proxying to worker")
+
+    try:
+        try:
+            await sup.ensure()
+        except Exception as e:
+            await ws.send_json({"code": "WORKER_STARTUP_FAILED",
+                                "message": f"Worker startup failed: {e}",
+                                "statusCode": 503})
+            await ws.close()
+            return ws
+
+        qs_parts = [f"request_id={ws_req_id}"]
+        for param in ("use_server_vad", "sample_rate"):
+            val = request.query.get(param)
+            if val is not None:
+                qs_parts.append(f"{param}={val}")
+        ws_url = (f"ws://{WORKER_HOST}:{WORKER_PORT}/ws/transcribe?"
+                  + "&".join(qs_parts))
+
+        async with aiohttp.ClientSession() as session:
+            async with session.ws_connect(ws_url) as worker_ws:
+                init_msg = await worker_ws.receive_json()
+                await ws.send_json(init_msg)
+
+                async def client_to_worker():
+                    try:
+                        async for msg in ws:
+                            sup.last_used = time.time()
+                            if msg.type == WSMsgType.TEXT:
+                                await worker_ws.send_str(msg.data)
+                            elif msg.type == WSMsgType.BINARY:
+                                await worker_ws.send_bytes(msg.data)
+                            elif msg.type in (WSMsgType.CLOSE,
+                                              WSMsgType.CLOSING,
+                                              WSMsgType.ERROR):
+                                break
+                        await worker_ws.close()
+                    except Exception as e:
+                        log.warning("[GW-WS] client_to_worker error: {}", e)
+
+                async def worker_to_client():
+                    try:
+                        async for msg in worker_ws:
+                            sup.last_used = time.time()
+                            if msg.type == WSMsgType.TEXT:
+                                await ws.send_str(msg.data)
+                            elif msg.type == WSMsgType.BINARY:
+                                await ws.send_bytes(msg.data)
+                            elif msg.type in (WSMsgType.CLOSED,
+                                              WSMsgType.ERROR):
+                                break
+                    except Exception as e:
+                        log.warning("[GW-WS] worker_to_client error: {}", e)
+
+                await asyncio.gather(client_to_worker(), worker_to_client(),
+                                     return_exceptions=True)
+
+    except Exception as e:
+        try:
+            await ws.send_json({"code": "WORKER_CONNECTION_FAILED",
+                                "message": f"Worker connection failed: {e}",
+                                "statusCode": 502})
+        except Exception:
+            pass
+    finally:
+        log.info("[GW-WS] Proxy session ended")
+        reset_request_id(token)
+        try:
+            await ws.close()
+        except Exception:
+            pass
+    return ws
+
+
+async def gw_health(request: web.Request) -> web.Response:
+    sup: WorkerSupervisor = request.app["supervisor"]
+    worker_alive = sup.alive()
+    info = {"status": "ok", "mode": "gateway", "worker_alive": worker_alive,
+            "model_loaded": False, "model_id": None}
+    if worker_alive:
+        try:
+            async with aiohttp.ClientSession() as session:
+                async with session.get(
+                        _worker_url("/health"), headers=_trace_headers(),
+                        timeout=aiohttp.ClientTimeout(total=3)) as resp:
+                    if resp.status == 200:
+                        worker_info = await resp.json()
+                        sup._last_health = worker_info
+                        info.update(worker_info)
+                        info["mode"] = "gateway"
+        except Exception:
+            pass
+    return web.json_response(info)
+
+
+def build_app(supervisor: WorkerSupervisor | None = None) -> web.Application:
+    app = web.Application(middlewares=[request_id_middleware],
+                          client_max_size=512 * 1024 ** 2)
+    app["supervisor"] = supervisor or WorkerSupervisor()
+
+    app.router.add_get("/health", gw_health)
+    app.router.add_post("/v1/audio/transcriptions", gw_transcribe)
+    app.router.add_post("/v1/audio/translations", gw_translate)
+    app.router.add_post("/v1/audio/subtitles", gw_subtitles)
+    app.router.add_post("/v1/audio/transcriptions/stream",
+                        gw_transcribe_stream)
+    app.router.add_get("/ws/transcribe", gw_websocket)
+
+    openapi = build_openapi(API_TITLE, API_VERSION, API_DESCRIPTION,
+                            API_TAGS, route_metadata())
+    add_docs_routes(app, openapi, API_TITLE)
+
+    async def on_startup(app):
+        validate_env()
+        sup = app["supervisor"]
+        app["watchdog"] = asyncio.create_task(sup.idle_watchdog())
+        if IDLE_TIMEOUT == 0:
+            log.info("Always-on mode: pre-spawning worker at startup")
+            try:
+                await sup.ensure()
+            except Exception as e:
+                log.warning("Worker pre-spawn failed (will retry on first "
+                            "request): {}", e)
+
+    async def on_cleanup(app):
+        app["watchdog"].cancel()
+        await app["supervisor"].kill()
+
+    app.on_startup.append(on_startup)
+    app.on_cleanup.append(on_cleanup)
+    return app
+
+
+def main():
+    import argparse
+    parser = argparse.ArgumentParser(description="Qwen3-ASR TPU gateway")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int,
+                        default=int(os.getenv("PORT", "8000")))
+    args = parser.parse_args()
+    from ..utils.logging import intercept_stdlib_logging
+    from ..utils.platform import honor_platform_env
+    intercept_stdlib_logging()
+    honor_platform_env()
+    web.run_app(build_app(), host=args.host, port=args.port, access_log=None)
+
+
+if __name__ == "__main__":
+    main()

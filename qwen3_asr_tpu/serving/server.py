@@ -698,7 +698,9 @@ def main():
                         default=int(os.getenv("PORT", "8000")))
     args = parser.parse_args()
     from ..utils.logging import intercept_stdlib_logging
+    from ..utils.platform import honor_platform_env
     intercept_stdlib_logging()
+    honor_platform_env()
     web.run_app(build_app(), host=args.host, port=args.port,
                 access_log=None)
 

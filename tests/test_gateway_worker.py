@@ -1,0 +1,128 @@
+"""Gateway/worker split tests.
+
+Tier 1 (reference gateway_swagger_test.py / subtitle_test.py:502-527 style):
+route-presence asserts on all three apps + gateway docs without spawning.
+Tier 2: REAL process split — gateway spawns an actual worker subprocess on
+CPU with the tiny checkpoint, requests flow through both hops.
+"""
+import asyncio
+import json
+import os
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from tests.fixtures import write_tiny_checkpoint
+from tests.util_audio import speech_like
+from qwen3_asr_tpu.audio.codec import encode_wav
+
+
+def _routes(app):
+    return {(r.method, r.resource.canonical) for r in app.router.routes()
+            if r.method != "HEAD"}
+
+
+def test_server_routes():
+    from qwen3_asr_tpu.serving.server import build_app
+    routes = _routes(build_app())
+    for path in ("/health", "/v1/audio/transcriptions",
+                 "/v1/audio/translations", "/v1/audio/subtitles",
+                 "/v1/audio/transcriptions/stream", "/ws/transcribe",
+                 "/docs", "/openapi.json"):
+        assert any(p == path for _, p in routes), path
+
+
+def test_worker_routes():
+    from qwen3_asr_tpu.serving.worker import build_app
+    routes = _routes(build_app())
+    for path in ("/health", "/transcribe", "/subtitles", "/translate",
+                 "/transcribe/stream", "/ws/transcribe"):
+        assert any(p == path for _, p in routes), path
+
+
+def test_gateway_routes():
+    from qwen3_asr_tpu.serving.gateway import build_app
+    routes = _routes(build_app())
+    for path in ("/health", "/v1/audio/transcriptions",
+                 "/v1/audio/translations", "/v1/audio/subtitles",
+                 "/v1/audio/transcriptions/stream", "/ws/transcribe",
+                 "/docs", "/openapi.json"):
+        assert any(p == path for _, p in routes), path
+
+
+def test_gateway_health_no_worker():
+    """Gateway health without a live worker reports worker_alive=false."""
+    from qwen3_asr_tpu.serving.gateway import WorkerSupervisor, build_app
+    loop = asyncio.new_event_loop()
+    try:
+        client = TestClient(TestServer(build_app(WorkerSupervisor())),
+                            loop=loop)
+        loop.run_until_complete(client.start_server())
+        resp = loop.run_until_complete(client.get("/health"))
+        body = loop.run_until_complete(resp.json())
+        assert body["mode"] == "gateway"
+        assert body["worker_alive"] is False
+        assert body["model_loaded"] is False
+        loop.run_until_complete(client.close())
+    finally:
+        loop.close()
+
+
+@pytest.mark.slow
+def test_gateway_spawns_real_worker(tmp_path):
+    """Full process split: gateway subprocess-spawns a worker, proxies a
+    transcription and merged health through both hops."""
+    ckpt = str(tmp_path / "ckpt")
+    write_tiny_checkpoint(ckpt)
+    os.environ["MODEL_ID"] = ckpt
+    os.environ["SKIP_WARMUP"] = "true"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["WORKER_PORT"] = "18311"
+    os.environ["WORKER_STARTUP_TIMEOUT"] = "90"
+
+    import importlib
+    from qwen3_asr_tpu.serving import gateway as gw
+    importlib.reload(gw)  # pick up WORKER_PORT
+
+    loop = asyncio.new_event_loop()
+    sup = gw.WorkerSupervisor()
+    try:
+        client = TestClient(TestServer(gw.build_app(sup)), loop=loop)
+        loop.run_until_complete(client.start_server())
+
+        async def go():
+            import aiohttp
+            form = aiohttp.FormData()
+            form.add_field("file", encode_wav(speech_like(0.5, seed=0), 16000),
+                           filename="t.wav", content_type="audio/wav")
+            form.add_field("language", "en")
+            resp = await client.post("/v1/audio/transcriptions", data=form)
+            assert resp.status == 200, await resp.text()
+            body = await resp.json()
+            assert body["language"] == "en"
+
+            # merged health now includes worker state
+            resp = await client.get("/health")
+            health = await resp.json()
+            assert health["worker_alive"] is True
+            assert health["model_loaded"] is True
+
+            # WS through the proxy
+            ws = await client.ws_connect("/ws/transcribe")
+            hello = await ws.receive_json()
+            assert hello["status"] == "connected"
+            await ws.send_json({"action": "flush"})
+            msg = await ws.receive_json()
+            assert msg["is_final"] is True
+            await ws.close()
+
+        loop.run_until_complete(asyncio.wait_for(go(), timeout=180))
+        loop.run_until_complete(sup.kill())
+        loop.run_until_complete(client.close())
+    finally:
+        try:
+            if sup.proc is not None and sup.proc.poll() is None:
+                sup.proc.kill()
+        except Exception:
+            pass
+        loop.close()
