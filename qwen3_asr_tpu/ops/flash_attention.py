@@ -1,0 +1,192 @@
+"""Pallas TPU flash attention (forward) — the in-framework replacement for
+the reference's flash-attn CUDA kernels (Dockerfile:45, selected at
+src/server.py:294-298).
+
+Inference-oriented design (this framework trains rarely, serves constantly):
+
+* online-softmax tiling over the KV axis — the [T, S] scores matrix never
+  materializes in HBM (guide: boom_attention_tricks.md §2-4);
+* GQA without K/V repetition: grid iterates KV heads; each kernel instance
+  computes the whole query GROUP [G·block_q rows] against its KV head —
+  "commute sum and matmul" for MXU efficiency;
+* STRUCTURED masks instead of dense [B,T,S] bools: the three patterns this
+  framework needs (decoder causal + left-pad valid_from; encoder
+  block-diagonal windows; right-pad valid_to) are computed from iota inside
+  the kernel — no mask bandwidth;
+* fp32 softmax statistics, mask value -0.7·f32max (not -inf), safe divide
+  for fully-masked rows.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _kernel(valid_from_ref, valid_to_ref, q_ref, k_ref, v_ref, o_ref,
+            m_scratch, l_scratch, acc_scratch, *, block_q: int, block_k: int,
+            sm_scale: float, causal: bool, window_block: int, s_len: int,
+            q_offset: int):
+    """Grid: (B, n_kv, T_pad//block_q, S_pad//block_k).
+
+    q_ref: [1, 1, G, block_q, D] — G query heads of this KV head's group.
+    k_ref/v_ref: [1, 1, block_k, D]. Accumulators persist over the last
+    grid axis.
+    """
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    n_k = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    g = q_ref.shape[2]
+    d = q_ref.shape[-1]
+
+    q = q_ref[0, 0].reshape(g * block_q, d)                   # [G·bq, D]
+    k = k_ref[0, 0]                                            # [bk, D]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s *= sm_scale                                              # [G·bq, bk]
+
+    # ---- structured mask ------------------------------------------------------
+    rows_local = jax.lax.broadcasted_iota(jnp.int32, (g * block_q, block_k), 0)
+    rows = rows_local % block_q + qi * block_q + q_offset      # global q pos
+    cols = (jax.lax.broadcasted_iota(jnp.int32, (g * block_q, block_k), 1)
+            + ki * block_k)                                    # global k pos
+    mask = cols < s_len
+    if causal:
+        mask &= cols <= rows
+    if window_block > 0:
+        mask &= (rows // window_block) == (cols // window_block)
+    vf = valid_from_ref[b]
+    vt = valid_to_ref[b]
+    mask &= (cols >= vf) & (cols < vt)
+    s = jnp.where(mask, s, MASK_VALUE)
+
+    # ---- online softmax update -------------------------------------------------
+    m_prev = m_scratch[...]                                    # [G·bq, 128]
+    l_prev = l_scratch[...]
+    m_curr = jnp.max(s, axis=-1, keepdims=True)                # [G·bq, 1]
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    p = jnp.where(mask, p, 0.0)  # kill exp(MASK-MASK)=1 rows fully masked
+    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    m_scratch[...] = m_next
+    l_scratch[...] = l_next
+
+    v = v_ref[0, 0]                                            # [bk, D]
+    o_curr = jax.lax.dot(p.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+    acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + o_curr
+
+    @pl.when(ki == n_k - 1)
+    def _store():
+        l_final = l_scratch[...][:, :1]
+        l_safe = jnp.where(l_final == 0.0, 1.0, l_final)
+        out = (acc_scratch[...] / l_safe).astype(o_ref.dtype)
+        o_ref[0, 0] = out.reshape(g, block_q, d)
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                    causal: bool = False,
+                    q_offset: int = 0,
+                    kv_valid_from: Optional[jax.Array] = None,
+                    kv_valid_to: Optional[jax.Array] = None,
+                    window_block: int = 0,
+                    sm_scale: Optional[float] = None,
+                    block_q: int = 128, block_k: int = 128,
+                    interpret: bool = False) -> jax.Array:
+    """q: [B, Nq, T, D]; k/v: [B, Nkv, S, D] → [B, Nq, T, D].
+
+    Masking (all optional, composable):
+      causal         — global col ≤ global row (row = local + q_offset)
+      q_offset       — global position of q row 0 (decode steps / prefix cache)
+      kv_valid_from  — [B] first attendable key (left-padded prompts)
+      kv_valid_to    — [B] one-past-last attendable key (right padding)
+      window_block   — block-diagonal attention of this width (encoder)
+    """
+    b, nq, t, d = q.shape
+    _, nkv, s_len, _ = k.shape
+    assert nq % nkv == 0
+    g = nq // nkv
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+
+    block_q = min(block_q, max(t, 16))
+    block_k = min(block_k, max(s_len, 128))
+
+    t_pad = -(-t // block_q) * block_q
+    s_pad = -(-s_len // block_k) * block_k
+    if t_pad != t:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
+    if s_pad != s_len:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, s_pad - s_len), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, s_pad - s_len), (0, 0)))
+
+    # Group query heads with their KV head: [B, n_kv, G, T, D]
+    qg = q.reshape(b, nkv, g, t_pad, d)
+
+    if kv_valid_from is None:
+        kv_valid_from = jnp.zeros((b,), jnp.int32)
+    if kv_valid_to is None:
+        kv_valid_to = jnp.full((b,), s_len, jnp.int32)
+
+    grid = (b, nkv, t_pad // block_q, s_pad // block_k)
+
+    kernel = functools.partial(
+        _kernel, block_q=block_q, block_k=block_k, sm_scale=float(sm_scale),
+        causal=causal, window_block=int(window_block), s_len=s_len,
+        q_offset=int(q_offset))
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, g, block_q, d),
+                             lambda b_, h, qi, ki, *_refs: (b_, h, 0, qi, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b_, h, qi, ki, *_refs: (b_, h, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b_, h, qi, ki, *_refs: (b_, h, ki, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, g, block_q, d),
+                                   lambda b_, h, qi, ki, *_refs: (b_, h, 0, qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((g * block_q, 128), jnp.float32),  # m
+                pltpu.VMEM((g * block_q, 128), jnp.float32),  # l
+                pltpu.VMEM((g * block_q, d), jnp.float32),    # acc
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nkv, g, t_pad, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(kv_valid_from.astype(jnp.int32), kv_valid_to.astype(jnp.int32),
+      qg, k, v)
+
+    out = out.reshape(b, nq, t_pad, d)
+    return out[:, :, :t]
+
+
+def flash_attend(q, k, v, *, mask=None, scale=None):
+    """Dense-mask compatibility shim for ops.attention.attend: falls back to
+    XLA when given an arbitrary dense mask (structured callers should use
+    flash_attention directly)."""
+    from .attention import attend_xla
+    return attend_xla(q, k, v, mask=mask, scale=scale)
