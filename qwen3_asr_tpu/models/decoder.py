@@ -29,7 +29,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import attend
+from ..ops.attention import AttnSpec, attend_spec
 from .config import DecoderConfig
 
 
@@ -112,10 +112,10 @@ def init_decoder_params(cfg: DecoderConfig, key: jax.Array,
 def _layer(cfg: DecoderConfig, hidden: jax.Array, lp: dict,
            cos: jax.Array, sin: jax.Array,
            k_cache: jax.Array, v_cache: jax.Array,
-           write_pos: jax.Array, attn_mask: jax.Array
+           write_pos: jax.Array, attn_spec: AttnSpec
            ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One decoder layer. hidden: [B,T,H]; caches: [B,n_kv,S,D];
-    write_pos: scalar cache offset for this segment; attn_mask: [B,T,S]."""
+    write_pos: scalar cache offset for this segment."""
     b, t, h = hidden.shape
     nq, nkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
@@ -136,8 +136,8 @@ def _layer(cfg: DecoderConfig, hidden: jax.Array, lp: dict,
     v_cache = jax.lax.dynamic_update_slice(
         v_cache, v.astype(v_cache.dtype), (0, 0, write_pos, 0))
 
-    attn = attend(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
-                  mask=attn_mask[:, None, :, :], scale=d ** -0.5)
+    attn = attend_spec(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+                       attn_spec, scale=d ** -0.5)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nq * d)
     hidden = hidden + attn @ lp["wo"]
 
@@ -150,10 +150,10 @@ def _layer(cfg: DecoderConfig, hidden: jax.Array, lp: dict,
 def decoder_forward(params: dict, cfg: DecoderConfig,
                     inputs_embeds: jax.Array, positions: jax.Array,
                     cache: KVCache, write_pos: jax.Array,
-                    attn_mask: jax.Array) -> Tuple[jax.Array, KVCache]:
+                    attn_spec: AttnSpec) -> Tuple[jax.Array, KVCache]:
     """Run all layers. inputs_embeds: [B,T,H]; positions: [B,T];
     cache: KVCache [L,B,n_kv,S,D]; write_pos: scalar int32 (segment offset in
-    cache); attn_mask: [B,T,S] bool (True = attend).
+    cache); attn_spec: structured mask descriptor (ops.attention.AttnSpec).
 
     Returns (final_hidden [B,T,H], updated cache).
     """
@@ -162,7 +162,7 @@ def decoder_forward(params: dict, cfg: DecoderConfig,
     def body(hidden, xs):
         lp, k_c, v_c = xs
         hidden, k_c, v_c = _layer(cfg, hidden, lp, cos, sin, k_c, v_c,
-                                  write_pos, attn_mask)
+                                  write_pos, attn_spec)
         return hidden, (k_c, v_c)
 
     hidden, (k_new, v_new) = jax.lax.scan(

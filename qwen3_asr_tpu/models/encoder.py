@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import attend
+from ..ops.attention import AttnSpec, attend_spec
 from .config import AudioEncoderConfig
 
 
@@ -133,7 +133,7 @@ def _conv_frontend(params: dict, cfg: AudioEncoderConfig,
 
 
 def _encoder_layer(cfg: AudioEncoderConfig, hidden: jax.Array, lp: dict,
-                   mask: jax.Array) -> jax.Array:
+                   attn_spec: AttnSpec) -> jax.Array:
     b, t, d = hidden.shape
     nh, hd = cfg.encoder_attention_heads, cfg.head_dim
 
@@ -141,7 +141,7 @@ def _encoder_layer(cfg: AudioEncoderConfig, hidden: jax.Array, lp: dict,
     q = (x @ lp["wq"] + lp["bq"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
     k = (x @ lp["wk"] + lp["bk"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
     v = (x @ lp["wv"] + lp["bv"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
-    attn = attend(q, k, v, mask=mask[:, None, :, :], scale=hd ** -0.5)
+    attn = attend_spec(q, k, v, attn_spec, scale=hd ** -0.5)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, d)
     hidden = hidden + attn @ lp["wo"] + lp["bo"]
 
@@ -165,20 +165,14 @@ def encoder_forward(params: dict, cfg: AudioEncoderConfig, mel: jax.Array,
 
     token_lens = encoder_output_length(feature_lens, chunk)  # [B]
 
-    # Block-diagonal window mask over valid tokens (static shapes).
+    # Block-diagonal window attention over valid tokens (static shapes;
+    # evaluated from iota inside the flash kernel — never materialized).
     tokens_per_chunk = conv_tokens_per_chunk(chunk)
     window = tokens_per_chunk * max(1, cfg.n_window_infer // chunk)
-    pos = jnp.arange(t_tok)
-    same_block = (pos[:, None] // window) == (pos[None, :] // window)
-    valid = pos[None, :] < token_lens[:, None]          # [B, T_tok]
-    mask = same_block[None, :, :] & valid[:, None, :] & valid[:, :, None]
-    # Fully-masked rows (padding queries) still need one attendable key to
-    # keep softmax finite; let them attend to themselves.
-    eye = jnp.eye(t_tok, dtype=bool)[None]
-    mask = mask | eye
+    spec = AttnSpec(window_block=window, valid_to=token_lens)
 
     def body(hidden, lp):
-        return _encoder_layer(cfg, hidden, lp, mask), None
+        return _encoder_layer(cfg, hidden, lp, spec), None
 
     hidden, _ = jax.lax.scan(body, tokens, params["layers"])
 

@@ -13,12 +13,73 @@ GQA is computed without materializing repeated K/V: queries are reshaped to
 """
 from __future__ import annotations
 
-from typing import Optional
+import os
+from typing import NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
 
 _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+class AttnSpec(NamedTuple):
+    """Structured attention-mask descriptor.
+
+    Describes every mask pattern this framework uses without materializing a
+    dense [B, T, S] boolean: the flash backend evaluates it from iota inside
+    the kernel; the XLA backend expands it to a dense mask once per forward.
+
+      causal       — col ≤ row + q_offset
+      q_offset     — global position of q row 0 (int, scalar, or [B])
+      valid_from   — [B] first attendable key (left-padded prompt)
+      valid_to     — [B] one-past-last attendable key (right padding)
+      window_block — block-diagonal width (encoder windows), 0 = off
+    """
+    causal: bool = False
+    q_offset: Union[int, jax.Array] = 0
+    valid_from: Optional[jax.Array] = None
+    valid_to: Optional[jax.Array] = None
+    window_block: int = 0
+
+    def dense_mask(self, b: int, t: int, s: int) -> jax.Array:
+        """Expand to a [B, T, S] boolean mask (True = attend)."""
+        rows = (jax.lax.broadcasted_iota(jnp.int32, (t, s), 0)[None]
+                + jnp.broadcast_to(jnp.asarray(self.q_offset, jnp.int32),
+                                   (b,))[:, None, None])
+        cols = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)[None]
+        mask = jnp.ones((b, t, s), bool)
+        if self.causal:
+            mask &= cols <= rows
+        if self.window_block > 0:
+            w = self.window_block
+            mask &= (rows // w) == (cols // w)
+        if self.valid_from is not None:
+            mask &= cols >= self.valid_from[:, None, None]
+        if self.valid_to is not None:
+            mask &= cols < self.valid_to[:, None, None]
+        return mask
+
+
+def attend_spec(q: jax.Array, k: jax.Array, v: jax.Array, spec: AttnSpec,
+                *, scale: Optional[float] = None,
+                backend: Optional[str] = None) -> jax.Array:
+    """Spec-driven attention with backend dispatch (xla | flash | auto)."""
+    backend = backend or os.getenv("ASR_ATTN_BACKEND", "auto")
+    if backend == "auto":
+        use_flash = (jax.default_backend() == "tpu"
+                     and q.shape[-1] % 8 == 0 and q.shape[-2] > 1)
+        backend = "flash" if use_flash else "xla"
+    if backend in ("flash", "flash_interpret"):
+        from .flash_attention import flash_attention
+        return flash_attention(
+            q, k, v, causal=spec.causal, q_offset=spec.q_offset,
+            kv_valid_from=spec.valid_from, kv_valid_to=spec.valid_to,
+            window_block=spec.window_block, sm_scale=scale,
+            interpret=(backend == "flash_interpret"))
+    b, _, t, _ = q.shape
+    s = k.shape[-2]
+    mask = spec.dense_mask(b, t, s)
+    return attend_xla(q, k, v, mask=mask[:, None], scale=scale)
 
 
 def attend_xla(q: jax.Array, k: jax.Array, v: jax.Array, *,

@@ -29,10 +29,10 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _kernel(valid_from_ref, valid_to_ref, q_ref, k_ref, v_ref, o_ref,
-            m_scratch, l_scratch, acc_scratch, *, block_q: int, block_k: int,
-            sm_scale: float, causal: bool, window_block: int, s_len: int,
-            q_offset: int):
+def _kernel(valid_from_ref, valid_to_ref, q_offset_ref, q_ref, k_ref, v_ref,
+            o_ref, m_scratch, l_scratch, acc_scratch, *, block_q: int,
+            block_k: int, sm_scale: float, causal: bool, window_block: int,
+            s_len: int):
     """Grid: (B, n_kv, T_pad//block_q, S_pad//block_k).
 
     q_ref: [1, 1, G, block_q, D] — G query heads of this KV head's group.
@@ -61,7 +61,7 @@ def _kernel(valid_from_ref, valid_to_ref, q_ref, k_ref, v_ref, o_ref,
 
     # ---- structured mask ------------------------------------------------------
     rows_local = jax.lax.broadcasted_iota(jnp.int32, (g * block_q, block_k), 0)
-    rows = rows_local % block_q + qi * block_q + q_offset      # global q pos
+    rows = rows_local % block_q + qi * block_q + q_offset_ref[b]  # global q pos
     cols = (jax.lax.broadcasted_iota(jnp.int32, (g * block_q, block_k), 1)
             + ki * block_k)                                    # global k pos
     mask = cols < s_len
@@ -102,7 +102,7 @@ def _kernel(valid_from_ref, valid_to_ref, q_ref, k_ref, v_ref, o_ref,
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     causal: bool = False,
-                    q_offset: int = 0,
+                    q_offset=0,
                     kv_valid_from: Optional[jax.Array] = None,
                     kv_valid_to: Optional[jax.Array] = None,
                     window_block: int = 0,
@@ -113,7 +113,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 
     Masking (all optional, composable):
       causal         — global col ≤ global row (row = local + q_offset)
-      q_offset       — global position of q row 0 (decode steps / prefix cache)
+      q_offset       — global position of q row 0: int, scalar, or [B]
+                       (traced values fine — decode steps inside while_loop)
       kv_valid_from  — [B] first attendable key (left-padded prompts)
       kv_valid_to    — [B] one-past-last attendable key (right padding)
       window_block   — block-diagonal attention of this width (encoder)
@@ -143,18 +144,18 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         kv_valid_from = jnp.zeros((b,), jnp.int32)
     if kv_valid_to is None:
         kv_valid_to = jnp.full((b,), s_len, jnp.int32)
+    q_offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (b,))
 
     grid = (b, nkv, t_pad // block_q, s_pad // block_k)
 
     kernel = functools.partial(
         _kernel, block_q=block_q, block_k=block_k, sm_scale=float(sm_scale),
-        causal=causal, window_block=int(window_block), s_len=s_len,
-        q_offset=int(q_offset))
+        causal=causal, window_block=int(window_block), s_len=s_len)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, g, block_q, d),
@@ -178,7 +179,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                                  "arbitrary")),
         interpret=interpret,
     )(kv_valid_from.astype(jnp.int32), kv_valid_to.astype(jnp.int32),
-      qg, k, v)
+      q_offset, qg, k, v)
 
     out = out.reshape(b, nq, t_pad, d)
     return out[:, :, :t]

@@ -28,7 +28,7 @@ from ..models.decoder import (
     init_kv_cache,
     lm_logits,
 )
-from ..ops.attention import make_causal_mask
+from ..ops.attention import AttnSpec
 
 
 class GenerateResult(NamedTuple):
@@ -59,14 +59,12 @@ def greedy_generate(params, cfg: DecoderConfig, inputs_embeds: jax.Array,
     b, prompt_len, _ = inputs_embeds.shape
     total = prompt_len + max_new
     cache = init_kv_cache(cfg, b, total, dtype=cache_dtype)
-    key_ok = jnp.arange(total)[None, :] >= valid_from[:, None]   # [B, S]
 
     # ---- prefill -------------------------------------------------------------
     positions = jnp.broadcast_to(jnp.arange(prompt_len), (b, prompt_len))
-    mask = jnp.broadcast_to(make_causal_mask(prompt_len, total),
-                            (b, prompt_len, total)) & key_ok[:, None, :]
+    prefill_spec = AttnSpec(causal=True, q_offset=0, valid_from=valid_from)
     hidden, cache = decoder_forward(params, cfg, inputs_embeds, positions,
-                                    cache, jnp.int32(0), mask)
+                                    cache, jnp.int32(0), prefill_spec)
     first = jnp.argmax(lm_logits(params, cfg, hidden[:, -1]),
                        axis=-1).astype(jnp.int32)
 
@@ -81,10 +79,11 @@ def greedy_generate(params, cfg: DecoderConfig, inputs_embeds: jax.Array,
         pos = prompt_len + c.i
         hidden = embed_tokens(params, cfg, c.last[:, None])
         positions = jnp.full((b, 1), pos, jnp.int32)
-        mask = jnp.broadcast_to((jnp.arange(total) <= pos)[None, None, :],
-                                (b, 1, total)) & key_ok[:, None, :]
+        # Single-row decode: attendable keys are [valid_from, pos].
+        spec = AttnSpec(valid_from=valid_from,
+                        valid_to=jnp.full((b,), pos + 1, jnp.int32))
         hidden, cache = decoder_forward(params, cfg, hidden, positions,
-                                        c.cache, pos.astype(jnp.int32), mask)
+                                        c.cache, pos.astype(jnp.int32), spec)
         nxt = jnp.argmax(lm_logits(params, cfg, hidden[:, -1]),
                          axis=-1).astype(jnp.int32)
         nxt = jnp.where(c.done, pad_id, nxt)

@@ -17,7 +17,7 @@ import optax
 from ..models.config import AsrConfig
 from ..models.decoder import decoder_forward, embed_tokens, init_kv_cache, lm_logits
 from ..models.encoder import encoder_forward
-from ..ops.attention import make_causal_mask
+from ..ops.attention import AttnSpec
 
 
 class TrainState(NamedTuple):
@@ -44,9 +44,8 @@ def asr_loss(params: dict, cfg: AsrConfig, mel: jax.Array,
     b, t, _ = inputs.shape
     positions = jnp.broadcast_to(jnp.arange(t), (b, t))
     cache = init_kv_cache(dec, b, t, dtype=inputs.dtype)
-    mask = jnp.broadcast_to(make_causal_mask(t, t), (b, t, t))
     hidden, _ = decoder_forward(params["decoder"], dec, inputs, positions,
-                                cache, jnp.int32(0), mask)
+                                cache, jnp.int32(0), AttnSpec(causal=True))
 
     # Predict target token i from position (prefix+audio+i-1).
     tgt_start = t - target_ids.shape[1]

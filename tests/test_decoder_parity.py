@@ -19,7 +19,7 @@ from qwen3_asr_tpu.models.decoder import (
     init_kv_cache,
     lm_logits,
 )
-from qwen3_asr_tpu.ops.attention import make_causal_mask
+from qwen3_asr_tpu.ops.attention import AttnSpec
 from qwen3_asr_tpu.runtime.checkpoint import convert_decoder_state_dict
 
 CFG = DecoderConfig(
@@ -64,10 +64,9 @@ def _jax_logits(params, ids: np.ndarray) -> np.ndarray:
     b, t = ids.shape
     cache = init_kv_cache(CFG, b, t, dtype=jnp.float32)
     positions = jnp.broadcast_to(jnp.arange(t), (b, t))
-    mask = jnp.broadcast_to(make_causal_mask(t, t), (b, t, t))
     hidden = embed_tokens(params, CFG, jnp.asarray(ids))
     hidden, _ = decoder_forward(params, CFG, hidden, positions, cache,
-                                jnp.int32(0), mask)
+                                jnp.int32(0), AttnSpec(causal=True))
     return np.asarray(lm_logits(params, CFG, hidden))
 
 
@@ -98,10 +97,9 @@ def test_greedy_continuation_matches_hf(hf_model, jax_params):
     cache = init_kv_cache(CFG, 1, max_len, dtype=jnp.float32)
     t = prompt.shape[1]
     positions = jnp.arange(t)[None, :]
-    mask = make_causal_mask(t, max_len)[None]  # [1,T,S]
     hidden = embed_tokens(jax_params, CFG, jnp.asarray(prompt))
     hidden, cache = decoder_forward(jax_params, CFG, hidden, positions, cache,
-                                    jnp.int32(0), mask)
+                                    jnp.int32(0), AttnSpec(causal=True))
     last = jnp.argmax(lm_logits(jax_params, CFG, hidden[:, -1]), axis=-1)
 
     out_tokens = [int(last[0])]
@@ -109,10 +107,10 @@ def test_greedy_continuation_matches_hf(hf_model, jax_params):
         pos = t + step - 1
         ids = last[:, None]
         positions = jnp.array([[pos]])
-        mask = (jnp.arange(max_len) <= pos)[None, None, :]
+        spec = AttnSpec(valid_to=jnp.array([pos + 1], jnp.int32))
         hidden = embed_tokens(jax_params, CFG, ids)
         hidden, cache = decoder_forward(jax_params, CFG, hidden, positions,
-                                        cache, jnp.int32(pos), mask)
+                                        cache, jnp.int32(pos), spec)
         last = jnp.argmax(lm_logits(jax_params, CFG, hidden[:, -1]), axis=-1)
         out_tokens.append(int(last[0]))
 
@@ -127,19 +125,18 @@ def test_prefill_cache_equals_decode_cache(jax_params):
 
     cache_a = init_kv_cache(CFG, 1, t, dtype=jnp.float32)
     positions = jnp.arange(t)[None, :]
-    mask = make_causal_mask(t, t)[None]
     hidden = embed_tokens(jax_params, CFG, jnp.asarray(ids))
     out_a, cache_a = decoder_forward(jax_params, CFG, hidden, positions,
-                                     cache_a, jnp.int32(0), mask)
+                                     cache_a, jnp.int32(0), AttnSpec(causal=True))
 
     cache_b = init_kv_cache(CFG, 1, t, dtype=jnp.float32)
     outs = []
     for i in range(t):
         positions = jnp.array([[i]])
-        mask = (jnp.arange(t) <= i)[None, None, :]
+        spec = AttnSpec(valid_to=jnp.array([i + 1], jnp.int32))
         hidden = embed_tokens(jax_params, CFG, jnp.asarray(ids[:, i:i + 1]))
         out_b, cache_b = decoder_forward(jax_params, CFG, hidden, positions,
-                                         cache_b, jnp.int32(i), mask)
+                                         cache_b, jnp.int32(i), spec)
         outs.append(out_b)
     out_b = jnp.concatenate(outs, axis=1)
 
