@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import AttnSpec, attend_spec
+from ..ops.quant import qdot
 from .config import DecoderConfig
 
 
@@ -120,9 +121,9 @@ def _layer(cfg: DecoderConfig, hidden: jax.Array, lp: dict,
     nq, nkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     x = rms_norm(hidden, lp["ln1"], cfg.rms_norm_eps)
-    q = (x @ lp["wq"]).reshape(b, t, nq, d).transpose(0, 2, 1, 3)
-    k = (x @ lp["wk"]).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
-    v = (x @ lp["wv"]).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
+    q = qdot(x, lp["wq"]).reshape(b, t, nq, d).transpose(0, 2, 1, 3)
+    k = qdot(x, lp["wk"]).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
+    v = qdot(x, lp["wv"]).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
 
     # Qwen3 QK-norm: RMSNorm over head_dim before RoPE.
     q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
@@ -139,11 +140,11 @@ def _layer(cfg: DecoderConfig, hidden: jax.Array, lp: dict,
     attn = attend_spec(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
                        attn_spec, scale=d ** -0.5)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nq * d)
-    hidden = hidden + attn @ lp["wo"]
+    hidden = hidden + qdot(attn, lp["wo"])
 
     x = rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
-    gated = jax.nn.silu(x @ lp["w_gate"]) * (x @ lp["w_up"])
-    hidden = hidden + gated @ lp["w_down"]
+    gated = jax.nn.silu(qdot(x, lp["w_gate"])) * qdot(x, lp["w_up"])
+    hidden = hidden + qdot(gated, lp["w_down"])
     return hidden, k_cache, v_cache
 
 

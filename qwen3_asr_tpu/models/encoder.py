@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import AttnSpec, attend_spec
+from ..ops.quant import qdot
 from .config import AudioEncoderConfig
 
 
@@ -138,16 +139,16 @@ def _encoder_layer(cfg: AudioEncoderConfig, hidden: jax.Array, lp: dict,
     nh, hd = cfg.encoder_attention_heads, cfg.head_dim
 
     x = layer_norm(hidden, lp["ln1_w"], lp["ln1_b"])
-    q = (x @ lp["wq"] + lp["bq"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
-    k = (x @ lp["wk"] + lp["bk"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
-    v = (x @ lp["wv"] + lp["bv"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    q = (qdot(x, lp["wq"]) + lp["bq"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    k = (qdot(x, lp["wk"]) + lp["bk"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    v = (qdot(x, lp["wv"]) + lp["bv"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
     attn = attend_spec(q, k, v, attn_spec, scale=hd ** -0.5)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, d)
-    hidden = hidden + attn @ lp["wo"] + lp["bo"]
+    hidden = hidden + qdot(attn, lp["wo"]) + lp["bo"]
 
     x = layer_norm(hidden, lp["ln2_w"], lp["ln2_b"])
-    x = jax.nn.gelu(x @ lp["fc1_w"] + lp["fc1_b"], approximate=False)
-    hidden = hidden + (x @ lp["fc2_w"] + lp["fc2_b"])
+    x = jax.nn.gelu(qdot(x, lp["fc1_w"]) + lp["fc1_b"], approximate=False)
+    hidden = hidden + (qdot(x, lp["fc2_w"]) + lp["fc2_b"])
     return hidden
 
 

@@ -74,6 +74,18 @@ def _load_engine_sync(model_id: str, fast: bool = False):
             "(config.json + *.safetensors + tokenizer.json) and point "
             "MODEL_ID at it, or use 'preset:<name>' for synthetic weights.")
 
+    # Native quantization (replaces bitsandbytes/torchao,
+    # reference src/server.py:311-318, 358-390). Same QUANTIZE env contract.
+    quantize_mode = os.getenv("QUANTIZE", "").lower()
+    if quantize_mode in ("int8", "fp8"):
+        from ..ops.quant import param_bytes, quantize_params
+        before = param_bytes(model.params) / 1024 ** 2
+        model.params = quantize_params(model.params, quantize_mode)
+        after = param_bytes(model.params) / 1024 ** 2
+        log.info("{} quantization applied — {}MB → {}MB (saved {}MB)",
+                 quantize_mode.upper(), round(before), round(after),
+                 round(before - after))
+
     return TranscriptionEngine(model, dtype=dtype)
 
 
