@@ -1,0 +1,141 @@
+"""ctypes bindings to the native C++ audio DSP library.
+
+Builds qwen3_asr_tpu/native/audio_dsp.cpp on first use (cached .so under
+~/.cache) and falls back to the numpy implementations transparently if no
+compiler is available. The numpy paths remain the reference implementations;
+tests assert numerical agreement.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+from ..utils.logging import log
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                           "native")
+_SRC = os.path.join(_NATIVE_DIR, "audio_dsp.cpp")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build_lib() -> Optional[str]:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.path.join(os.path.expanduser("~/.cache/qwen3_asr_tpu"))
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, f"libaudiodsp-{digest}.so")
+    if os.path.exists(so_path):
+        return so_path
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-o", so_path + ".tmp", _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(so_path + ".tmp", so_path)
+        return so_path
+    except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
+        log.warning("native audio DSP build failed ({}); using numpy paths", e)
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.getenv("ASR_DISABLE_NATIVE", "").lower() == "true":
+        return None
+    so_path = _build_lib()
+    if so_path is None:
+        return None
+    lib = ctypes.CDLL(so_path)
+    i64, i32 = ctypes.c_int64, ctypes.c_int
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    lib.pcm16_to_f32.argtypes = [i16p, i64, f32p]
+    lib.f32_to_pcm16.argtypes = [f32p, i64, i16p]
+    lib.interleaved_to_mono.argtypes = [f32p, i64, i32, f32p]
+    lib.fir_same.argtypes = [f32p, i64, f32p, i32, f32p]
+    lib.resample_poly.argtypes = [f32p, i64, i32, i32, f32p, i32, f32p, i64]
+    lib.frame_rms.argtypes = [f32p, i64, i32, i32, f32p, i64]
+    _lib = lib
+    log.info("native audio DSP loaded: {}", so_path)
+    return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+# --- typed wrappers (numpy in/out, fallback to pure numpy) --------------------
+
+def pcm16_to_f32(pcm: bytes | np.ndarray) -> np.ndarray:
+    x = np.frombuffer(pcm, dtype=np.int16) if isinstance(pcm, (bytes, bytearray)) \
+        else np.ascontiguousarray(pcm, dtype=np.int16)
+    lib = get_lib()
+    if lib is None:
+        return x.astype(np.float32) / 32768.0
+    out = np.empty(len(x), np.float32)
+    lib.pcm16_to_f32(x, len(x), out)
+    return out
+
+
+def f32_to_pcm16(audio: np.ndarray) -> bytes:
+    x = np.ascontiguousarray(audio, dtype=np.float32)
+    lib = get_lib()
+    if lib is None:
+        return np.clip(x * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    out = np.empty(len(x), np.int16)
+    lib.f32_to_pcm16(x, len(x), out)
+    return out.tobytes()
+
+
+def fir_same(x: np.ndarray, h: np.ndarray) -> np.ndarray:
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    h = np.ascontiguousarray(h, dtype=np.float32)
+    lib = get_lib()
+    if lib is None:
+        pad = (len(h) - 1) // 2
+        return np.convolve(np.pad(x, (pad, pad)), h, mode="valid").astype(
+            np.float32)
+    out = np.empty(len(x), np.float32)
+    lib.fir_same(x, len(x), h, len(h), out)
+    return out
+
+
+def resample_poly(x: np.ndarray, up: int, down: int,
+                  h: np.ndarray) -> np.ndarray:
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    h = np.ascontiguousarray(h, dtype=np.float32)
+    n_out = int(np.ceil(len(x) * up / down))
+    lib = get_lib()
+    if lib is None:
+        up_x = np.zeros(len(x) * up, np.float32)
+        up_x[::up] = x
+        pad = (len(h) - 1) // 2
+        filtered = np.convolve(np.pad(up_x, (pad, pad)), h, mode="valid")
+        return filtered[::down][:n_out].astype(np.float32)
+    out = np.empty(n_out, np.float32)
+    lib.resample_poly(x, len(x), up, down, h, len(h), out, n_out)
+    return out
+
+
+def frame_rms(x: np.ndarray, frame: int = 400, hop: int = 160) -> np.ndarray:
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    n_frames = max(0, 1 + (len(x) - frame) // hop) if len(x) >= frame else 0
+    if n_frames == 0:
+        return np.zeros(0, np.float32)
+    lib = get_lib()
+    if lib is None:
+        idx = np.arange(n_frames)[:, None] * hop + np.arange(frame)[None, :]
+        return np.sqrt(np.mean(x[idx] ** 2, axis=1)).astype(np.float32)
+    out = np.empty(n_frames, np.float32)
+    lib.frame_rms(x, len(x), frame, hop, out, n_frames)
+    return out

@@ -57,9 +57,20 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
 
 
 def resample_pcm_bytes(pcm_bytes: bytes, orig_sr: int, target_sr: int = 16000) -> bytes:
-    """Resample raw PCM s16le bytes (reference src/server.py:32-42 contract)."""
+    """Resample raw PCM s16le bytes (reference src/server.py:32-42 contract).
+
+    Host hot path (per WS frame): uses the native C++ polyphase kernel when
+    available, avoiding a device round-trip per frame.
+    """
     if orig_sr == target_sr:
         return pcm_bytes
+    from . import native
+    g = gcd(orig_sr, target_sr)
+    up, down = target_sr // g, orig_sr // g
+    if native.native_available():
+        samples = np.frombuffer(pcm_bytes, dtype=np.int16).astype(np.float32)
+        out = native.resample_poly(samples, up, down, _kaiser_lowpass(up, down))
+        return np.clip(out, -32768, 32767).astype(np.int16).tobytes()
     samples = np.frombuffer(pcm_bytes, dtype=np.int16).astype(np.float32)
     out = resample(samples, orig_sr, target_sr)
     return np.clip(out, -32768, 32767).astype(np.int16).tobytes()

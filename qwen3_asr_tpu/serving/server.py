@@ -383,12 +383,11 @@ async def _transcribe_with_context(mgr: ModelManager, audio_bytes: bytes,
         if len(full_audio) == 0:
             return ""
 
-        audio = np.frombuffer(bytes(full_audio), dtype=np.int16)
-        audio = audio.astype(np.float32) / 32768.0
-        # Telephony bandpass (fused FIR; reference uses butterworth sosfilt)
-        from ..audio.frontend import Bandpass
-        bp = _get_bandpass()
-        audio = np.asarray(bp(audio))
+        # Host-side DSP on the native C++ path (no device round-trips in the
+        # 450 ms WS cadence): s16→f32 + telephony bandpass FIR.
+        from ..audio import native
+        audio = native.pcm16_to_f32(bytes(full_audio))
+        audio = native.fir_same(audio, _get_bandpass_kernel())
 
         if use_vad and not is_speech(audio):
             log.info("_transcribe_with_context | VAD: silence, skipping inference")
@@ -416,15 +415,15 @@ async def _transcribe_with_context(mgr: ModelManager, audio_bytes: bytes,
         return f"[error: {e}]"
 
 
-_bandpass = None
+_bandpass_kernel = None
 
 
-def _get_bandpass():
-    global _bandpass
-    if _bandpass is None:
-        from ..audio.frontend import Bandpass
-        _bandpass = Bandpass()
-    return _bandpass
+def _get_bandpass_kernel():
+    global _bandpass_kernel
+    if _bandpass_kernel is None:
+        from ..audio.frontend import fir_bandpass_kernel
+        _bandpass_kernel = fir_bandpass_kernel()  # 300-3400 Hz
+    return _bandpass_kernel
 
 
 async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
