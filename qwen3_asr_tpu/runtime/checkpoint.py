@@ -155,16 +155,58 @@ def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
     return sd
 
 
-def load_asr_checkpoint(path: str, dtype=jnp.bfloat16):
+def _cache_dir_for(path: str, dtype) -> str:
+    """Cache key: checkpoint dir content signature + target dtype."""
+    import hashlib
+    sig = hashlib.sha256()
+    for f in sorted(os.listdir(path)):
+        if f.endswith((".safetensors", ".json")):
+            st = os.stat(os.path.join(path, f))
+            sig.update(f"{f}:{st.st_size}:{int(st.st_mtime)}".encode())
+    sig.update(str(jnp.dtype(dtype)).encode())
+    root = os.environ.get("ASR_CONVERTED_CACHE",
+                          os.path.expanduser("~/.cache/qwen3_asr_tpu/converted"))
+    return os.path.join(root, sig.hexdigest()[:24])
+
+
+def load_asr_checkpoint(path: str, dtype=jnp.bfloat16, cache: bool = True):
     """Load a local HF-format Qwen3-ASR checkpoint directory.
 
     Returns (AsrConfig, {"encoder": ..., "decoder": ...}).
+
+    The converted stacked-layer pytree is memoized on disk (orbax) so
+    subsequent loads skip the per-tensor transpose/stack work — the
+    "checkpoint subsystem" of this framework (SURVEY.md §5: the reference's
+    equivalent is its HF weight-cache volume).
     """
     cfg_path = os.path.join(path, "config.json")
     with open(cfg_path) as f:
         cfg = AsrConfig.from_dict(json.load(f))
+
+    cache_path = _cache_dir_for(path, dtype) if cache else None
+    if cache_path and os.path.isdir(cache_path):
+        try:
+            import orbax.checkpoint as ocp
+            with ocp.PyTreeCheckpointer() as ckptr:
+                params = ckptr.restore(cache_path)
+            log.info("Checkpoint restored from converted cache {}", cache_path)
+            return cfg, params
+        except Exception as e:
+            log.warning("converted-cache restore failed ({}); reconverting", e)
+
     sd = load_safetensors_dir(path)
     dec = convert_decoder_state_dict(sd, cfg.decoder, dtype)
     enc = convert_encoder_state_dict(sd, cfg.encoder, dtype)
+    params = {"encoder": enc, "decoder": dec}
     log.info("Checkpoint loaded from {} ({} tensors)", path, len(sd))
-    return cfg, {"encoder": enc, "decoder": dec}
+
+    if cache_path:
+        try:
+            import orbax.checkpoint as ocp
+            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+            with ocp.PyTreeCheckpointer() as ckptr:
+                ckptr.save(cache_path, params)
+            log.info("Converted checkpoint cached at {}", cache_path)
+        except Exception as e:
+            log.warning("converted-cache save failed: {}", e)
+    return cfg, params

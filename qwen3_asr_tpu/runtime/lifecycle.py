@@ -174,8 +174,9 @@ class ModelManager:
             self._last_used = time.time()
 
     async def _idle_watchdog(self):
+        interval = float(os.getenv("ASR_WATCHDOG_INTERVAL", "30"))
         while True:
-            await asyncio.sleep(30)
+            await asyncio.sleep(interval)
             if self.idle_timeout <= 0 or self.engine is None:
                 continue
             if time.time() - self._last_used > self.idle_timeout:

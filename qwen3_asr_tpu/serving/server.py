@@ -598,6 +598,31 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
     return ws
 
 
+# ── profiling (additive observability; SURVEY.md §5 tracing) ─────────────────
+
+async def debug_trace(request: web.Request) -> web.Response:
+    """Capture a jax.profiler trace for N seconds (TensorBoard/Perfetto
+    format). Additive to the request-ID tracing — the reference has no
+    profiler integration."""
+    try:
+        seconds = min(float(request.query.get("seconds", "3")), 60.0)
+    except ValueError:
+        return error_response("INVALID_JSON", "seconds must be a number", 400)
+    trace_dir = os.getenv("ASR_TRACE_DIR", "/tmp/qwen3_asr_traces")
+    os.makedirs(trace_dir, exist_ok=True)
+    import jax
+    try:
+        jax.profiler.start_trace(trace_dir)
+        await asyncio.sleep(seconds)
+    finally:
+        try:
+            jax.profiler.stop_trace()
+        except Exception as e:
+            return error_response("WORKER_ERROR", f"trace failed: {e}", 500)
+    log.info("Profiler trace captured | dir={} seconds={}", trace_dir, seconds)
+    return web.json_response({"trace_dir": trace_dir, "seconds": seconds})
+
+
 # ── app assembly ──────────────────────────────────────────────────────────────
 
 def route_metadata() -> list:
@@ -672,6 +697,7 @@ def build_app(manager: ModelManager | None = None) -> web.Application:
     app.router.add_post("/v1/audio/subtitles", generate_subtitles)
     app.router.add_post("/v1/audio/transcriptions/stream", transcribe_stream)
     app.router.add_get("/ws/transcribe", websocket_transcribe)
+    app.router.add_post("/debug/trace", debug_trace)
 
     openapi = build_openapi(API_TITLE, API_VERSION, API_DESCRIPTION,
                             API_TAGS, route_metadata())

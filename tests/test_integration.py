@@ -1,0 +1,183 @@
+"""Integration tests: scheduler preemption, lifecycle, recovery
+(coverage model: reference E2Etest/test_integration.py)."""
+import asyncio
+import os
+import time
+
+import pytest
+
+from qwen3_asr_tpu.runtime.queue import PriorityInferQueue
+
+
+def _run(coro):
+    loop = asyncio.new_event_loop()
+    try:
+        return loop.run_until_complete(coro)
+    finally:
+        loop.close()
+
+
+def test_priority_preemption():
+    """WS jobs (priority 0) run before queued HTTP jobs (priority 1)."""
+    async def go():
+        q = PriorityInferQueue()
+        q.start()
+        order = []
+
+        def job(name, dur=0.05):
+            def fn():
+                time.sleep(dur)
+                order.append(name)
+                return name
+            return fn
+
+        # First job occupies the worker; the rest queue up and must pop
+        # in priority order.
+        tasks = [asyncio.create_task(q.submit(job("first"), priority=1))]
+        await asyncio.sleep(0.01)
+        tasks.append(asyncio.create_task(q.submit(job("http-1"), priority=1)))
+        tasks.append(asyncio.create_task(q.submit(job("http-2"), priority=1)))
+        await asyncio.sleep(0.001)
+        tasks.append(asyncio.create_task(q.submit(job("ws-1"), priority=0)))
+        await asyncio.gather(*tasks)
+        q.stop()
+        assert order[0] == "first"
+        assert order.index("ws-1") < order.index("http-1")
+        assert order.index("ws-1") < order.index("http-2")
+    _run(go())
+
+
+def test_queue_fifo_within_priority():
+    async def go():
+        q = PriorityInferQueue()
+        q.start()
+        order = []
+
+        def mk(n):
+            return lambda: order.append(n)
+
+        first = asyncio.create_task(q.submit(lambda: time.sleep(0.05),
+                                             priority=1))
+        await asyncio.sleep(0.01)
+        tasks = [asyncio.create_task(q.submit(mk(i), priority=1))
+                 for i in range(5)]
+        await asyncio.gather(first, *tasks)
+        q.stop()
+        assert order == list(range(5))
+    _run(go())
+
+
+def test_queue_exception_propagates():
+    async def go():
+        q = PriorityInferQueue()
+        q.start()
+
+        def boom():
+            raise RuntimeError("device error")
+
+        with pytest.raises(RuntimeError, match="device error"):
+            await q.submit(boom)
+        # queue still alive after the failure
+        assert await q.submit(lambda: 42) == 42
+        q.stop()
+    _run(go())
+
+
+@pytest.mark.slow
+def test_idle_unload_and_reload(tmp_path, monkeypatch):
+    """Model unloads after IDLE_TIMEOUT and reloads on next request
+    (reference E2Etest/test_integration.py idle/reload suite)."""
+    from tests.fixtures import write_tiny_checkpoint
+    from tests.util_audio import speech_like
+    from qwen3_asr_tpu.runtime.lifecycle import ModelManager
+
+    ckpt = str(tmp_path / "ckpt")
+    write_tiny_checkpoint(ckpt)
+    monkeypatch.setenv("MODEL_ID", ckpt)
+    monkeypatch.setenv("SKIP_WARMUP", "true")
+    monkeypatch.setenv("ASR_WATCHDOG_INTERVAL", "0.2")
+
+    async def go():
+        mgr = ModelManager()
+        mgr.idle_timeout = 1
+        mgr.start()
+        await mgr.ensure_loaded()
+        assert mgr.engine is not None
+        assert mgr.health_info()["model_loaded"] is True
+
+        # run one transcription
+        clip = speech_like(0.3, seed=0)
+        results = await mgr.queue.submit(
+            lambda: mgr.transcribe_sync(clip, 16000, "en", False))
+        assert isinstance(results, list)
+
+        # wait for idle unload
+        for _ in range(40):
+            await asyncio.sleep(0.25)
+            if mgr.engine is None:
+                break
+        assert mgr.engine is None, "model did not unload after idle timeout"
+        assert mgr.health_info()["model_loaded"] is False
+
+        # next request reloads
+        await mgr.ensure_loaded()
+        assert mgr.engine is not None
+        results = await mgr.queue.submit(
+            lambda: mgr.transcribe_sync(clip, 16000, "en", False))
+        assert isinstance(results, list)
+        mgr.stop()
+    _run(go())
+
+
+def test_speculative_uses_draft(tmp_path, monkeypatch):
+    """USE_SPECULATIVE accepts short clean draft output (result-level accept,
+    reference src/server.py:823-846)."""
+    from qwen3_asr_tpu.runtime.lifecycle import ModelManager
+    from qwen3_asr_tpu.runtime.engine import TranscriptionResult
+
+    class FakeEngine:
+        def __init__(self, text):
+            self.text = text
+            self.calls = 0
+
+        def transcribe(self, *a, **k):
+            self.calls += 1
+            return [TranscriptionResult(text=self.text, language="en")]
+
+    monkeypatch.setenv("USE_SPECULATIVE", "true")
+    mgr = ModelManager()
+    mgr.engine = FakeEngine("full model output")
+    mgr.fast_engine = FakeEngine("short draft")
+
+    out = mgr.transcribe_sync(None, 16000, "en", False)
+    assert out[0].text == "short draft"
+    assert mgr.engine.calls == 0           # verifier skipped
+
+    # long/artifact-laden draft falls through to the verifier
+    mgr.fast_engine = FakeEngine("x" * 150)
+    out = mgr.transcribe_sync(None, 16000, "en", False)
+    assert out[0].text == "full model output"
+    assert mgr.engine.calls == 1
+
+
+def test_dual_model_fast_for_partials(monkeypatch):
+    """use_fast routes to the fast engine when loaded (DUAL_MODEL parity)."""
+    from qwen3_asr_tpu.runtime.lifecycle import ModelManager
+    from qwen3_asr_tpu.runtime.engine import TranscriptionResult
+
+    monkeypatch.delenv("USE_SPECULATIVE", raising=False)
+
+    class FakeEngine:
+        def __init__(self, tag):
+            self.tag = tag
+
+        def transcribe(self, *a, **k):
+            return [TranscriptionResult(text=self.tag, language="en")]
+
+    mgr = ModelManager()
+    mgr.engine = FakeEngine("full")
+    mgr.fast_engine = FakeEngine("fast")
+    assert mgr.transcribe_sync(None, 16000, "en", False,
+                               use_fast=True)[0].text == "fast"
+    assert mgr.transcribe_sync(None, 16000, "en", False,
+                               use_fast=False)[0].text == "full"
