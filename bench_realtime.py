@@ -1,0 +1,185 @@
+"""Real-time WebSocket benchmark: wall-clock-paced 450 ms chunk streaming.
+
+The measurement harness behind the p50-partial-latency target (≤300 ms vs
+the reference's ~21,000 ms under pacing — BASELINE.md): a paced client
+streams PCM at real-time rate and records, per chunk, the delay between
+sending it and receiving the partial that covers it; plus flush latency and
+the realtime factor. Mirrors the reference's
+E2Etest/test_realtime_accuracy.py:57-144 methodology.
+
+Usage:
+    python bench_realtime.py --url ws://localhost:8000/ws/transcribe
+    python bench_realtime.py --inproc          # self-contained (tiny model)
+"""
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _speech_like(duration_s: float, sr: int = 16000, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    n = int(sr * duration_s)
+    t = np.linspace(0, duration_s, n, endpoint=False)
+    sig = 0.05 * rng.standard_normal(n)
+    for f in (150, 300, 600, 1200):
+        sig = sig + 0.1 * np.sin(2 * np.pi * f * t) * (
+            0.5 + 0.5 * np.sin(2 * np.pi * 5 * t))
+    sig = sig * (0.3 + 0.7 * np.abs(np.sin(2 * np.pi * 4 * t)))
+    return (sig / np.abs(sig).max() * 0.9).astype(np.float32)
+
+
+async def run_benchmark(ws_connect, duration_s: float = 10.0,
+                        chunk_ms: float = 450.0, language: str = "en",
+                        pace: bool = True) -> dict:
+    """ws_connect: coroutine factory returning a connected aiohttp WS."""
+    sr = 16000
+    audio = _speech_like(duration_s)
+    pcm = np.clip(audio * 32767, -32768, 32767).astype("<i2").tobytes()
+    chunk_bytes = int(sr * 2 * chunk_ms / 1000)
+
+    chunk_latencies = []
+    partials = []
+    final_holder: dict = {}
+    final_event = asyncio.Event()
+    ws = await ws_connect()
+    await ws.receive_json()  # handshake
+    await ws.send_json({"action": "config", "language": language,
+                        "use_server_vad": False})
+    await ws.receive_json()
+
+    async def recv_loop():
+        """Single receiver: records partials, resolves the final."""
+        try:
+            while True:
+                msg = await ws.receive_json()
+                now = time.time()
+                if msg.get("is_partial"):
+                    partials.append((now, msg))
+                elif msg.get("is_final"):
+                    partials.append((now, msg))
+                    final_holder["msg"] = msg
+                    final_holder["time"] = now
+                    final_event.set()
+        except Exception:
+            final_event.set()
+
+    recv_task = asyncio.create_task(recv_loop())
+
+    t_start = time.time()
+    sent_times = []
+    for i in range(0, len(pcm), chunk_bytes):
+        target = t_start + (i / len(pcm)) * duration_s
+        if pace:
+            delay = target - time.time()
+            if delay > 0:
+                await asyncio.sleep(delay)
+        sent_times.append(time.time())
+        await ws.send_bytes(pcm[i:i + chunk_bytes])
+
+    # flush + measure
+    await asyncio.sleep(0.1)
+    t_flush = time.time()
+    await ws.send_json({"action": "flush"})
+    try:
+        await asyncio.wait_for(final_event.wait(), timeout=120)
+    except asyncio.TimeoutError:
+        pass
+    flush_latency = (final_holder["time"] - t_flush
+                     if "time" in final_holder else None)
+    final_text = final_holder.get("msg", {}).get("text", "")
+    recv_task.cancel()
+    try:
+        await recv_task
+    except (asyncio.CancelledError, Exception):
+        pass
+    await ws.close()
+    wall = time.time() - t_start
+
+    # Chunk latency: each partial credited to the most recent send.
+    for recv_time, _ in partials:
+        prior = [s for s in sent_times if s <= recv_time]
+        if prior:
+            chunk_latencies.append((recv_time - prior[-1]) * 1000)
+
+    lat = sorted(chunk_latencies)
+    def pct(p):
+        return round(lat[min(len(lat) - 1, int(p * len(lat)))], 1) if lat else None
+
+    return {
+        "audio_s": duration_s,
+        "chunk_ms": chunk_ms,
+        "partials": len(partials),
+        "chunk_latency_ms_p50": pct(0.50),
+        "chunk_latency_ms_p95": pct(0.95),
+        "flush_latency_ms": round(flush_latency * 1000, 1)
+        if flush_latency else None,
+        # Paced run: how far processing fell behind the real-time feed
+        # (0.0 = kept up perfectly; reference fell ~21 s behind).
+        "pacing_overrun_rtf": round(
+            max(0.0, (wall - duration_s if pace else wall) / duration_s), 3),
+        "wall_s": round(wall, 2),
+        "final_text_len": len(final_text),
+    }
+
+
+async def _inproc_client():
+    """Self-contained run against an in-process server with a tiny model."""
+    import tempfile
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from aiohttp.test_utils import TestClient, TestServer
+    from fixtures import write_tiny_checkpoint
+
+    ckpt = tempfile.mkdtemp() + "/ckpt"
+    write_tiny_checkpoint(ckpt)
+    os.environ["MODEL_ID"] = ckpt
+    # Measure warm executables, as production would: sweep all buckets.
+    os.environ.pop("SKIP_WARMUP", None)
+    os.environ["USE_CUDA_GRAPHS"] = "true"
+    from qwen3_asr_tpu.serving.server import build_app
+    client = TestClient(TestServer(build_app()))
+    await client.start_server()
+    # trigger model load + warmup before timing
+    resp = await client.get("/health")
+    await resp.json()
+    from qwen3_asr_tpu.serving.server import get_manager
+    await client.app["manager"].ensure_loaded()
+    return client, lambda: client.ws_connect("/ws/transcribe")
+
+
+async def amain(args):
+    if args.inproc:
+        client, connect = await _inproc_client()
+    else:
+        import aiohttp
+        session = aiohttp.ClientSession()
+        connect = lambda: session.ws_connect(args.url)  # noqa: E731
+    result = await run_benchmark(connect, duration_s=args.duration,
+                                 language=args.language, pace=not args.no_pace)
+    print(json.dumps(result))
+    os.makedirs("reports", exist_ok=True)
+    with open("reports/realtime_latest.json", "w") as f:
+        json.dump(result, f, indent=1)
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--url", default="ws://localhost:8000/ws/transcribe")
+    parser.add_argument("--inproc", action="store_true")
+    parser.add_argument("--duration", type=float, default=10.0)
+    parser.add_argument("--language", default="en")
+    parser.add_argument("--no-pace", action="store_true")
+    args = parser.parse_args()
+    from qwen3_asr_tpu.utils.platform import honor_platform_env
+    honor_platform_env()
+    asyncio.run(amain(args))
+
+
+if __name__ == "__main__":
+    main()
