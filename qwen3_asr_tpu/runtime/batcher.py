@@ -1,0 +1,116 @@
+"""Micro-batching collector: groups same-bucket requests into one dispatch.
+
+Net-new capability vs the reference (strictly one request per GPU pass):
+concurrent HTTP transcriptions that land in the same length bucket within a
+short window execute as ONE batched device call — the engine's fused
+executable is batch-shaped, and batch rows ride the DP mesh axis when
+sharded. This is what makes "batched HTTP transcription" (BASELINE config 2)
+scale on TPU.
+
+WS partials (priority 0) bypass batching: latency beats throughput there.
+"""
+from __future__ import annotations
+
+import asyncio
+import os
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.logging import log
+
+
+class _Pending:
+    __slots__ = ("audio", "language", "future", "submit_time")
+
+    def __init__(self, audio, language, future):
+        self.audio = audio
+        self.language = language
+        self.future = future
+        self.submit_time = time.time()
+
+
+class MicroBatcher:
+    """Collects same-(bucket, language) transcriptions for a few ms, then
+    submits one batched job to the priority queue."""
+
+    def __init__(self, manager, window_ms: Optional[float] = None,
+                 max_batch: Optional[int] = None):
+        self.manager = manager
+        self.window_s = (window_ms if window_ms is not None else
+                         float(os.getenv("ASR_BATCH_WINDOW_MS", "20"))) / 1000
+        self.max_batch = max_batch or int(os.getenv("ASR_MAX_BATCH", "8"))
+        self._groups: dict = {}
+        self._lock = asyncio.Lock()
+
+    async def transcribe(self, audio: np.ndarray, sr: int,
+                         language: Optional[str], return_timestamps: bool):
+        """Batched when possible; falls back to a solo job for requests that
+        can't batch (timestamps, resampling, long audio)."""
+        from ..runtime.engine import MAX_SEGMENT_S, TARGET_SR
+        mgr = self.manager
+        if (return_timestamps or sr != TARGET_SR
+                or audio.ndim > 1
+                or len(audio) > MAX_SEGMENT_S * TARGET_SR
+                or self.max_batch <= 1):
+            return await mgr.queue.submit(
+                lambda: mgr.transcribe_sync(audio, sr, language,
+                                            return_timestamps),
+                priority=1)
+
+        engine = mgr.engine
+        bucket = engine.bucket_frames(len(audio))
+        key = (bucket, language or "")
+
+        loop = asyncio.get_event_loop()
+        future = loop.create_future()
+        pending = _Pending(audio, language, future)
+
+        async with self._lock:
+            group = self._groups.get(key)
+            if group is None:
+                group = []
+                self._groups[key] = group
+                asyncio.create_task(self._flush_later(key))
+            group.append(pending)
+            if len(group) >= self.max_batch:
+                self._groups.pop(key, None)
+                await self._submit(key, group)
+        return await future
+
+    async def _flush_later(self, key):
+        await asyncio.sleep(self.window_s)
+        async with self._lock:
+            group = self._groups.pop(key, None)
+        if group:
+            await self._submit(key, group)
+
+    async def _submit(self, key, group: List[_Pending]):
+        (bucket_frames, bucket_s), language = key[0], key[1] or None
+        mgr = self.manager
+        if len(group) > 1:
+            log.debug("micro-batch: {} requests in bucket {}s", len(group),
+                      bucket_s)
+
+        def run():
+            from ..runtime.engine import TARGET_SR, TranscriptionResult
+            mgr._last_used = time.time()
+            texts = mgr.engine._run_bucket(
+                [p.audio for p in group], bucket_frames, bucket_s, language)
+            out = []
+            for p, text in zip(group, texts):
+                out.append([TranscriptionResult(
+                    text=text, language=(language or "auto"),
+                    start_time=0.0, end_time=len(p.audio) / TARGET_SR)])
+            return out
+
+        try:
+            results = await mgr.queue.submit(run, priority=1)
+            for p, res in zip(group, results):
+                if not p.future.done():
+                    p.future.set_result(res)
+        except Exception as e:
+            for p in group:
+                if not p.future.done():
+                    p.future.set_exception(e)

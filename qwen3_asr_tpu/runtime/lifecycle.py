@@ -97,6 +97,8 @@ class ModelManager:
         self.fast_engine = None
         self.loaded_model_id: Optional[str] = None
         self.queue = PriorityInferQueue()
+        from .batcher import MicroBatcher
+        self.batcher = MicroBatcher(self)
         self._lock = asyncio.Lock()
         self._last_used = 0.0
         self.idle_timeout = int(os.getenv("IDLE_TIMEOUT", "120"))

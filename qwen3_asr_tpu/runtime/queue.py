@@ -36,6 +36,13 @@ class PriorityInferQueue:
         self._worker_task: Optional[asyncio.Task] = None
 
     def start(self):
+        # Bind (or re-bind) the loop primitives to the CURRENT event loop —
+        # a queue may be restarted on a fresh loop (process managers, tests);
+        # asyncio.Event/Lock attach to the loop they are first awaited on.
+        self._lock = asyncio.Lock()
+        self._has_work = asyncio.Event()
+        if self._heap:
+            self._has_work.set()
         self._worker_task = asyncio.create_task(self._worker())
 
     def stop(self):

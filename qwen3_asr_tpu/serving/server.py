@@ -93,11 +93,10 @@ async def transcribe(request: web.Request) -> web.Response:
     lang_code = None if language == "auto" else language
 
     try:
+        # Micro-batched path: concurrent same-bucket uploads share one
+        # device dispatch (falls back to a solo job when not batchable).
         results = await asyncio.wait_for(
-            mgr.queue.submit(
-                lambda: mgr.transcribe_sync(audio, sr, lang_code,
-                                            return_timestamps),
-                priority=1),
+            mgr.batcher.transcribe(audio, sr, lang_code, return_timestamps),
             timeout=mgr.request_timeout)
     except asyncio.TimeoutError:
         log.warning("POST /v1/audio/transcriptions | timed out after {:.2f}s",

@@ -1,0 +1,100 @@
+"""Micro-batcher tests: same-bucket grouping, correctness, fallbacks."""
+import asyncio
+
+import numpy as np
+import pytest
+
+from tests.fixtures import load_tiny_model, write_tiny_checkpoint
+from tests.util_audio import speech_like
+from qwen3_asr_tpu.runtime.batcher import MicroBatcher
+from qwen3_asr_tpu.runtime.engine import TranscriptionEngine
+from qwen3_asr_tpu.runtime.lifecycle import ModelManager
+
+
+@pytest.fixture(scope="module")
+def manager(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ckpt") / "tiny")
+    write_tiny_checkpoint(path)
+    mgr = ModelManager()
+    mgr.engine = TranscriptionEngine(load_tiny_model(path))
+    return mgr
+
+
+def _run(coro):
+    loop = asyncio.new_event_loop()
+    try:
+        return loop.run_until_complete(coro)
+    finally:
+        loop.close()
+
+
+def test_concurrent_same_bucket_batched(manager):
+    async def go():
+        manager.queue.start()
+        batcher = MicroBatcher(manager, window_ms=50, max_batch=4)
+        dispatches = []
+        orig = manager.engine._run_bucket
+
+        def counting(clips, *a, **k):
+            dispatches.append(len(clips))
+            return orig(clips, *a, **k)
+
+        manager.engine._run_bucket = counting
+        try:
+            clips = [speech_like(0.6, seed=s) for s in range(3)]
+            results = await asyncio.gather(*[
+                batcher.transcribe(c, 16000, "en", False) for c in clips])
+        finally:
+            manager.engine._run_bucket = orig
+            manager.queue.stop()
+        assert dispatches == [3]  # one batched dispatch for all three
+        for r in results:
+            assert r[0].language == "en"
+    _run(go())
+
+
+def test_batched_equals_solo(manager):
+    async def go():
+        manager.queue.start()
+        batcher = MicroBatcher(manager, window_ms=30, max_batch=4)
+        clips = [speech_like(0.7, seed=s) for s in (7, 8)]
+        batched = await asyncio.gather(*[
+            batcher.transcribe(c, 16000, "en", False) for c in clips])
+        solo = [manager.engine.transcribe(c, 16000, "en") for c in clips]
+        manager.queue.stop()
+        assert [r[0].text for r in batched] == [r[0].text for r in solo]
+    _run(go())
+
+
+def test_different_buckets_not_batched(manager):
+    async def go():
+        manager.queue.start()
+        batcher = MicroBatcher(manager, window_ms=30, max_batch=4)
+        dispatches = []
+        orig = manager.engine._run_bucket
+
+        def counting(clips, *a, **k):
+            dispatches.append(len(clips))
+            return orig(clips, *a, **k)
+
+        manager.engine._run_bucket = counting
+        try:
+            await asyncio.gather(
+                batcher.transcribe(speech_like(0.5, seed=1), 16000, "en", False),
+                batcher.transcribe(speech_like(3.0, seed=2), 16000, "en", False))
+        finally:
+            manager.engine._run_bucket = orig
+            manager.queue.stop()
+        assert sorted(dispatches) == [1, 1]
+    _run(go())
+
+
+def test_timestamps_fall_back_to_solo(manager):
+    async def go():
+        manager.queue.start()
+        batcher = MicroBatcher(manager, window_ms=10, max_batch=4)
+        res = await batcher.transcribe(speech_like(0.5, seed=3), 16000,
+                                       "en", True)
+        manager.queue.stop()
+        assert res[0].language == "en"
+    _run(go())
