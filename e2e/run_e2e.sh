@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# Run the E2E suite against a live server.
+#
+#   ./e2e/run_e2e.sh                       # against ASR_E2E_URL (default :8100)
+#   ./e2e/run_e2e.sh --with-server         # boot a disposable CPU server first
+#
+# --with-server uses a tiny random checkpoint (generated on the fly) so the
+# full serving stack E2Es on any machine — the reference's fake-backend tier
+# (SURVEY.md §4.3).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+PORT="${ASR_E2E_PORT:-8100}"
+SERVER_PID=""
+
+cleanup() {
+  if [ -n "$SERVER_PID" ]; then
+    kill "$SERVER_PID" 2>/dev/null || true
+  fi
+}
+trap cleanup EXIT
+
+if [ "${1:-}" = "--with-server" ]; then
+  shift
+  CKPT_DIR="$(mktemp -d)/ckpt"
+  PYTHONPATH=".:tests" python -c "
+from fixtures import write_tiny_checkpoint
+write_tiny_checkpoint('$CKPT_DIR')
+print('checkpoint at $CKPT_DIR')"
+  JAX_PLATFORMS=cpu MODEL_ID="$CKPT_DIR" USE_CUDA_GRAPHS=true \
+    python -m qwen3_asr_tpu.serving.server --port "$PORT" &
+  SERVER_PID=$!
+  echo "server pid $SERVER_PID on :$PORT"
+fi
+
+export ASR_E2E_URL="${ASR_E2E_URL:-http://localhost:$PORT}"
+export ASR_E2E_WAIT_S="${ASR_E2E_WAIT_S:-120}"
+python -m pytest e2e/ -v --no-header "$@"

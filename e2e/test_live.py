@@ -1,0 +1,157 @@
+"""Live-server E2E: HTTP, SSE, WS, errors, performance, realtime pacing.
+
+Black-box suite (reference E2Etest/test_api_http.py, test_websocket.py,
+test_performance.py, test_realtime_accuracy.py capabilities) — identical
+contracts mean it runs unchanged against standalone OR gateway mode.
+"""
+import asyncio
+import json
+import time
+import urllib.request
+
+import pytest
+
+from e2e.conftest import BASE_URL, WS_URL
+
+
+def _post_multipart(url, file_path, fields):
+    import uuid
+    boundary = uuid.uuid4().hex
+    body = b""
+    with open(file_path, "rb") as f:
+        data = f.read()
+    body += (f"--{boundary}\r\nContent-Disposition: form-data; "
+             f'name="file"; filename="a.wav"\r\n'
+             f"Content-Type: audio/wav\r\n\r\n").encode() + data + b"\r\n"
+    for k, v in fields.items():
+        body += (f"--{boundary}\r\nContent-Disposition: form-data; "
+                 f'name="{k}"\r\n\r\n{v}\r\n').encode()
+    body += f"--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        url, data=body,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"})
+    try:
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            return resp.status, resp.read(), dict(resp.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), dict(e.headers)
+
+
+def test_health(ensure_server):
+    with urllib.request.urlopen(BASE_URL + "/health", timeout=5) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert "model_loaded" in body
+
+
+def test_transcribe_short(ensure_server, audio_fixtures):
+    status, body, headers = _post_multipart(
+        BASE_URL + "/v1/audio/transcriptions", audio_fixtures["speech_2s"],
+        {"language": "en"})
+    assert status == 200, body
+    data = json.loads(body)
+    assert set(data) >= {"text", "language"}
+    assert "X-Request-ID" in headers or "x-request-id" in headers
+
+
+def test_transcribe_medium(ensure_server, audio_fixtures):
+    status, body, _ = _post_multipart(
+        BASE_URL + "/v1/audio/transcriptions", audio_fixtures["medium_20s"],
+        {"language": "en"})
+    assert status == 200
+    assert "text" in json.loads(body)
+
+
+def test_error_garbage(ensure_server, tmp_path):
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"certainly not audio content here")
+    status, body, _ = _post_multipart(
+        BASE_URL + "/v1/audio/transcriptions", str(bad), {})
+    assert status == 422
+    data = json.loads(body)
+    assert data["code"] == "AUDIO_DECODE_FAILED"
+    assert data["statusCode"] == 422
+
+
+def test_sse_stream(ensure_server, audio_fixtures):
+    status, body, headers = _post_multipart(
+        BASE_URL + "/v1/audio/transcriptions/stream",
+        audio_fixtures["medium_20s"], {"language": "en"})
+    assert status == 200
+    events = [json.loads(line[6:]) for line in body.decode().splitlines()
+              if line.startswith("data: ")]
+    assert events[-1] == {"done": True}
+    chunked = [e for e in events if "chunk_index" in e]
+    assert len(chunked) >= 2  # 20s audio → several 5s chunks
+
+
+def test_subtitles_fast(ensure_server, audio_fixtures):
+    status, body, headers = _post_multipart(
+        BASE_URL + "/v1/audio/subtitles", audio_fixtures["speech_2s"],
+        {"language": "en", "mode": "fast"})
+    assert status == 200
+    cd = headers.get("Content-Disposition", headers.get("content-disposition", ""))
+    assert "subtitles.srt" in cd
+
+
+def test_ws_flush_roundtrip(ensure_server, audio_fixtures):
+    import aiohttp
+    import numpy as np
+    from util_audio import speech_like
+
+    async def go():
+        pcm = np.clip(speech_like(1.0, seed=5) * 32767, -32768,
+                      32767).astype("<i2").tobytes()
+        async with aiohttp.ClientSession() as s:
+            async with s.ws_connect(WS_URL) as ws:
+                hello = await ws.receive_json()
+                assert hello["status"] == "connected"
+                assert hello["buffer_size"] == 14400
+                await ws.send_bytes(pcm)
+                await ws.send_json({"action": "flush"})
+                while True:
+                    msg = await asyncio.wait_for(ws.receive_json(), 60)
+                    if msg.get("is_final"):
+                        return
+    asyncio.run(go())
+
+
+def test_ws_partial_latency(ensure_server):
+    """Paced 450 ms streaming; asserts the server keeps up (no backlog)."""
+    import aiohttp
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from bench_realtime import run_benchmark
+
+    async def go():
+        session = aiohttp.ClientSession()
+        try:
+            result = await run_benchmark(
+                lambda: session.ws_connect(WS_URL), duration_s=8.0,
+                language="en")
+        finally:
+            await session.close()
+        import pathlib
+        reports = pathlib.Path(__file__).parent / "reports"
+        reports.mkdir(exist_ok=True)
+        (reports / "realtime_latest.json").write_text(json.dumps(result,
+                                                                 indent=1))
+        # Gates (reference test_realtime_accuracy.py:284-333): the feed must
+        # not back up, and the flush must return promptly.
+        assert result["pacing_overrun_rtf"] < 1.0
+        if result["flush_latency_ms"] is not None:
+            assert result["flush_latency_ms"] < 30_000
+    asyncio.run(go())
+
+
+def test_performance_warm_latency(ensure_server, audio_fixtures):
+    """Warm repeat latency: second identical request must be fast(er)."""
+    path = audio_fixtures["speech_2s"]
+    _post_multipart(BASE_URL + "/v1/audio/transcriptions", path,
+                    {"language": "en"})  # warm
+    t0 = time.time()
+    status, _, _ = _post_multipart(BASE_URL + "/v1/audio/transcriptions",
+                                   path, {"language": "en"})
+    warm = time.time() - t0
+    assert status == 200
+    assert warm < 30, f"warm latency {warm:.1f}s"
