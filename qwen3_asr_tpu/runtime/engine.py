@@ -82,7 +82,18 @@ class TranscriptionEngine:
         chunk = model.cfg.encoder.n_window * 2
         self._chunk_frames = chunk
         self._suffix_ids = model.tokenizer.encode(model.template.suffix_text())
+        self.draft_model: Optional[AsrModel] = None
+        self._spec_fns = {}
         self.last_used = time.time()
+
+    def attach_draft(self, draft_model: AsrModel) -> None:
+        """Enable token-level speculative decoding: `draft_model` proposes,
+        this engine's model verifies. Output is identical to verifier-greedy
+        (see runtime/speculative.py); only latency changes."""
+        assert draft_model.cfg.encoder.n_window == \
+            self.model.cfg.encoder.n_window, "draft/verify chunking differs"
+        self.draft_model = draft_model
+        self._spec_fns.clear()
 
     # -- bucketing ---------------------------------------------------------------
     def bucket_frames(self, n_samples: int) -> Tuple[int, float]:
@@ -152,6 +163,67 @@ class TranscriptionEngine:
         self._generate_fns[key] = run
         return run
 
+    def _fused_spec_fn(self, bucket_frames: int, bucket_s: float):
+        """Fused speculative executable (batch 1): frontend → BOTH encoders →
+        both prompts → on-device draft/verify loop."""
+        import os as _os
+        gamma = int(_os.getenv("ASR_SPEC_GAMMA", "4"))
+        max_new = max_new_tokens_for(bucket_s)
+        key = (bucket_frames, max_new, gamma)
+        fn = self._spec_fns.get(key)
+        if fn is not None:
+            return fn
+
+        from .speculative import speculative_generate
+        from ..models.encoder import encoder_forward as enc_fwd
+
+        verify, draft = self.model, self.draft_model
+        n_samples = bucket_frames * HOP_LENGTH
+        window = self.frontend.window
+        mel_fb = self.frontend.mel_fb
+        n_mels = self.frontend.n_mels
+        suffix_v = jnp.asarray(self._suffix_ids, jnp.int32)
+        suffix_d = jnp.asarray(
+            draft.tokenizer.encode(draft.template.suffix_text()), jnp.int32)
+        dtype = self.dtype
+        cache_dtype = self.cache_dtype
+
+        def build_prompt(model, params, audio_embeds, prefix_ids, suffix):
+            pre = embed_tokens(params["decoder"], model.cfg.decoder,
+                               prefix_ids)
+            suf = embed_tokens(params["decoder"], model.cfg.decoder,
+                               suffix[None, :])
+            return jnp.concatenate(
+                [pre.astype(dtype), audio_embeds.astype(dtype),
+                 suf.astype(dtype)], axis=1)
+
+        @jax.jit
+        def run(verify_params, draft_params, audio, prefix_ids, valid_from):
+            def mel_one(a):
+                m, _ = _log_mel_impl(a, jnp.int32(n_samples), window, mel_fb,
+                                     n_mels)
+                return m
+            mel = jax.vmap(mel_one)(audio).astype(dtype)
+            flens = jnp.full((1,), bucket_frames, jnp.int32)
+
+            emb_v, _ = enc_fwd(verify_params["encoder"], verify.cfg.encoder,
+                               mel, flens)
+            emb_d, _ = enc_fwd(draft_params["encoder"], draft.cfg.encoder,
+                               mel, flens)
+            inputs_v = build_prompt(verify, verify_params, emb_v, prefix_ids,
+                                    suffix_v)
+            inputs_d = build_prompt(draft, draft_params, emb_d, prefix_ids,
+                                    suffix_d)
+            return speculative_generate(
+                draft_params["decoder"], verify_params["decoder"],
+                draft.cfg.decoder, verify.cfg.decoder, inputs_d, inputs_v,
+                valid_from, valid_from, gamma=gamma, max_new=max_new,
+                eos_id=verify.eos_id, pad_id=verify.pad_id,
+                cache_dtype=cache_dtype)
+
+        self._spec_fns[key] = run
+        return run
+
     # -- core batched path --------------------------------------------------------
     def _run_bucket(self, clips: Sequence[np.ndarray], bucket_frames: int,
                     bucket_s: float, language: Optional[str],
@@ -172,9 +244,15 @@ class TranscriptionEngine:
         prefix[:, pad_count:] = prefix_ids
         valid_from = np.full((batch,), pad_count, np.int32)
 
-        fn = self._fused_fn(bucket_frames, bucket_s)
-        result = fn(self.model.params, jnp.asarray(audio),
-                    jnp.asarray(prefix), jnp.asarray(valid_from))
+        if self.draft_model is not None and batch == 1:
+            fn = self._fused_spec_fn(bucket_frames, bucket_s)
+            result = fn(self.model.params, self.draft_model.params,
+                        jnp.asarray(audio), jnp.asarray(prefix),
+                        jnp.asarray(valid_from))
+        else:
+            fn = self._fused_fn(bucket_frames, bucket_s)
+            result = fn(self.model.params, jnp.asarray(audio),
+                        jnp.asarray(prefix), jnp.asarray(valid_from))
 
         tokens = np.asarray(result.tokens)
         lengths = np.asarray(result.lengths)

@@ -139,6 +139,19 @@ class ModelManager:
             else:
                 log.info("Fast and main model identical; skipping dual load")
 
+        # Token-level speculative (default; ASR_SPECULATIVE_MODE=result keeps
+        # the reference's result-level accept heuristic).
+        spec_mode = os.getenv("ASR_SPECULATIVE_MODE", "token").lower()
+        if (use_spec and spec_mode == "token"
+                and self.fast_engine is not None):
+            try:
+                self.engine.attach_draft(self.fast_engine.model)
+                log.info("Token-level speculative decoding enabled (gamma={})",
+                         os.getenv("ASR_SPEC_GAMMA", "4"))
+            except AssertionError as e:
+                log.error("Token-level speculative unavailable ({}); "
+                          "falling back to result-level", e)
+
         # Warmup: small buckets always; all buckets when USE_CUDA_GRAPHS=true
         # (the mapped equivalent of CUDA kernel-cache warming,
         # reference src/server.py:437-458).
@@ -195,7 +208,9 @@ class ModelManager:
         (reference src/server.py:849-923) incl. speculative + dual-model."""
         self._last_used = time.time()
         use_spec = (os.getenv("USE_SPECULATIVE", "").lower() == "true"
-                    and self.fast_engine is not None)
+                    and self.fast_engine is not None
+                    and os.getenv("ASR_SPECULATIVE_MODE",
+                                  "token").lower() == "result")
         if use_spec:
             draft = self.fast_engine.transcribe(
                 audio, sr, lang_code, return_timestamps, context)

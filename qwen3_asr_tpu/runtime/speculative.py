@@ -1,0 +1,171 @@
+"""Token-level speculative decoding — entirely on-device.
+
+Upgrade over the reference's RESULT-level speculative heuristic (draft the
+whole clip with 0.6B, re-run 1.7B if the text "looks complex",
+src/server.py:823-846): here the draft model proposes γ tokens per round
+and the verifier scores them in ONE batched forward, accepting the matching
+prefix. Greedy acceptance ⇒ output is IDENTICAL to verifier-only greedy
+decoding, with up to γ× fewer verifier steps. The whole loop — both models'
+decode steps, acceptance logic, EOS tracking — runs inside one
+``lax.while_loop`` executable (single dispatch per request).
+
+Cache bookkeeping uses the no-bonus invariant: at each round start, both
+models' caches hold K/V through text position ``text_len-2`` and ``last``
+is the (unprocessed) token at ``text_len-1``. Rejected draft K/V entries
+are never rolled back — causal masking hides them and future writes at the
+same positions overwrite them.
+
+Restriction: batch 1 (per-row accept counts would need per-row cache write
+offsets). Serving requests are per-clip, so this is the hot case.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.config import DecoderConfig
+from ..models.decoder import (
+    KVCache,
+    decoder_forward,
+    embed_tokens,
+    init_kv_cache,
+    lm_logits,
+)
+from ..ops.attention import AttnSpec
+from .generate import GenerateResult
+
+
+class _Carry(NamedTuple):
+    cache_d: KVCache
+    cache_v: KVCache
+    last: jax.Array       # [1] current frontier token (unprocessed)
+    text_len: jax.Array   # scalar: tokens emitted incl. frontier
+    tokens: jax.Array     # [1, max_new]
+    done: jax.Array       # [1]
+    rounds: jax.Array     # scalar: verifier forward count (telemetry)
+
+
+def speculative_generate(draft_params, verify_params,
+                         draft_cfg: DecoderConfig, verify_cfg: DecoderConfig,
+                         embeds_d: jax.Array, embeds_v: jax.Array,
+                         valid_from_d: jax.Array, valid_from_v: jax.Array,
+                         *, gamma: int, max_new: int, eos_id: int,
+                         pad_id: int, cache_dtype=jnp.bfloat16
+                         ) -> GenerateResult:
+    """embeds_d/v: [1, prompt_len_*, H_*] — each model's own prompt embeds
+    (own encoder output spliced in). Returns the verifier-greedy sequence."""
+    b = embeds_d.shape[0]
+    assert b == 1, "speculative decoding is per-request (batch 1)"
+    assert gamma >= 2, "gamma must be >= 2"
+    plen_d, plen_v = embeds_d.shape[1], embeds_v.shape[1]
+    buf_len = max_new + gamma  # slack so window writes never clamp-shift
+    total_d = plen_d + max_new + gamma + 2
+    total_v = plen_v + max_new + gamma + 2
+
+    cache_d = init_kv_cache(draft_cfg, b, total_d, dtype=cache_dtype)
+    cache_v = init_kv_cache(verify_cfg, b, total_v, dtype=cache_dtype)
+
+    # ---- prefill both models ---------------------------------------------------
+    def prefill(params, cfg, embeds, valid_from, cache, plen):
+        positions = jnp.broadcast_to(jnp.arange(plen), (b, plen))
+        spec = AttnSpec(causal=True, q_offset=0, valid_from=valid_from)
+        hidden, cache = decoder_forward(params, cfg, embeds, positions,
+                                        cache, jnp.int32(0), spec)
+        logits = lm_logits(params, cfg, hidden[:, -1])
+        return cache, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    cache_d, _ = prefill(draft_params, draft_cfg, embeds_d, valid_from_d,
+                         cache_d, plen_d)
+    cache_v, first = prefill(verify_params, verify_cfg, embeds_v,
+                             valid_from_v, cache_v, plen_v)
+
+    tokens0 = jnp.full((b, buf_len), pad_id, jnp.int32).at[:, 0].set(first)
+    done0 = first == eos_id
+
+    def decode_step(params, cfg, cache, valid_from, token, pos):
+        """Single-token step at absolute position pos → (cache, next_logits)."""
+        hidden = embed_tokens(params, cfg, token[:, None])
+        positions = jnp.full((b, 1), pos, jnp.int32)
+        spec = AttnSpec(valid_from=valid_from,
+                        valid_to=jnp.full((b,), pos + 1, jnp.int32))
+        hidden, cache = decoder_forward(params, cfg, hidden, positions,
+                                        cache, pos.astype(jnp.int32), spec)
+        return cache, lm_logits(params, cfg, hidden[:, -1])
+
+    def cond(c: _Carry):
+        return (c.text_len < max_new) & ~jnp.all(c.done)
+
+    def body(c: _Carry):
+        frontier_pos_d = plen_d + c.text_len - 1   # draft-space position
+        frontier_pos_v = plen_v + c.text_len - 1
+
+        # ---- 1) draft γ tokens -------------------------------------------------
+        def draft_step(i, st):
+            cache_d, x, drafts = st
+            cache_d, logits = decode_step(draft_params, draft_cfg, cache_d,
+                                          valid_from_d, x,
+                                          frontier_pos_d + i)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            drafts = drafts.at[:, i].set(nxt)
+            return cache_d, nxt, drafts
+
+        drafts0 = jnp.zeros((b, gamma), jnp.int32)
+        cache_d, _, drafts = jax.lax.fori_loop(
+            0, gamma, draft_step, (c.cache_d, c.last, drafts0))
+
+        # ---- 2) verify in one forward ------------------------------------------
+        # inputs: [last, d_0..d_{γ-2}] at positions frontier_v..frontier_v+γ-1
+        verify_ids = jnp.concatenate([c.last[:, None], drafts[:, :gamma - 1]],
+                                     axis=1)                       # [1, γ]
+        hidden = embed_tokens(verify_params, verify_cfg, verify_ids)
+        positions = (frontier_pos_v
+                     + jnp.broadcast_to(jnp.arange(gamma), (b, gamma)))
+        spec = AttnSpec(causal=True, q_offset=frontier_pos_v,
+                        valid_from=valid_from_v)
+        hidden, cache_v = decoder_forward(
+            verify_params, verify_cfg, hidden, positions, c.cache_v,
+            frontier_pos_v.astype(jnp.int32), spec)
+        preds = jnp.argmax(lm_logits(verify_params, verify_cfg, hidden),
+                           axis=-1).astype(jnp.int32)              # [1, γ]
+
+        # ---- 3) accept matching prefix ------------------------------------------
+        matches = (preds == drafts)[0]                               # [γ]
+        # n = length of the matching prefix (0..γ)
+        n_s = jnp.argmin(jnp.concatenate(
+            [matches, jnp.zeros((1,), bool)]).astype(jnp.int32))
+
+        slot = jnp.arange(gamma)
+        # slot i: draft_i for i<n; verifier correction at i==n (when n<γ)
+        accepted = jnp.where(slot < n_s, drafts[0],
+                             jnp.where(slot == n_s, preds[0, n_s], pad_id))
+        n_accept = jnp.where(n_s == gamma, gamma, n_s + 1)
+
+        # EOS truncation inside the window
+        hit_eos = (accepted == eos_id) & (slot < n_accept)
+        any_eos = jnp.any(hit_eos)
+        first_eos = jnp.argmax(hit_eos)  # valid only when any_eos
+        n_eff = jnp.where(any_eos, first_eos + 1, n_accept)
+        n_eff = jnp.where(c.done[0], 0, n_eff)
+
+        window = jnp.where(slot < n_eff, accepted, pad_id)[None, :]
+        old = jax.lax.dynamic_slice(c.tokens, (0, c.text_len), (1, gamma))
+        window = jnp.where(slot[None, :] < n_eff, window, old)
+        tokens = jax.lax.dynamic_update_slice(c.tokens, window,
+                                              (0, c.text_len))
+
+        done = c.done | any_eos
+        last = jnp.where(n_eff > 0, accepted[jnp.maximum(n_eff - 1, 0)],
+                         c.last[0])[None]
+        text_len = jnp.minimum(c.text_len + n_eff, max_new)
+        return _Carry(cache_d, cache_v, last, text_len, tokens, done,
+                      c.rounds + 1)
+
+    init = _Carry(cache_d, cache_v, first, jnp.int32(1), tokens0, done0,
+                  jnp.int32(0))
+    final = jax.lax.while_loop(cond, body, init)
+
+    tokens = final.tokens[:, :max_new]
+    lengths = jnp.sum((tokens != pad_id).astype(jnp.int32), axis=-1)
+    return GenerateResult(tokens, lengths, final.rounds)

@@ -145,6 +145,7 @@ def test_speculative_uses_draft(tmp_path, monkeypatch):
             return [TranscriptionResult(text=self.text, language="en")]
 
     monkeypatch.setenv("USE_SPECULATIVE", "true")
+    monkeypatch.setenv("ASR_SPECULATIVE_MODE", "result")
     mgr = ModelManager()
     mgr.engine = FakeEngine("full model output")
     mgr.fast_engine = FakeEngine("short draft")

@@ -1,0 +1,128 @@
+"""Token-level speculative decoding: must reproduce verifier-greedy exactly."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qwen3_asr_tpu.models.config import DecoderConfig
+from qwen3_asr_tpu.models.decoder import init_decoder_params
+from qwen3_asr_tpu.runtime.generate import greedy_generate
+from qwen3_asr_tpu.runtime.speculative import speculative_generate
+
+CFG = DecoderConfig(
+    vocab_size=128, hidden_size=32, intermediate_size=64,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    head_dim=8, tie_word_embeddings=True)
+
+EOS, PAD = 100, 101
+
+
+def _params(seed):
+    return init_decoder_params(CFG, jax.random.PRNGKey(seed))
+
+
+def _embeds(seed, t=10):
+    return jax.random.normal(jax.random.PRNGKey(seed),
+                             (1, t, CFG.hidden_size), jnp.float32)
+
+
+def _greedy(params, embeds, max_new=16):
+    vf = jnp.zeros((1,), jnp.int32)
+    return greedy_generate(params, CFG, embeds, vf, max_new=max_new,
+                           eos_id=EOS, pad_id=PAD, cache_dtype=jnp.float32)
+
+
+def _spec(draft, verify, embeds_d, embeds_v, gamma, max_new=16):
+    vf = jnp.zeros((1,), jnp.int32)
+    return speculative_generate(
+        draft, verify, CFG, CFG, embeds_d, embeds_v, vf, vf,
+        gamma=gamma, max_new=max_new, eos_id=EOS, pad_id=PAD,
+        cache_dtype=jnp.float32)
+
+
+def _strip(tokens, pad=PAD):
+    return [t for t in np.asarray(tokens)[0].tolist() if t != pad]
+
+
+@pytest.mark.parametrize("gamma", [2, 4])
+def test_self_draft_equals_greedy(gamma):
+    """Draft == verifier ⇒ every draft accepted, same tokens, ~γ× fewer
+    verifier rounds."""
+    params = _params(0)
+    embeds = _embeds(1)
+    ref = _greedy(params, embeds)
+    spec = _spec(params, params, embeds, embeds, gamma)
+    assert _strip(spec.tokens) == _strip(ref.tokens)
+    # rounds ≈ tokens/γ (far fewer than token count)
+    assert int(spec.steps) <= int(ref.lengths[0]) // gamma + 2
+
+
+@pytest.mark.parametrize("gamma", [2, 3, 4])
+def test_bad_draft_still_equals_verifier_greedy(gamma):
+    """A DIFFERENT (random) draft model must not change the output — only
+    the number of verifier rounds."""
+    verify = _params(0)
+    draft = _params(42)      # completely different random model
+    embeds_v = _embeds(1)
+    embeds_d = _embeds(2)    # its own (different) prompt embeds
+    ref = _greedy(verify, embeds_v)
+    spec = _spec(draft, verify, embeds_d, embeds_v, gamma)
+    assert _strip(spec.tokens) == _strip(ref.tokens)
+
+
+def test_different_prompt_lengths():
+    verify = _params(0)
+    draft = _params(7)
+    embeds_v = _embeds(1, t=12)
+    embeds_d = _embeds(2, t=9)   # draft prompt shorter
+    ref = _greedy(verify, embeds_v)
+    spec = _spec(draft, verify, embeds_d, embeds_v, gamma=3)
+    assert _strip(spec.tokens) == _strip(ref.tokens)
+
+
+def test_max_new_respected():
+    params = _params(3)
+    embeds = _embeds(4)
+    spec = _spec(params, params, embeds, embeds, gamma=4, max_new=5)
+    assert spec.tokens.shape == (1, 5)
+    assert int(spec.lengths[0]) <= 5
+
+
+def test_left_padded_prompts():
+    verify = _params(0)
+    draft = _params(9)
+    embeds_v = _embeds(5, t=12)
+    embeds_d = _embeds(6, t=12)
+    vf = jnp.asarray([3], jnp.int32)
+    ref = greedy_generate(verify, CFG, embeds_v, vf, max_new=12,
+                          eos_id=EOS, pad_id=PAD, cache_dtype=jnp.float32)
+    spec = speculative_generate(
+        draft, verify, CFG, CFG, embeds_d, embeds_v, vf, vf,
+        gamma=3, max_new=12, eos_id=EOS, pad_id=PAD,
+        cache_dtype=jnp.float32)
+    assert _strip(spec.tokens) == _strip(ref.tokens)
+
+
+def test_engine_with_draft_matches_plain(tmp_path):
+    """Engine-level: attaching a draft must not change transcription output."""
+    import sys
+    sys.path.insert(0, "tests")
+    from tests.fixtures import load_tiny_model, write_tiny_checkpoint
+    from tests.util_audio import speech_like
+    from qwen3_asr_tpu.runtime.engine import TranscriptionEngine
+
+    ckpt_v = str(tmp_path / "verify")
+    ckpt_d = str(tmp_path / "draft")
+    write_tiny_checkpoint(ckpt_v, seed=0)
+    write_tiny_checkpoint(ckpt_d, seed=99)   # different random weights
+
+    plain = TranscriptionEngine(load_tiny_model(ckpt_v))
+    clip = speech_like(1.0, seed=5)
+    ref = plain.transcribe(clip, 16000, language="en")
+
+    spec_eng = TranscriptionEngine(load_tiny_model(ckpt_v))
+    spec_eng.attach_draft(load_tiny_model(ckpt_d))
+    out = spec_eng.transcribe(clip, 16000, language="en")
+
+    assert [r.text for r in out] == [r.text for r in ref]
