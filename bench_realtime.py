@@ -148,7 +148,6 @@ async def _inproc_client():
     # trigger model load + warmup before timing
     resp = await client.get("/health")
     await resp.json()
-    from qwen3_asr_tpu.serving.server import get_manager
     await client.app["manager"].ensure_loaded()
     return client, lambda: client.ws_connect("/ws/transcribe")
 

@@ -131,5 +131,8 @@ def validate_env() -> None:
         if os.getenv(flag, ""):
             log.info("{} set: ignored on TPU — the jitted XLA encoder is already "
                      "a compiled engine (pluggable encoder seam available)", flag)
+    if os.getenv("USE_GRANIAN", "").lower() == "true":
+        log.info("USE_GRANIAN=true: n/a — this build serves HTTP/WS/SSE on "
+                 "aiohttp in-process (no ASGI server layer)")
 
     log.info("Config validation passed")

@@ -25,7 +25,6 @@ from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..text.tokenizer import BpeTokenizer
 from .config import AsrConfig

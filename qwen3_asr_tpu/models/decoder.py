@@ -23,8 +23,7 @@ converter stacks per-layer tensors (runtime/checkpoint.py).
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ Sharding recipe (scaling-book style):
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

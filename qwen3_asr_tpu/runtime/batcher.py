@@ -14,7 +14,7 @@ from __future__ import annotations
 import asyncio
 import os
 import time
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -11,8 +11,7 @@ from __future__ import annotations
 
 import json
 import os
-import re
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -30,7 +30,7 @@ from ..audio.frontend import HOP_LENGTH, LogMelFrontend, _log_mel_impl
 from ..audio.resample import resample
 from ..models.asr import AsrModel, normalize_language
 from ..models.decoder import embed_tokens
-from ..models.encoder import encoder_forward, encoder_output_length
+from ..models.encoder import encoder_forward
 from ..runtime.generate import greedy_generate, strip_generation
 from ..utils.logging import log
 

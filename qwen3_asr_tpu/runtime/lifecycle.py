@@ -116,9 +116,28 @@ class ModelManager:
             self._watchdog_task.cancel()
             self._watchdog_task = None
 
+    @staticmethod
+    def _set_cpu_affinity():
+        """Pin to the accelerator-collocated NUMA node's CPUs
+        (reference src/server.py:254-268; first-half-of-CPUs heuristic)."""
+        numa_node = os.getenv("NUMA_NODE")
+        if numa_node is None:
+            return
+        try:
+            cpus = sorted(os.sched_getaffinity(0))
+            half = max(1, len(cpus) // 2)
+            node_cpus = cpus[:half] if int(numa_node) == 0 else cpus[half:]
+            if node_cpus:
+                os.sched_setaffinity(0, node_cpus)
+                log.info("CPU affinity set to NUMA node {}: {}", numa_node,
+                         node_cpus)
+        except (OSError, ValueError) as e:
+            log.error("CPU affinity setting failed (non-critical): {}", e)
+
     def _load_sync(self):
         if self.engine is not None:
             return
+        self._set_cpu_affinity()
         model_id = os.getenv("MODEL_ID", "Qwen/Qwen3-ASR-1.7B")
         t0 = time.time()
         log.info("Loading {}...", model_id)

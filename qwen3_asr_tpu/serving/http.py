@@ -7,14 +7,13 @@ reference byte-for-byte where they are observable.
 """
 from __future__ import annotations
 
-import json
 import uuid
 from typing import Any, Awaitable, Callable, Optional
 
 from aiohttp import web
 
 from ..utils.errors import error_body
-from ..utils.logging import log, reset_request_id, set_request_id
+from ..utils.logging import reset_request_id, set_request_id
 
 
 def json_response(data: Any, status: int = 200) -> web.Response:

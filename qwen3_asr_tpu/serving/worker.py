@@ -26,7 +26,6 @@ from ..utils.logging import log
 from .http import error_response, read_upload, request_id_middleware
 from .server import (
     _decode_or_error,
-    sse_transcribe_generator,
     transcribe as server_transcribe,
     transcribe_stream as server_transcribe_stream,
     websocket_transcribe as server_websocket_transcribe,

@@ -21,8 +21,6 @@ from typing import List
 
 import numpy as np
 
-from ..utils.logging import log
-
 
 @dataclasses.dataclass
 class AlignedWord:

@@ -16,7 +16,7 @@ import dataclasses
 import os
 import re
 import time
-from typing import List, Optional
+from typing import List
 
 from ..config import (
     SUBTITLE_MAX_DURATION,

@@ -21,7 +21,6 @@ import json
 import logging
 import os
 import sys
-import traceback
 from typing import Any, Optional
 
 _request_id_var: contextvars.ContextVar[Optional[str]] = contextvars.ContextVar(
