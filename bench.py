@@ -45,6 +45,11 @@ def build_engine(preset_name: str, dtype):
         lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
 
     # Byte-level vocab + chat specials — enough for prompt assembly.
+    quantize_mode = os.getenv("QUANTIZE", "").lower()
+    if quantize_mode in ("int8", "fp8"):
+        from qwen3_asr_tpu.ops.quant import quantize_params
+        params = jax.jit(lambda p: quantize_params(p, quantize_mode))(params)
+
     byte_vocab = {c: i for i, c in enumerate(bytes_to_unicode().values())}
     specials = {t: 151640 + i for i, t in enumerate(
         ["<|endoftext|>", "<|im_start|>", "<|im_end|>", "<|AUDIO|>",
