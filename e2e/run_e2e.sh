@@ -20,6 +20,10 @@ cleanup() {
 }
 trap cleanup EXIT
 
+MODE="server"
+if [ "${1:-}" = "--with-gateway" ]; then
+  MODE="gateway"; set -- "--with-server" "${@:2}"
+fi
 if [ "${1:-}" = "--with-server" ]; then
   shift
   CKPT_DIR="$(mktemp -d)/ckpt"
@@ -27,10 +31,19 @@ if [ "${1:-}" = "--with-server" ]; then
 from fixtures import write_tiny_checkpoint
 write_tiny_checkpoint('$CKPT_DIR')
 print('checkpoint at $CKPT_DIR')"
-  JAX_PLATFORMS=cpu MODEL_ID="$CKPT_DIR" USE_CUDA_GRAPHS=true \
-    python -m qwen3_asr_tpu.serving.server --port "$PORT" &
+  if [ "$MODE" = "gateway" ]; then
+    # Gateway on :PORT spawning a real worker on :WORKER_PORT — the full
+    # process split (reference compose default GATEWAY_MODE=true).
+    JAX_PLATFORMS=cpu MODEL_ID="$CKPT_DIR" GATEWAY_MODE=true \
+      WORKER_PORT="${WORKER_PORT:-18801}" USE_CUDA_GRAPHS=true \
+      IDLE_TIMEOUT=0 \
+      python -m qwen3_asr_tpu.serving.gateway --port "$PORT" &
+  else
+    JAX_PLATFORMS=cpu MODEL_ID="$CKPT_DIR" USE_CUDA_GRAPHS=true \
+      python -m qwen3_asr_tpu.serving.server --port "$PORT" &
+  fi
   SERVER_PID=$!
-  echo "server pid $SERVER_PID on :$PORT"
+  echo "$MODE pid $SERVER_PID on :$PORT"
 fi
 
 export ASR_E2E_URL="${ASR_E2E_URL:-http://localhost:$PORT}"
