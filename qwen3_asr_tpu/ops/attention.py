@@ -65,10 +65,22 @@ def attend_spec(q: jax.Array, k: jax.Array, v: jax.Array, spec: AttnSpec,
                 backend: Optional[str] = None) -> jax.Array:
     """Spec-driven attention with backend dispatch (xla | flash | auto)."""
     backend = backend or os.getenv("ASR_ATTN_BACKEND", "auto")
+    is_decode_step = (q.shape[-2] == 1 and not spec.causal
+                      and spec.window_block == 0)
     if backend == "auto":
-        use_flash = (jax.default_backend() == "tpu"
-                     and q.shape[-1] % 8 == 0 and q.shape[-2] > 1)
-        backend = "flash" if use_flash else "xla"
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and is_decode_step and k.shape[-2] >= 256:
+            backend = "decode"
+        elif on_tpu and q.shape[-1] % 8 == 0 and q.shape[-2] > 1:
+            backend = "flash"
+        else:
+            backend = "xla"
+    if backend in ("decode", "decode_interpret") and is_decode_step:
+        from .decode_attention import decode_attention
+        return decode_attention(
+            q, k, v, kv_valid_from=spec.valid_from,
+            kv_valid_to=spec.valid_to, sm_scale=scale,
+            interpret=(backend == "decode_interpret"))
     if backend in ("flash", "flash_interpret"):
         from .flash_attention import flash_attention
         return flash_attention(

@@ -69,3 +69,22 @@ def test_encoder_flash_equals_xla(setup):
     for i, t in enumerate(tl_x):
         np.testing.assert_allclose(out_x[i, :t], out_f[i, :t],
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_generate_decode_kernel_equals_xla(setup):
+    """Decode steps through the paged decode kernel (interpret) must match."""
+    cfg, _, dec = setup
+    key = jax.random.PRNGKey(7)
+    embeds = jax.random.normal(key, (1, 260, cfg.decoder.hidden_size),
+                               jnp.float32)
+    valid_from = jnp.zeros((1,), jnp.int32)
+
+    def run():
+        return greedy_generate(dec, cfg.decoder, embeds, valid_from,
+                               max_new=5, eos_id=cfg.eos_token_id,
+                               pad_id=cfg.pad_token_id,
+                               cache_dtype=jnp.float32)
+
+    res_xla = _with_backend("xla", run)
+    res_dec = _with_backend("decode_interpret", run)
+    assert res_xla.tokens.tolist() == res_dec.tokens.tolist()
