@@ -68,7 +68,7 @@ def main():
     backend = jax.default_backend()
     preset_name = os.getenv("BENCH_PRESET", "tiny" if backend == "cpu" else "1.7b")
     dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
-    batch = int(os.getenv("BENCH_BATCH", "8"))
+    batch = int(os.getenv("BENCH_BATCH", "16"))
     clip_s = float(os.getenv("BENCH_CLIP_S", "20"))
     iters = int(os.getenv("BENCH_ITERS", "3"))
 

@@ -74,7 +74,9 @@ def attend_spec(q: jax.Array, k: jax.Array, v: jax.Array, spec: AttnSpec,
         # block skipping pays off once the padded cache is long.
         if on_tpu and is_decode_step and k.shape[-2] >= 2048:
             backend = "decode"
-        elif on_tpu and q.shape[-1] % 8 == 0 and q.shape[-2] > 1:
+        elif on_tpu and q.shape[-1] >= 64 and q.shape[-2] > 1:
+            # head_dim < 64 (tiny test models) hits Mosaic layout limits and
+            # is XLA-friendly anyway.
             backend = "flash"
         else:
             backend = "xla"
