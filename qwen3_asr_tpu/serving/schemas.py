@@ -1,94 +1,102 @@
-"""OpenAPI response schemas + tag metadata (parity with reference src/schemas.py)."""
+"""OpenAPI response schemas + tag metadata.
+
+Response shapes are contract-parity with the reference API (same field
+names and semantics — clients interoperate unchanged); accelerator-state
+fields describe TPU/HBM instead of CUDA/VRAM.
+"""
 from typing import Optional
 
 from pydantic import BaseModel, Field
 
 
-class ErrorResponse(BaseModel):
-    code: str = Field(..., description="Machine-readable error identifier (e.g. AUDIO_DECODE_FAILED)")
-    message: str = Field(..., description="Human-readable error description")
-    context: Optional[dict] = Field(None, description="Debug data (requestId, input params)")
-    statusCode: int = Field(..., description="HTTP status code")
+def _example(**kw):
+    return {"json_schema_extra": {"examples": [kw]}}
 
-    model_config = {"json_schema_extra": {"examples": [{
-        "code": "AUDIO_DECODE_FAILED",
-        "message": "Could not decode audio: unknown format",
-        "context": {"fileSize": 1024}, "statusCode": 422}]}}
+
+class ErrorResponse(BaseModel):
+    """Standardized error payload ({code, message, statusCode, context})."""
+    code: str = Field(description="Machine-readable error identifier, e.g. AUDIO_DECODE_FAILED")
+    message: str = Field(description="Human-readable error description")
+    context: Optional[dict] = Field(None, description="Debug data: requestId, input params")
+    statusCode: int = Field(description="HTTP status code")
+
+    model_config = _example(code="AUDIO_DECODE_FAILED",
+                            message="Could not decode audio: unknown format",
+                            context={"fileSize": 1024}, statusCode=422)
 
 
 class HealthResponse(BaseModel):
-    status: str = Field(..., description="Status of the service", examples=["ok"])
-    mode: Optional[str] = Field(None, description="Running mode: 'gateway' (proxied) or 'server' (standalone)", examples=["gateway"])
-    model_loaded: bool = Field(..., description="Whether the ASR model is currently loaded on the accelerator")
-    model_id: Optional[str] = Field(None, description="The model ID loaded", examples=["Qwen/Qwen3-ASR-1.7B"])
-    device: Optional[str] = Field(None, description="Accelerator device kind", examples=["TPU v5 lite"])
-    num_devices: Optional[int] = Field(None, description="Number of accelerator chips visible")
-    hbm_used_mb: Optional[int] = Field(None, description="Accelerator memory currently in use (MB)")
+    """Service liveness + model/accelerator state."""
+    status: str = Field(description="Service status", examples=["ok"])
+    mode: Optional[str] = Field(None, description="'gateway' (proxied), 'worker', or absent for standalone")
+    model_loaded: bool = Field(description="Whether the ASR model is resident on the accelerator")
+    model_id: Optional[str] = Field(None, description="Loaded model identifier")
+    device: Optional[str] = Field(None, description="Accelerator kind", examples=["TPU v5 lite"])
+    num_devices: Optional[int] = Field(None, description="Visible accelerator chips")
+    hbm_used_mb: Optional[int] = Field(None, description="Accelerator memory in use (MB)")
     hbm_limit_mb: Optional[int] = Field(None, description="Accelerator memory capacity (MB)")
-    worker_alive: Optional[bool] = Field(None, description="Whether the internal worker process is responsive (gateway mode only)")
+    worker_alive: Optional[bool] = Field(None, description="Worker process responsive (gateway mode)")
 
 
 class TranscriptionResponse(BaseModel):
-    text: str = Field(..., description="The transcribed text")
-    language: str = Field(..., description="The detected or requested language code", examples=["en"])
+    """Result of POST /v1/audio/transcriptions."""
+    text: str = Field(description="Transcribed text")
+    language: str = Field(description="Detected or requested language code")
 
-    model_config = {"json_schema_extra": {"examples": [{
-        "text": "Hello, how are you today?", "language": "en"}]}}
+    model_config = _example(text="Hello, how are you today?", language="en")
 
 
 class TranslationResponse(BaseModel):
-    text: str = Field(..., description="The translated text")
-    language: str = Field(..., description="The target language code used", examples=["en"])
+    """Result of POST /v1/audio/translations (json format)."""
+    text: str = Field(description="Translated text")
+    language: str = Field(description="Target language code used")
 
-    model_config = {"json_schema_extra": {"examples": [{
-        "text": "Hello, how are you?", "language": "en"}]}}
+    model_config = _example(text="Hello, how are you?", language="en")
 
 
 class SSEChunkEvent(BaseModel):
-    """Schema for SSE `chunk` events emitted during streaming transcription."""
-    text: str = Field(..., description="Transcribed text for this chunk")
-    chunk_index: int = Field(..., description="Zero-based index of this chunk")
-    is_final: bool = Field(..., description="Whether this is the last chunk")
-    language: str = Field(..., description="Detected language code")
+    """One `data:` event of the SSE streaming transcription."""
+    text: str = Field(description="Transcribed text for this chunk")
+    chunk_index: int = Field(description="Zero-based chunk index")
+    is_final: bool = Field(description="True on the last chunk")
+    language: str = Field(description="Detected language code")
 
-    model_config = {"json_schema_extra": {"examples": [{
-        "text": "This is the first part", "chunk_index": 0,
-        "is_final": False, "language": "en"}]}}
+    model_config = _example(text="This is the first part", chunk_index=0,
+                            is_final=False, language="en")
 
 
 class WebSocketHandshake(BaseModel):
-    """Initial message sent by the server after WebSocket connection."""
-    status: str = Field(..., description="Connection status", examples=["connected"])
-    buffer_size: int = Field(..., description="Audio buffer size in bytes before inference triggers")
-    window_max_s: float = Field(..., description="Maximum sliding window duration in seconds")
-    use_server_vad: bool = Field(..., description="Whether server-side VAD is enabled for this connection")
-    sample_rate: int = Field(..., description="Expected input sample rate in Hz", examples=[16000])
+    """First message the server sends after a WS connection is accepted."""
+    status: str = Field(description="Connection status", examples=["connected"])
+    sample_rate: int = Field(description="Expected PCM input rate (Hz)")
+    buffer_size: int = Field(description="Bytes buffered before each partial transcription")
+    window_max_s: float = Field(description="Sliding-window cap (seconds)")
+    use_server_vad: bool = Field(description="Server-side VAD active for this connection")
 
-    model_config = {"json_schema_extra": {"examples": [{
-        "status": "connected", "buffer_size": 14400, "window_max_s": 6.0,
-        "use_server_vad": True, "sample_rate": 16000}]}}
+    model_config = _example(status="connected", sample_rate=16000,
+                            buffer_size=14400, window_max_s=6.0,
+                            use_server_vad=True)
 
 
 class WebSocketPartial(BaseModel):
-    """Partial transcription result sent during WebSocket streaming."""
-    partial: str = Field(..., description="Cumulative transcript of the current sliding window")
-    language: str = Field(..., description="Detected language code")
+    """Streaming partial: cumulative transcript of the current window."""
+    partial: str = Field(description="Cumulative transcript — replace, don't append")
+    language: str = Field(description="Detected language code")
 
-    model_config = {"json_schema_extra": {"examples": [{
-        "partial": "Hello how are you", "language": "en"}]}}
+    model_config = _example(partial="Hello how are you", language="en")
 
 
 API_TAGS = [
     {"name": "Transcription",
-     "description": "Speech-to-text transcription endpoints. Upload audio files (WAV, AIFF, AU) to get text back."},
-    {"name": "Translation",
-     "description": "Transcribe and translate audio into English or Chinese using an external LLM API."},
-    {"name": "Subtitles",
-     "description": "Generate SRT subtitle files from audio. Supports 'fast' (heuristic) and 'accurate' (ForcedAligner) modes."},
+     "description": "Speech-to-text endpoints. Upload audio (WAV, AIFF, AU) and get text back."},
     {"name": "Streaming",
-     "description": "Real-time and SSE streaming transcription for low-latency use cases."},
+     "description": "Real-time WebSocket and SSE transcription for low-latency use."},
+    {"name": "Subtitles",
+     "description": "SRT generation — 'fast' heuristic timing or 'accurate' forced alignment."},
+    {"name": "Translation",
+     "description": "Transcribe then translate to English or Chinese via an external LLM."},
     {"name": "System",
-     "description": "Health checks, model status, and server diagnostics."},
+     "description": "Health, model state, diagnostics, profiler traces."},
 ]
 
 API_DESCRIPTION = """\
@@ -103,11 +111,11 @@ rebuilt on JAX/XLA/Pallas.
 - **SRT subtitle** generation (fast and accurate modes)
 - **Translation** via external LLM API
 
-## Audio Formats
-Supported natively: WAV (PCM/float), AIFF/AIFC, AU, RF64.
-Compressed formats (MP3/OGG/FLAC/M4A) require an external decoder.
+## Audio formats
+Native decode: WAV (PCM/float), AIFF/AIFC, AU, RF64. Compressed containers
+(MP3/OGG/FLAC/M4A) need an external decoder.
 
-## WebSocket Protocol
-Connect to `/ws/transcribe` and send raw PCM audio (16-bit LE, 16kHz mono).
-Send JSON actions `flush` / `reset` / `config` for control.
+## WebSocket protocol
+Connect to `/ws/transcribe`, stream raw PCM (s16le, mono, 16 kHz), and use
+JSON actions `flush` / `reset` / `config`. See docs/WEBSOCKET_USAGE.md.
 """
