@@ -314,8 +314,13 @@ class TranscriptionEngine:
                                     language, context)[0]
             start_t = seg_start / TARGET_SR
             end_t = (seg_start + len(seg)) / TARGET_SR
+            if lang_code is None and text:
+                from ..text.langid import detect_language
+                out_lang = detect_language(text) or "auto"
+            else:
+                out_lang = lang_code or "auto"
             res = TranscriptionResult(
-                text=text, language=lang_code or "auto",
+                text=text, language=out_lang,
                 start_time=start_t, end_time=end_t)
             if return_timestamps and text:
                 res.timestamps = _estimate_word_timestamps(text, start_t, end_t)
