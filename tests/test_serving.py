@@ -322,3 +322,38 @@ def test_ws_8k_resample(client, loop):
         assert msg["is_final"] is True
         await ws.close()
     loop.run_until_complete(go())
+
+
+def test_translations_srt_with_fake_llm(client, loop):
+    """Full translate→SRT path against a local OpenAI-compatible fake."""
+    from aiohttp import web as _web
+    from aiohttp.test_utils import TestServer as _TS
+
+    async def go():
+        captured = {}
+
+        async def handler(request):
+            captured["body"] = await request.json()
+            return _web.json_response({"choices": [{"message": {
+                "content": "1\n00:00:00,000 --> 00:00:01,000\ntranslated\n"}}]})
+
+        app = _web.Application()
+        app.router.add_post("/v1/chat/completions", handler)
+        llm = _TS(app, loop=loop)
+        await llm.start_server()
+        os.environ["OPENAI_BASE_URL"] = f"http://127.0.0.1:{llm.port}/v1"
+        os.environ["TRANSLATE_TIMEOUT"] = "30"
+        try:
+            resp = await client.post(
+                "/v1/audio/translations",
+                data=_wav_form(language="zh", response_format="srt"))
+            body = await resp.text()
+            # Empty transcript (random tiny model) returns empty SRT 200;
+            # non-empty goes through the LLM and returns its SRT.
+            assert resp.status == 200
+            if captured:
+                assert captured["body"]["temperature"] == 0.1
+                assert "translated" in body
+        finally:
+            await llm.close()
+    loop.run_until_complete(go())
