@@ -96,7 +96,7 @@ class MicroBatcher:
         def run():
             from ..runtime.engine import TARGET_SR, TranscriptionResult
             mgr._last_used = time.time()
-            texts = mgr.engine._run_bucket(
+            texts, _ = mgr.engine._run_bucket(
                 [p.audio for p in group], bucket_frames, bucket_s, language)
             out = []
             for p, text in zip(group, texts):

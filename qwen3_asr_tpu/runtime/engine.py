@@ -63,6 +63,9 @@ class TranscriptionResult:
     start_time: float = 0.0
     end_time: float = 0.0
     timestamps: Optional[List[dict]] = None
+    # Generated token ids (pre-detokenize) — feed back as resume_tokens on
+    # the next streaming tick for self-draft resume decoding.
+    token_ids: Optional[List[int]] = None
 
 
 def max_new_tokens_for(seconds: float) -> int:
@@ -224,11 +227,58 @@ class TranscriptionEngine:
         self._spec_fns[key] = run
         return run
 
+    def _fused_resume_fn(self, bucket_frames: int, bucket_s: float):
+        """Fused resume executable (batch 1): like _fused_fn plus the
+        previous tick's tokens verified in one pass (runtime/resume.py) —
+        the sliding-window streaming fast path."""
+        from .resume import resume_generate
+        max_new = max_new_tokens_for(bucket_s)
+        key = ("resume", bucket_frames, max_new)
+        fn = self._generate_fns.get(key)
+        if fn is not None:
+            return fn
+
+        cfg = self.model.cfg
+        n_samples = bucket_frames * HOP_LENGTH
+        window = self.frontend.window
+        mel_fb = self.frontend.mel_fb
+        n_mels = self.frontend.n_mels
+        suffix = jnp.asarray(self._suffix_ids, jnp.int32)
+        dtype = self.dtype
+        eos_id, pad_id = self.model.eos_id, self.model.pad_id
+        cache_dtype = self.cache_dtype
+
+        @jax.jit
+        def run(params, audio, prefix_ids, valid_from, prev_tokens, prev_len):
+            def mel_one(a):
+                m, _ = _log_mel_impl(a, jnp.int32(n_samples), window, mel_fb,
+                                     n_mels)
+                return m
+            mel = jax.vmap(mel_one)(audio).astype(dtype)
+            feature_lens = jnp.full((1,), bucket_frames, jnp.int32)
+            audio_embeds, _ = encoder_forward(params["encoder"], cfg.encoder,
+                                              mel, feature_lens)
+            pre = embed_tokens(params["decoder"], cfg.decoder, prefix_ids)
+            suf = embed_tokens(params["decoder"], cfg.decoder,
+                               suffix[None, :])
+            inputs = jnp.concatenate(
+                [pre.astype(dtype), audio_embeds.astype(dtype),
+                 suf.astype(dtype)], axis=1)
+            return resume_generate(params["decoder"], cfg.decoder, inputs,
+                                   valid_from, prev_tokens, prev_len,
+                                   max_new=max_new, eos_id=eos_id,
+                                   pad_id=pad_id, cache_dtype=cache_dtype)
+
+        self._generate_fns[key] = run
+        return run
+
     # -- core batched path --------------------------------------------------------
     def _run_bucket(self, clips: Sequence[np.ndarray], bucket_frames: int,
                     bucket_s: float, language: Optional[str],
-                    context: str = "") -> List[str]:
-        """All clips already ≤ bucket. Returns decoded texts."""
+                    context: str = "",
+                    resume_tokens: Optional[Sequence[int]] = None
+                    ) -> Tuple[List[str], List[List[int]]]:
+        """All clips already ≤ bucket. Returns (texts, token_id_lists)."""
         n_samples = bucket_frames * HOP_LENGTH
         batch = len(clips)
 
@@ -244,7 +294,17 @@ class TranscriptionEngine:
         prefix[:, pad_count:] = prefix_ids
         valid_from = np.full((batch,), pad_count, np.int32)
 
-        if self.draft_model is not None and batch == 1:
+        max_new = max_new_tokens_for(bucket_s)
+        if resume_tokens is not None and batch == 1:
+            prev = np.full((1, max_new), self.model.pad_id, np.int32)
+            usable = list(resume_tokens)[:max_new]
+            prev[0, :len(usable)] = usable
+            fn = self._fused_resume_fn(bucket_frames, bucket_s)
+            result = fn(self.model.params, jnp.asarray(audio),
+                        jnp.asarray(prefix), jnp.asarray(valid_from),
+                        jnp.asarray(prev),
+                        jnp.asarray([len(usable)], jnp.int32))
+        elif self.draft_model is not None and batch == 1:
             fn = self._fused_spec_fn(bucket_frames, bucket_s)
             result = fn(self.model.params, self.draft_model.params,
                         jnp.asarray(audio), jnp.asarray(prefix),
@@ -256,12 +316,13 @@ class TranscriptionEngine:
 
         tokens = np.asarray(result.tokens)
         lengths = np.asarray(result.lengths)
-        texts = []
+        texts, id_lists = [], []
         for i in range(batch):
             ids = strip_generation(tokens[i], int(lengths[i]),
                                    self.model.eos_id)
             texts.append(self.model.tokenizer.decode(ids).strip())
-        return texts
+            id_lists.append(ids)
+        return texts, id_lists
 
     # -- segmentation ---------------------------------------------------------------
     @staticmethod
@@ -292,8 +353,13 @@ class TranscriptionEngine:
     def transcribe(self, audio: np.ndarray, sr: int,
                    language: Optional[str] = None,
                    return_timestamps: bool = False,
-                   context: str = "") -> List[TranscriptionResult]:
-        """SDK-parity surface (reference src/server.py:866-869)."""
+                   context: str = "",
+                   resume_tokens: Optional[Sequence[int]] = None
+                   ) -> List[TranscriptionResult]:
+        """SDK-parity surface (reference src/server.py:866-869).
+
+        resume_tokens: previous streaming tick's token ids — enables
+        self-draft resume decoding (single-segment audio only)."""
         self.last_used = time.time()
         audio = np.asarray(audio, dtype=np.float32)
         if audio.ndim > 1:
@@ -306,12 +372,16 @@ class TranscriptionEngine:
         lang_code, _ = normalize_language(language)
         max_samples = int(MAX_SEGMENT_S * TARGET_SR)
         segments = self._split_long_audio(audio, max_samples)
+        if len(segments) > 1:
+            resume_tokens = None
 
         results: List[TranscriptionResult] = []
         for seg_start, seg in segments:
             bucket_frames, bucket_s = self.bucket_frames(len(seg))
-            text = self._run_bucket([seg], bucket_frames, bucket_s,
-                                    language, context)[0]
+            texts, id_lists = self._run_bucket(
+                [seg], bucket_frames, bucket_s, language, context,
+                resume_tokens=resume_tokens)
+            text, token_ids = texts[0], id_lists[0]
             start_t = seg_start / TARGET_SR
             end_t = (seg_start + len(seg)) / TARGET_SR
             if lang_code is None and text:
@@ -321,7 +391,7 @@ class TranscriptionEngine:
                 out_lang = lang_code or "auto"
             res = TranscriptionResult(
                 text=text, language=out_lang,
-                start_time=start_t, end_time=end_t)
+                start_time=start_t, end_time=end_t, token_ids=token_ids)
             if return_timestamps and text:
                 res.timestamps = _estimate_word_timestamps(text, start_t, end_t)
             results.append(res)
@@ -349,8 +419,8 @@ class TranscriptionEngine:
 
         out: List[Optional[TranscriptionResult]] = [None] * len(prepped)
         for (bf, bs), idxs in by_bucket.items():
-            texts = self._run_bucket([prepped[i] for i in idxs], bf, bs,
-                                     language)
+            texts, _ = self._run_bucket([prepped[i] for i in idxs], bf, bs,
+                                        language)
             for i, text in zip(idxs, texts):
                 out[i] = TranscriptionResult(
                     text=text, language=lang_code or "auto",

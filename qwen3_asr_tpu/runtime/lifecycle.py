@@ -222,9 +222,11 @@ class ModelManager:
 
     # -- inference entry -----------------------------------------------------------
     def transcribe_sync(self, audio, sr, lang_code, return_timestamps,
-                        use_fast: bool = False, context: str = ""):
+                        use_fast: bool = False, context: str = "",
+                        resume_tokens=None):
         """Runs ON the inference thread. Mirrors _do_transcribe
-        (reference src/server.py:849-923) incl. speculative + dual-model."""
+        (reference src/server.py:849-923) incl. speculative + dual-model;
+        resume_tokens enables the streaming self-draft fast path."""
         self._last_used = time.time()
         use_spec = (os.getenv("USE_SPECULATIVE", "").lower() == "true"
                     and self.fast_engine is not None
@@ -241,7 +243,8 @@ class ModelManager:
                                           return_timestamps, context)
         eng = (self.fast_engine if use_fast and self.fast_engine is not None
                else self.engine)
-        return eng.transcribe(audio, sr, lang_code, return_timestamps, context)
+        return eng.transcribe(audio, sr, lang_code, return_timestamps,
+                              context, resume_tokens=resume_tokens)
 
     # -- health ---------------------------------------------------------------------
     def health_info(self) -> dict:

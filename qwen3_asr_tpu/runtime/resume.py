@@ -1,0 +1,129 @@
+"""Resume decoding: verify the previous partial's tokens in one pass.
+
+A TPU-native optimization for the sliding-window streaming loop. Every
+450 ms the reference (and this build's baseline path) re-decodes the WHOLE
+window transcript token by token, even though consecutive partials share
+almost all of their text. Here the previous partial's token ids act as a
+SELF-DRAFT (speculative decoding where the draft is data, not a model):
+
+1. prefill the new window's prompt;
+2. run ONE forward over the previous tokens — the model's argmax at each
+   position says exactly how many of them survive the new audio;
+3. greedy-decode only from the first divergence.
+
+Output is token-identical to full greedy decode (same argument as
+runtime/speculative.py); only the number of sequential steps changes —
+typically γ≈(tokens so far) accepted and 1-4 new tokens per 450 ms tick.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.config import DecoderConfig
+from ..models.decoder import (
+    KVCache,
+    decoder_forward,
+    embed_tokens,
+    init_kv_cache,
+    lm_logits,
+)
+from ..ops.attention import AttnSpec
+from .generate import GenerateResult
+
+
+class _Carry(NamedTuple):
+    cache: KVCache
+    last: jax.Array     # [1]
+    done: jax.Array     # [1]
+    tokens: jax.Array   # [1, max_new]
+    i: jax.Array        # emitted token count
+
+
+def resume_generate(params, cfg: DecoderConfig, inputs_embeds: jax.Array,
+                    valid_from: jax.Array, prev_tokens: jax.Array,
+                    prev_len: jax.Array, *, max_new: int, eos_id: int,
+                    pad_id: int, cache_dtype=jnp.bfloat16) -> GenerateResult:
+    """inputs_embeds: [1, P, H]; prev_tokens: [1, max_new] int32 (pad-filled
+    previous generation); prev_len: [1] count of usable previous tokens.
+
+    Returns exactly what greedy_generate would, in fewer sequential steps.
+    """
+    b, plen, _ = inputs_embeds.shape
+    assert b == 1, "resume decoding is per-stream (batch 1)"
+    total = plen + max_new
+    cache = init_kv_cache(cfg, b, total, dtype=cache_dtype)
+    m = prev_len[0]
+
+    # ---- prefill ---------------------------------------------------------------
+    positions = jnp.broadcast_to(jnp.arange(plen), (b, plen))
+    hidden, cache = decoder_forward(
+        params, cfg, inputs_embeds, positions, cache, jnp.int32(0),
+        AttnSpec(causal=True, valid_from=valid_from))
+    first = jnp.argmax(lm_logits(params, cfg, hidden[:, -1]),
+                       axis=-1).astype(jnp.int32)
+
+    # ---- verify the previous tokens in one forward -------------------------------
+    # prev[0..max_new-1] at positions P..P+max_new-1; preds[i] = greedy token
+    # following prev_0..prev_i (valid while that prefix is itself greedy).
+    hidden = embed_tokens(params, cfg, prev_tokens)
+    positions = plen + jnp.broadcast_to(jnp.arange(max_new), (b, max_new))
+    hidden, cache = decoder_forward(
+        params, cfg, hidden, positions, cache, jnp.int32(plen),
+        AttnSpec(causal=True, q_offset=plen, valid_from=valid_from))
+    preds = jnp.argmax(lm_logits(params, cfg, hidden), axis=-1
+                       ).astype(jnp.int32)[0]                       # [max_new]
+
+    prev = prev_tokens[0]
+    slot = jnp.arange(max_new)
+    # match_i: prev_0..prev_i all equal the greedy chain (cumulative AND),
+    # only meaningful within prev_len and before any EOS.
+    eq = jnp.where(slot == 0, prev[0] == first[0],
+                   prev == jnp.roll(preds, 1))
+    eq &= slot < m
+    eq &= prev != eos_id           # stop reuse at an emitted EOS
+    accepted = jnp.cumprod(eq.astype(jnp.int32))
+    n = jnp.sum(accepted)          # accepted previous tokens (0..m)
+    n = jnp.minimum(n, max_new - 1)  # saturated window: keep last slot free
+
+    # Emitted so far: g_0..g_n  (g_0..g_{n-1} = accepted prev; g_n = next
+    # greedy token after them).
+    g_n = jnp.where(n == 0, first[0], preds[jnp.maximum(n - 1, 0)])
+    tokens0 = jnp.where((slot < n) & (accepted > 0), prev, pad_id)
+    tokens0 = tokens0.at[n].set(g_n)[None, :]                       # [1, max_new]
+    emitted = n + 1
+    done0 = (g_n == eos_id)[None]
+
+    # ---- continue greedy decode from position plen + n ---------------------------
+    def cond(c: _Carry):
+        return (c.i < max_new) & ~jnp.all(c.done)
+
+    def body(c: _Carry):
+        # c.last is generated token index c.i-1, sitting at position
+        # plen + c.i - 1; processing it predicts token c.i.
+        hidden = embed_tokens(params, cfg, c.last[:, None])
+        positions = jnp.full((b, 1), plen + c.i - 1, jnp.int32)
+        spec = AttnSpec(valid_from=valid_from,
+                        valid_to=jnp.full((b,), plen + c.i, jnp.int32))
+        hidden, cache = decoder_forward(params, cfg, hidden, positions,
+                                        c.cache,
+                                        (plen + c.i - 1).astype(jnp.int32),
+                                        spec)
+        nxt = jnp.argmax(lm_logits(params, cfg, hidden[:, -1]),
+                         axis=-1).astype(jnp.int32)
+        nxt = jnp.where(c.done, pad_id, nxt)
+        write = ~c.done[0] & (c.i < max_new)
+        tokens = jax.lax.dynamic_update_slice(
+            c.tokens, jnp.where(write, nxt, c.tokens[0, jnp.minimum(
+                c.i, max_new - 1)])[:, None], (0, jnp.minimum(c.i,
+                                                              max_new - 1)))
+        done = c.done | (nxt == eos_id)
+        return _Carry(cache, nxt, done, tokens, c.i + 1)
+
+    init = _Carry(cache, jnp.asarray([g_n]), done0, tokens0, emitted)
+    final = jax.lax.while_loop(cond, body, init)
+
+    lengths = jnp.sum((final.tokens != pad_id).astype(jnp.int32), axis=-1)
+    return GenerateResult(final.tokens, lengths, final.i - emitted)

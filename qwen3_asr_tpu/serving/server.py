@@ -370,8 +370,14 @@ async def transcribe_stream(request: web.Request) -> web.StreamResponse:
 
 async def _transcribe_with_context(mgr: ModelManager, audio_bytes: bytes,
                                    pad_silence: bool, lang_code,
-                                   use_vad: bool) -> str:
-    """Bandpass + VAD gate + priority-0 inference over the window bytes."""
+                                   use_vad: bool,
+                                   resume_tokens=None):
+    """Bandpass + VAD gate + priority-0 inference over the window bytes.
+
+    Returns (text, token_ids). resume_tokens from the previous tick enable
+    self-draft resume decoding (runtime/resume.py) — the streaming fast
+    path that makes the 450 ms cadence cheap.
+    """
     audio_duration = len(audio_bytes) / 2 / TARGET_SR
     t0 = time.time()
     try:
@@ -380,7 +386,7 @@ async def _transcribe_with_context(mgr: ModelManager, audio_bytes: bytes,
             full_audio.extend(bytes(int((WS_FLUSH_SILENCE_MS / 1000)
                                         * TARGET_SR * 2)))
         if len(full_audio) == 0:
-            return ""
+            return "", None
 
         # Host-side DSP on the native C++ path (no device round-trips in the
         # 450 ms WS cadence): s16→f32 + telephony bandpass FIR.
@@ -390,28 +396,29 @@ async def _transcribe_with_context(mgr: ModelManager, audio_bytes: bytes,
 
         if use_vad and not is_speech(audio):
             log.info("_transcribe_with_context | VAD: silence, skipping inference")
-            return ""
+            return "", resume_tokens
 
         results = await asyncio.wait_for(
             mgr.queue.submit(
                 lambda: mgr.transcribe_sync(audio, TARGET_SR, lang_code, False,
-                                            use_fast=not pad_silence),
+                                            use_fast=not pad_silence,
+                                            resume_tokens=resume_tokens),
                 priority=0),
             timeout=mgr.request_timeout)
         if results:
             text = detect_and_fix_repetitions(results[0].text)
             log.info("_transcribe_with_context | done elapsed={:.2f}s "
                      "text_len={}", time.time() - t0, len(text))
-            return text
-        return ""
+            return text, results[0].token_ids
+        return "", None
     except asyncio.TimeoutError:
         log.warning("_transcribe_with_context | timed out after {:.2f}s "
                     "audio={:.2f}s", time.time() - t0, audio_duration)
-        return "[timeout]"
+        return "[timeout]", None
     except Exception as e:
         log.error("_transcribe_with_context | error after {:.2f}s: {}",
                   time.time() - t0, e)
-        return f"[error: {e}]"
+        return f"[error: {e}]", None
 
 
 _bandpass_kernel = None
@@ -444,6 +451,7 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
     client_sr = int(request.query.get("sample_rate", str(TARGET_SR)))
     chunk_count = 0
     prev_had_speech = False
+    prev_tokens = None  # last partial's token ids (resume decoding)
 
     try:
         if client_sr not in (8000, 16000):
@@ -482,8 +490,9 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
                         audio_window.extend(audio_buffer)
                         audio_buffer.clear()
                     if len(audio_window) > 0:
-                        text = await _transcribe_with_context(
-                            mgr, bytes(audio_window), True, lang_code, use_vad)
+                        text, _ = await _transcribe_with_context(
+                            mgr, bytes(audio_window), True, lang_code,
+                            use_vad, resume_tokens=prev_tokens)
                         chunk_count += 1
                         await ws.send_json({"text": text, "is_partial": False,
                                             "is_final": True})
@@ -491,10 +500,12 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
                         await ws.send_json({"text": "", "is_partial": False,
                                             "is_final": True})
                     audio_window.clear()
+                    prev_tokens = None
 
                 elif action == "reset":
                     audio_buffer.clear()
                     audio_window.clear()
+                    prev_tokens = None
                     await ws.send_json({"status": "buffer_reset"})
 
                 elif action == "config":
@@ -541,22 +552,23 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
                         if not has_speech and prev_had_speech:
                             prev_had_speech = False
                             vad_flushed = True
-                            text = await _transcribe_with_context(
+                            text, _ = await _transcribe_with_context(
                                 mgr, bytes(audio_window), True, lang_code,
-                                use_vad)
+                                use_vad, resume_tokens=prev_tokens)
                             chunk_count += 1
                             if text:
                                 await ws.send_json({"text": text,
                                                     "is_partial": False,
                                                     "is_final": True})
                             audio_window.clear()
+                            prev_tokens = None
                         else:
                             prev_had_speech = has_speech
 
                     if not vad_flushed:
-                        text = await _transcribe_with_context(
+                        text, prev_tokens = await _transcribe_with_context(
                             mgr, bytes(audio_window), False, lang_code,
-                            use_vad)
+                            use_vad, resume_tokens=prev_tokens)
                         chunk_count += 1
                         if text:
                             await ws.send_json({"text": text,
@@ -572,8 +584,9 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
             audio_window.extend(audio_buffer)
         if len(audio_window) > 0:
             try:
-                text = await _transcribe_with_context(
-                    mgr, bytes(audio_window), True, lang_code, use_vad)
+                text, _ = await _transcribe_with_context(
+                    mgr, bytes(audio_window), True, lang_code, use_vad,
+                    resume_tokens=prev_tokens)
                 chunk_count += 1
                 if text:
                     log.info("[WS] Final transcription on disconnect: {}", text)
