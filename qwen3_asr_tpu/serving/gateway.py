@@ -33,7 +33,7 @@ from .http import (
     request_id_middleware,
 )
 from .schemas import API_DESCRIPTION, API_TAGS
-from .server import API_TITLE, API_VERSION, route_metadata
+from .meta import API_TITLE, API_VERSION, route_metadata
 
 WORKER_HOST = os.getenv("WORKER_HOST", "127.0.0.1")
 WORKER_PORT = int(os.getenv("WORKER_PORT", "8001"))
