@@ -1,0 +1,119 @@
+"""Fine-tuning CLI: audio-conditioned LM training over a DP×TP mesh.
+
+Minimal trainer around runtime/train.py for adapting checkpoints
+(domain audio, new vocab conditioning). Data format: a manifest of
+``{"wav": path, "text": transcript}`` JSON lines.
+
+    python -m qwen3_asr_tpu.tools.finetune \
+        --model-id /ckpt --manifest data.jsonl --steps 100 --lr 1e-5
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def make_batch(engine, items, bucket_s: float = 6.0):
+    """Manifest rows → padded training batch dict (mel, prompt, targets)."""
+    import numpy as np
+    from ..audio.codec import decode_audio
+    from ..audio.resample import resample
+    from ..runtime.engine import HOP_LENGTH, PREFIX_BUDGET
+
+    model = engine.model
+    chunk = model.cfg.encoder.n_window * 2
+    frames = int(bucket_s * 100)
+    frames = ((frames + chunk - 1) // chunk) * chunk
+    n_samples = frames * HOP_LENGTH
+
+    mels, prompts, targets = [], [], []
+    max_tgt = 0
+    for item in items:
+        with open(item["wav"], "rb") as f:
+            audio, sr = decode_audio(f.read())
+        if sr != 16000:
+            audio = resample(audio, sr, 16000)
+        padded = np.zeros(n_samples, dtype=np.float32)
+        padded[:min(len(audio), n_samples)] = audio[:n_samples]
+        mel, _ = engine.frontend(padded)
+        mels.append(np.asarray(mel))
+
+        prefix, _, _ = model.prompt_ids(0, item.get("language"))
+        prefix = prefix[-PREFIX_BUDGET:]
+        prompts.append(prefix)
+        tgt = model.tokenizer.encode(item["text"]) + [model.eos_id]
+        targets.append(tgt)
+        max_tgt = max(max_tgt, len(tgt))
+
+    max_pre = max(len(p) for p in prompts)
+    b = len(items)
+    batch = {
+        "mel": np.stack(mels).astype(np.float32),
+        "feature_lens": np.full((b,), frames, np.int32),
+        "prompt_ids": np.full((b, max_pre), model.pad_id, np.int32),
+        "target_ids": np.full((b, max_tgt), model.pad_id, np.int32),
+        "target_mask": np.zeros((b, max_tgt), np.int32),
+    }
+    for i, (p, t) in enumerate(zip(prompts, targets)):
+        batch["prompt_ids"][i, -len(p):] = p
+        batch["target_ids"][i, :len(t)] = t
+        batch["target_mask"][i, :len(t)] = 1
+    return batch
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model-id", default=os.getenv("MODEL_ID"))
+    parser.add_argument("--manifest", required=True)
+    parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--lr", type=float, default=1e-5)
+    parser.add_argument("--bucket-s", type=float, default=6.0)
+    parser.add_argument("--output", default="finetuned")
+    parser.add_argument("--dp", type=int, default=None)
+    args = parser.parse_args()
+
+    import jax
+    import optax
+    from ..parallel.mesh import make_mesh, shard_params
+    from ..runtime.lifecycle import _load_engine_sync
+    from ..runtime.train import init_train_state, make_train_step
+    from ..utils.logging import log
+    from ..utils.platform import honor_platform_env
+
+    honor_platform_env()
+    engine = _load_engine_sync(args.model_id)
+    model = engine.model
+
+    with open(args.manifest) as f:
+        rows = [json.loads(line) for line in f if line.strip()]
+    log.info("Fine-tuning on {} clips for {} steps", len(rows), args.steps)
+
+    mesh = make_mesh(jax.devices(), dp=args.dp)
+    params = shard_params(model.params, mesh)
+    optimizer = optax.adamw(args.lr)
+    state = init_train_state(params, optimizer)
+    step_fn = jax.jit(make_train_step(model.cfg, optimizer),
+                      donate_argnums=(0,))
+
+    for step in range(args.steps):
+        items = [rows[(step * args.batch_size + i) % len(rows)]
+                 for i in range(args.batch_size)]
+        batch = make_batch(engine, items, args.bucket_s)
+        t0 = time.time()
+        state, loss = step_fn(state, batch)
+        log.info("step {} | loss {:.4f} | {:.2f}s", step, float(loss),
+                 time.time() - t0)
+
+    import orbax.checkpoint as ocp
+    os.makedirs(args.output, exist_ok=True)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(args.output) + "/params", state.params,
+                   force=True)
+    log.info("Saved fine-tuned params to {}/params", args.output)
+
+
+if __name__ == "__main__":
+    main()
