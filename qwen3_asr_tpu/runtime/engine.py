@@ -80,7 +80,6 @@ class TranscriptionEngine:
         self.dtype = dtype
         self.cache_dtype = cache_dtype or dtype
         self.frontend = LogMelFrontend(n_mels=model.cfg.encoder.num_mel_bins)
-        self._encode_jit = jax.jit(model.encode_audio)
         self._generate_fns = {}   # (prompt_len, max_new) -> fn
         chunk = model.cfg.encoder.n_window * 2
         self._chunk_frames = chunk

@@ -114,11 +114,10 @@ def resume_generate(params, cfg: DecoderConfig, inputs_embeds: jax.Array,
         nxt = jnp.argmax(lm_logits(params, cfg, hidden[:, -1]),
                          axis=-1).astype(jnp.int32)
         nxt = jnp.where(c.done, pad_id, nxt)
-        write = ~c.done[0] & (c.i < max_new)
-        tokens = jax.lax.dynamic_update_slice(
-            c.tokens, jnp.where(write, nxt, c.tokens[0, jnp.minimum(
-                c.i, max_new - 1)])[:, None], (0, jnp.minimum(c.i,
-                                                              max_new - 1)))
+        # cond guarantees c.i < max_new and not done (batch 1), so the slot
+        # is always writable.
+        tokens = jax.lax.dynamic_update_slice(c.tokens, nxt[:, None],
+                                              (0, c.i))
         done = c.done | (nxt == eos_id)
         return _Carry(cache, nxt, done, tokens, c.i + 1)
 
