@@ -96,8 +96,18 @@ class MicroBatcher:
         def run():
             from ..runtime.engine import TARGET_SR, TranscriptionResult
             mgr._last_used = time.time()
-            texts, _ = mgr.engine._run_bucket(
-                [p.audio for p in group], bucket_frames, bucket_s, language)
+            clips = [p.audio for p in group]
+            # Pad the batch to a power-of-two size so only {1,2,4,8,...}
+            # batch shapes ever compile (arbitrary group sizes would each
+            # build a fresh executable).
+            padded_n = 1
+            while padded_n < len(clips):
+                padded_n *= 2
+            while len(clips) < padded_n:
+                clips.append(np.zeros(1600, dtype=np.float32))
+            texts, _ = mgr.engine._run_bucket(clips, bucket_frames, bucket_s,
+                                              language)
+            texts = texts[:len(group)]
             out = []
             for p, text in zip(group, texts):
                 out.append([TranscriptionResult(

@@ -47,7 +47,8 @@ def test_concurrent_same_bucket_batched(manager):
         finally:
             manager.engine._run_bucket = orig
             manager.queue.stop()
-        assert dispatches == [3]  # one batched dispatch for all three
+        # one dispatch, padded to the power-of-two batch shape (4)
+        assert dispatches == [4]
         for r in results:
             assert r[0].language == "en"
     _run(go())

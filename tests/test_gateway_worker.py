@@ -126,3 +126,57 @@ def test_gateway_spawns_real_worker(tmp_path):
         except Exception:
             pass
         loop.close()
+
+
+@pytest.mark.slow
+def test_gateway_respawns_dead_worker(tmp_path):
+    """Supervisor detects a killed worker (Popen.poll) and respawns on the
+    next request (reference gateway.py:51; recovery E2E parity)."""
+    ckpt = str(tmp_path / "ckpt")
+    write_tiny_checkpoint(ckpt)
+    os.environ["MODEL_ID"] = ckpt
+    os.environ["SKIP_WARMUP"] = "true"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["WORKER_PORT"] = "18317"
+    os.environ["WORKER_STARTUP_TIMEOUT"] = "90"
+
+    import importlib
+    from qwen3_asr_tpu.serving import gateway as gw
+    importlib.reload(gw)
+
+    loop = asyncio.new_event_loop()
+    sup = gw.WorkerSupervisor()
+    try:
+        client = TestClient(TestServer(gw.build_app(sup)), loop=loop)
+        loop.run_until_complete(client.start_server())
+
+        async def transcribe_once():
+            import aiohttp
+            form = aiohttp.FormData()
+            form.add_field("file", encode_wav(speech_like(0.4, seed=0), 16000),
+                           filename="t.wav", content_type="audio/wav")
+            resp = await client.post("/v1/audio/transcriptions", data=form)
+            assert resp.status == 200, await resp.text()
+
+        loop.run_until_complete(asyncio.wait_for(transcribe_once(), 120))
+        first_pid = sup.proc.pid
+
+        # murder the worker
+        sup.proc.kill()
+        sup.proc.wait(timeout=10)
+        assert not sup.alive()
+
+        # next request must respawn a NEW worker and succeed
+        loop.run_until_complete(asyncio.wait_for(transcribe_once(), 120))
+        assert sup.alive()
+        assert sup.proc.pid != first_pid
+
+        loop.run_until_complete(sup.kill())
+        loop.run_until_complete(client.close())
+    finally:
+        try:
+            if sup.proc is not None and sup.proc.poll() is None:
+                sup.proc.kill()
+        except Exception:
+            pass
+        loop.close()
