@@ -431,15 +431,27 @@ class TranscriptionEngine:
                language: Optional[str] = "en") -> None:
         """Compile executables for the given buckets (default: smallest two).
 
+        Warms BOTH the plain path and the streaming resume path per bucket
+        (the WS engine always decodes with resume), plus optional batch
+        shapes for the micro-batcher (ASR_WARMUP_BATCH_SHAPES="2,4,8").
         With USE_CUDA_GRAPHS=true the lifecycle layer sweeps ALL buckets —
         the mapped TPU equivalent of CUDA kernel-cache warming."""
+        import os as _os
         buckets = buckets or AUDIO_BUCKETS_S[:2]
+        batch_shapes = [int(x) for x in
+                        _os.getenv("ASR_WARMUP_BATCH_SHAPES", "").split(",")
+                        if x.strip()]
         rng = np.random.default_rng(42)
         for sec in buckets:
             dummy = (rng.standard_normal(int(TARGET_SR * sec))
                      .astype(np.float32) * 0.01)
             t0 = time.time()
             self.transcribe(dummy, TARGET_SR, language=language)
+            self.transcribe(dummy, TARGET_SR, language=language,
+                            resume_tokens=[])
+            for bsz in batch_shapes:
+                self.transcribe_batch([(dummy, TARGET_SR)] * bsz,
+                                      language=language)
             log.info("Warmup bucket {}s compiled in {:.1f}s", sec,
                      time.time() - t0)
 

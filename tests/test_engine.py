@@ -103,3 +103,12 @@ def test_bucket_frames_chunk_aligned(engine):
 def test_max_new_tokens_budget():
     assert max_new_tokens_for(6) == 64
     assert max_new_tokens_for(30) == 256
+
+
+def test_warmup_covers_resume_and_batches(engine, monkeypatch):
+    monkeypatch.setenv("ASR_WARMUP_BATCH_SHAPES", "2")
+    engine._generate_fns.clear()
+    engine.warmup(buckets=[1.0])
+    keys = set(engine._generate_fns)
+    assert any(isinstance(k[0], int) for k in keys)        # plain fn
+    assert any(k[0] == "resume" for k in keys)             # resume fn
