@@ -76,7 +76,9 @@ def greedy_generate(params, cfg: DecoderConfig, inputs_embeds: jax.Array,
         return (c.i < max_new) & ~jnp.all(c.done)
 
     def body(c: _Carry):
-        pos = prompt_len + c.i
+        # c.last is generated token index c.i-1 → its absolute position is
+        # prompt_len + c.i - 1 (prompt occupies [0, prompt_len)).
+        pos = prompt_len + c.i - 1
         hidden = embed_tokens(params, cfg, c.last[:, None])
         positions = jnp.full((b, 1), pos, jnp.int32)
         # Single-row decode: attendable keys are [valid_from, pos].

@@ -151,3 +151,61 @@ def test_random_init_params_shapes():
     assert params["layers"]["wq"].shape == (3, 64, 64)
     assert params["layers"]["wk"].shape == (3, 64, 32)
     assert params["embed"].shape == (512, 64)
+
+
+def test_greedy_generate_function_matches_hf(hf_model, jax_params):
+    """The PRODUCTION while_loop generator (not a hand-rolled loop) must
+    reproduce HF greedy exactly — regression for the decode-position
+    off-by-one (generated token i sits at position prompt_len+i)."""
+    import torch
+    from qwen3_asr_tpu.models.decoder import embed_tokens as _embed
+    from qwen3_asr_tpu.runtime.generate import greedy_generate
+
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(0, CFG.vocab_size, size=(1, 11), dtype=np.int64)
+    n_new = 10
+
+    with torch.no_grad():
+        hf_out = hf_model.generate(torch.from_numpy(prompt),
+                                   max_new_tokens=n_new, do_sample=False,
+                                   pad_token_id=0)
+    hf_tokens = hf_out[0, prompt.shape[1]:].numpy().tolist()
+
+    embeds = _embed(jax_params, CFG, jnp.asarray(prompt))
+    res = greedy_generate(jax_params, CFG, embeds,
+                          jnp.zeros((1,), jnp.int32), max_new=n_new,
+                          eos_id=-1, pad_id=-2, cache_dtype=jnp.float32)
+    assert np.asarray(res.tokens)[0].tolist() == hf_tokens
+
+
+def test_resume_and_speculative_match_hf_greedy(hf_model, jax_params):
+    """resume_generate and speculative_generate must agree with HF too
+    (all three decode paths share the position convention)."""
+    import torch
+    from qwen3_asr_tpu.models.decoder import embed_tokens as _embed
+    from qwen3_asr_tpu.runtime.resume import resume_generate
+    from qwen3_asr_tpu.runtime.speculative import speculative_generate
+
+    rng = np.random.default_rng(8)
+    prompt = rng.integers(0, CFG.vocab_size, size=(1, 9), dtype=np.int64)
+    n_new = 8
+    with torch.no_grad():
+        hf_out = hf_model.generate(torch.from_numpy(prompt),
+                                   max_new_tokens=n_new, do_sample=False,
+                                   pad_token_id=0)
+    hf_tokens = hf_out[0, prompt.shape[1]:].numpy().tolist()
+
+    embeds = _embed(jax_params, CFG, jnp.asarray(prompt))
+    vf = jnp.zeros((1,), jnp.int32)
+
+    res = resume_generate(jax_params, CFG, embeds, vf,
+                          jnp.full((1, n_new), -2, jnp.int32),
+                          jnp.zeros((1,), jnp.int32), max_new=n_new,
+                          eos_id=-1, pad_id=-2, cache_dtype=jnp.float32)
+    assert np.asarray(res.tokens)[0].tolist() == hf_tokens
+
+    spec = speculative_generate(jax_params, jax_params, CFG, CFG, embeds,
+                                embeds, vf, vf, gamma=3, max_new=n_new,
+                                eos_id=-1, pad_id=-2,
+                                cache_dtype=jnp.float32)
+    assert np.asarray(spec.tokens)[0].tolist() == hf_tokens
