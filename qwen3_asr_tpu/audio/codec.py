@@ -8,6 +8,7 @@ serving layer maps that to the same AUDIO_DECODE_FAILED error the reference
 returns for undecodable input.
 
 Decoded audio is returned as mono float32 in [-1, 1] plus the sample rate.
+(W64 — the GUID-chunked Sony Wave64 container — is NOT handled; RF64 is.)
 """
 from __future__ import annotations
 
@@ -84,6 +85,7 @@ _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 def _decode_wav(buf: bytes) -> Tuple[np.ndarray, int]:
     big_endian = buf[:4] == b"RIFX"
+    is_rf64 = buf[:4] == b"RF64"
     order = ">" if big_endian else "<"
     if buf[8:12] != b"WAVE":
         raise AudioDecodeError("not a WAVE file")
@@ -91,11 +93,18 @@ def _decode_wav(buf: bytes) -> Tuple[np.ndarray, int]:
     fmt_tag = None
     channels = sr = sampwidth = None
     data = None
+    ds64_data_size = None
     while pos + 8 <= len(buf):
         cid = buf[pos:pos + 4]
         (csize,) = struct.unpack(order + "I", buf[pos + 4:pos + 8])
+        if is_rf64 and csize == 0xFFFFFFFF and ds64_data_size is not None \
+                and cid == b"data":
+            csize = ds64_data_size
         body = buf[pos + 8:pos + 8 + csize]
-        if cid == b"fmt ":
+        if cid == b"ds64" and len(body) >= 24:
+            # RF64 64-bit sizes: riffSize, dataSize, sampleCount
+            _, ds64_data_size, _ = struct.unpack(order + "QQQ", body[:24])
+        elif cid == b"fmt ":
             if len(body) < 16:
                 raise AudioDecodeError("truncated fmt chunk")
             fmt_tag, channels, sr, _, _, bits = struct.unpack(order + "HHIIHH", body[:16])
@@ -205,7 +214,7 @@ def decode_audio(audio_bytes: bytes) -> Tuple[np.ndarray, int]:
         raise AudioDecodeError(f"input too short to be audio ({len(audio_bytes)} bytes)")
     head = audio_bytes[:4]
     try:
-        if head in (b"RIFF", b"RIFX"):
+        if head in (b"RIFF", b"RIFX", b"RF64"):
             return _decode_wav(audio_bytes)
         if head == b"FORM":
             return _decode_aiff(audio_bytes)

@@ -56,6 +56,52 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     return np.asarray(out)
 
 
+class StreamingResampler:
+    """Stateful integer-factor upsampler for frame-by-frame streams.
+
+    A stateless per-frame FIR zero-pads every frame edge, stamping seam
+    artifacts into the signal at each WS message boundary. This keeps
+    enough input history across calls that every emitted output sample is
+    computed from REAL neighboring samples — byte-identical to resampling
+    the whole stream at once (interior region).
+
+    Supports target_sr = L × orig_sr (the serving case is 8 kHz → 16 kHz).
+    """
+
+    def __init__(self, orig_sr: int, target_sr: int):
+        assert target_sr % orig_sr == 0, "integer upsampling factors only"
+        self.up = target_sr // orig_sr
+        self.h = _kaiser_lowpass(self.up, 1)
+        self.pad = (len(self.h) - 1) // 2           # high-rate group delay
+        # history needed so consecutive exact regions overlap (K ≥ 2P/L)
+        self.keep = 2 * (-(-self.pad // self.up))
+        self._tail = np.zeros(0, np.float32)
+        self._in_count = 0                           # inputs consumed
+        self._out_emitted = 0                        # outputs emitted
+
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        """Feed a block of float32 samples; returns finalized output."""
+        samples = np.asarray(samples, dtype=np.float32)
+        if len(samples) == 0:
+            return np.zeros(0, np.float32)
+        x = np.concatenate([self._tail, samples])
+        g0 = (self._in_count - len(self._tail)) * self.up
+        from . import native
+        out_full = native.resample_poly(x, self.up, 1, self.h)
+        exact_end = len(x) * self.up - self.pad      # outputs final so far
+        lo = self._out_emitted - g0
+        out = out_full[max(lo, 0):max(exact_end, 0)]
+        self._out_emitted = max(self._out_emitted, g0 + exact_end)
+        self._in_count += len(samples)
+        self._tail = x[-self.keep:] if len(x) >= self.keep else x
+        return out
+
+    def process_pcm(self, pcm_bytes: bytes) -> bytes:
+        samples = np.frombuffer(pcm_bytes, dtype=np.int16).astype(np.float32)
+        out = self.process(samples)
+        return np.clip(out, -32768, 32767).astype(np.int16).tobytes()
+
+
 def resample_pcm_bytes(pcm_bytes: bytes, orig_sr: int, target_sr: int = 16000) -> bytes:
     """Resample raw PCM s16le bytes (reference src/server.py:32-42 contract).
 

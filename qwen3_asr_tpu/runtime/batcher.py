@@ -74,9 +74,13 @@ class MicroBatcher:
                 self._groups[key] = group
                 asyncio.create_task(self._flush_later(key))
             group.append(pending)
+            full = None
             if len(group) >= self.max_batch:
-                self._groups.pop(key, None)
-                await self._submit(key, group)
+                full = self._groups.pop(key, None)
+        if full:
+            # Submit OUTSIDE the lock — the batched device call can take
+            # seconds and must not stall admission of other requests.
+            asyncio.create_task(self._submit(key, full))
         return await future
 
     async def _flush_later(self, key):
@@ -110,8 +114,13 @@ class MicroBatcher:
             texts = texts[:len(group)]
             out = []
             for p, text in zip(group, texts):
+                if language is None and text:
+                    from ..text.langid import detect_language
+                    out_lang = detect_language(text) or "auto"
+                else:
+                    out_lang = language or "auto"
                 out.append([TranscriptionResult(
-                    text=text, language=(language or "auto"),
+                    text=text, language=out_lang,
                     start_time=0.0, end_time=len(p.audio) / TARGET_SR)])
             return out
 

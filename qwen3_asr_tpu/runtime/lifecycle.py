@@ -29,7 +29,7 @@ from ..utils.logging import log
 from .queue import PriorityInferQueue, infer_executor
 
 
-def _load_engine_sync(model_id: str, fast: bool = False):
+def _load_engine_sync(model_id: str):
     import jax
     import jax.numpy as jnp
 
@@ -152,7 +152,7 @@ class ModelManager:
                 try:
                     log.info("Loading fast model {} ({})...", fast_id,
                              "speculative" if use_spec else "dual-model")
-                    self.fast_engine = _load_engine_sync(fast_id, fast=True)
+                    self.fast_engine = _load_engine_sync(fast_id)
                 except Exception as e:
                     log.error("Fast model load failed: {}, using single model", e)
             else:

@@ -79,8 +79,10 @@ class WorkerSupervisor:
                     sys.executable, "-m", "qwen3_asr_tpu.serving.worker",
                     "--host", WORKER_HOST, "--port", str(WORKER_PORT),
                 ])
-                deadline = int(os.getenv("WORKER_STARTUP_TIMEOUT", "120"))
-                for _ in range(deadline):
+                deadline = time.time() + int(
+                    os.getenv("WORKER_STARTUP_TIMEOUT", "120"))
+                ready = False
+                while time.time() < deadline:
                     await asyncio.sleep(1)
                     try:
                         async with aiohttp.ClientSession() as session:
@@ -91,12 +93,24 @@ class WorkerSupervisor:
                                 if resp.status == 200:
                                     self._last_health = await resp.json()
                                     log.info("Worker process ready")
+                                    ready = True
                                     break
                     except Exception:
                         continue
-                else:
+                if not ready:
+                    # Don't leave a wedged-but-alive process behind: kill it
+                    # so the next request retries a clean spawn, and surface
+                    # the structured error contract instead of a raw
+                    # connection failure.
                     log.error("Worker process failed to become ready "
-                              "after {}s", deadline)
+                              "within WORKER_STARTUP_TIMEOUT")
+                    self.proc.terminate()
+                    try:
+                        self.proc.wait(timeout=10)
+                    except subprocess.TimeoutExpired:
+                        self.proc.kill()
+                    self.proc = None
+                    raise RuntimeError("worker failed to become ready")
             self.last_used = time.time()
 
     async def kill(self):
@@ -358,8 +372,20 @@ async def gw_health(request: web.Request) -> web.Response:
     return web.json_response(info)
 
 
+@web.middleware
+async def _worker_failure_middleware(request, handler):
+    """Map supervision failures to the structured error contract
+    (WORKER_STARTUP_FAILED, reference gateway.py:352-354)."""
+    try:
+        return await handler(request)
+    except RuntimeError as e:
+        return error_response("WORKER_STARTUP_FAILED",
+                              f"Worker startup failed: {e}", 503)
+
+
 def build_app(supervisor: WorkerSupervisor | None = None) -> web.Application:
-    app = web.Application(middlewares=[request_id_middleware],
+    app = web.Application(middlewares=[request_id_middleware,
+                                       _worker_failure_middleware],
                           client_max_size=512 * 1024 ** 2)
     app["supervisor"] = supervisor or WorkerSupervisor()
 

@@ -448,6 +448,10 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
     if vad_param is not None:
         use_vad = vad_param.lower() in ("true", "1", "yes")
     client_sr = int(request.query.get("sample_rate", str(TARGET_SR)))
+    resampler = None
+    if client_sr in (8000,) :
+        from ..audio.resample import StreamingResampler
+        resampler = StreamingResampler(client_sr, TARGET_SR)
     chunk_count = 0
     prev_had_speech = False
     prev_tokens = None  # last partial's token ids (resume decoding)
@@ -527,9 +531,9 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
 
             elif msg.type == WSMsgType.BINARY:
                 incoming = msg.data
-                if client_sr != TARGET_SR:
-                    incoming = resample_pcm_bytes(incoming, client_sr,
-                                                  TARGET_SR)
+                if resampler is not None:
+                    # stateful resampler: no FIR seams at frame boundaries
+                    incoming = resampler.process_pcm(incoming)
                 audio_buffer.extend(incoming)
 
                 if len(audio_buffer) >= WS_BUFFER_SIZE:

@@ -134,19 +134,14 @@ def _monotonic_align(sim: np.ndarray) -> np.ndarray:
     dp = np.full((n_tok, n_frames), NEG, np.float32)
     back = np.zeros((n_tok, n_frames), np.int32)
     dp[0] = sim[0]
+    idx = np.arange(n_frames, dtype=np.int32)
     for i in range(1, n_tok):
-        # best predecessor at frame <= j (running max over previous row)
+        # best predecessor at frame <= j: vectorized running argmax
+        # (>= semantics: ties prefer the later frame)
         run_best = np.maximum.accumulate(dp[i - 1])
-        run_idx = np.zeros(n_frames, np.int32)
-        best = dp[i - 1][0]
-        bidx = 0
-        for j in range(n_frames):
-            if dp[i - 1][j] >= best:
-                best = dp[i - 1][j]
-                bidx = j
-            run_idx[j] = bidx
+        is_new = dp[i - 1] >= run_best
+        back[i] = np.maximum.accumulate(np.where(is_new, idx, 0))
         dp[i] = run_best + sim[i]
-        back[i] = run_idx
     path = np.zeros(n_tok, np.int32)
     path[-1] = int(np.argmax(dp[-1]))
     for i in range(n_tok - 1, 0, -1):

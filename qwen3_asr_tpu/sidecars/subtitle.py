@@ -256,7 +256,12 @@ def aligner_loaded() -> bool:
 
 def align_audio(audio, sr: int, text: str, language: str
                 ) -> List[WordTimestamp]:
-    """Word-level alignment with 5-minute chunking + heuristic fallback."""
+    """Word-level alignment with 5-minute chunking + heuristic fallback.
+
+    Long audio: the transcript is partitioned across chunks proportionally
+    to chunk duration (our DTW aligner maps EVERY given token into the
+    audio it is shown, so each chunk must only see its own share of text).
+    """
     if _aligner is None:
         raise RuntimeError("ForcedAligner not loaded. Call load_aligner() first.")
 
@@ -265,16 +270,24 @@ def align_audio(audio, sr: int, text: str, language: str
     if total <= max_samples:
         return _align_chunk(audio, sr, text, language, 0.0)
 
+    tokens = _tokenize(text)
+    joiner = "" if _is_cjk(text) else " "
+    n_chunks = -(-total // max_samples)
     words: List[WordTimestamp] = []
-    pos, offset = 0, 0.0
-    while pos < total:
+    pos, offset, tok_pos = 0, 0.0, 0
+    for ci in range(n_chunks):
         chunk = audio[pos:pos + max_samples]
         chunk_s = len(chunk) / sr
+        # this chunk's proportional share of the transcript
+        tok_end = (len(tokens) if ci == n_chunks - 1 else
+                   round(len(tokens) * (pos + len(chunk)) / total))
+        chunk_text = joiner.join(tokens[tok_pos:tok_end])
         try:
-            words.extend(_align_chunk(chunk, sr, text, language, offset))
+            words.extend(_align_chunk(chunk, sr, chunk_text, language, offset))
         except Exception:
-            words.extend(estimate_word_timestamps(text, offset,
+            words.extend(estimate_word_timestamps(chunk_text, offset,
                                                   offset + chunk_s))
+        tok_pos = tok_end
         offset += chunk_s
         pos += max_samples
     return words

@@ -101,3 +101,19 @@ def test_compressed_formats_unsupported():
         decode_audio(b"fLaC" + b"\x00" * 100)
     with pytest.raises(UnsupportedFormatError):
         decode_audio(b"OggS" + b"\x00" * 100)
+
+
+def test_rf64_decode():
+    """RF64 (64-bit WAV): ds64 chunk carries the real data size."""
+    audio = tone(0.1)
+    pcm = np.clip(audio * 32767, -32768, 32767).astype("<i2").tobytes()
+    ds64 = struct.pack("<QQQ", 0, len(pcm), len(audio)) + struct.pack("<I", 0)
+    body = b"WAVE"
+    body += b"ds64" + struct.pack("<I", len(ds64)) + ds64
+    body += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+    body += b"data" + struct.pack("<I", 0xFFFFFFFF) + pcm
+    buf = b"RF64" + struct.pack("<I", 0xFFFFFFFF) + body
+    decoded, sr = decode_audio(buf)
+    assert sr == 16000
+    assert len(decoded) == len(audio)
+    assert np.max(np.abs(decoded - audio)) < 1e-3

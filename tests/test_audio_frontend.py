@@ -108,3 +108,26 @@ def test_bandpass_removes_dc():
     x = np.ones(8000, dtype=np.float32) * 0.5
     y = np.asarray(bp(x))
     assert np.abs(y[1000:-1000]).max() < 0.01
+
+
+def test_streaming_resampler_matches_oneshot():
+    """Frame-by-frame streaming resample must equal whole-stream resample
+    in the interior (no per-frame seam artifacts)."""
+    from qwen3_asr_tpu.audio.resample import StreamingResampler, resample
+    audio = speech_like(1.2, sr=8000, seed=9)
+    oneshot = resample(audio, 8000, 16000)
+
+    sr = StreamingResampler(8000, 16000)
+    out = []
+    rng = np.random.default_rng(0)
+    pos = 0
+    while pos < len(audio):
+        n = int(rng.integers(160, 800))  # 20-100ms frames
+        out.append(sr.process(audio[pos:pos + n]))
+        pos += n
+    streamed = np.concatenate(out)
+
+    n = len(streamed)
+    assert n >= len(oneshot) - 200  # only the tail group delay is held back
+    np.testing.assert_allclose(streamed[200:n - 200],
+                               oneshot[200:n - 200], atol=2e-4)
