@@ -20,7 +20,6 @@ import numpy as np
 from aiohttp import WSMsgType, web
 
 from ..audio.codec import AudioDecodeError, decode_audio
-from ..audio.resample import resample_pcm_bytes
 from ..audio.vad import is_speech
 from ..config import TARGET_SR, validate_env
 from ..runtime.lifecycle import ModelManager
