@@ -78,6 +78,7 @@ class StreamingResampler:
         self._tail = np.zeros(0, np.float32)
         self._in_count = 0                           # inputs consumed
         self._out_emitted = 0                        # outputs emitted
+        self._byte_carry = b""                       # odd-length PCM frames
 
     def process(self, samples: np.ndarray) -> np.ndarray:
         """Feed a block of float32 samples; returns finalized output."""
@@ -97,7 +98,13 @@ class StreamingResampler:
         return out
 
     def process_pcm(self, pcm_bytes: bytes) -> bytes:
-        samples = np.frombuffer(pcm_bytes, dtype=np.int16).astype(np.float32)
+        # Clients may frame the byte stream at arbitrary (odd) boundaries;
+        # carry the dangling byte into the next frame.
+        data = self._byte_carry + pcm_bytes
+        usable = len(data) - (len(data) % 2)
+        self._byte_carry = data[usable:]
+        samples = np.frombuffer(data[:usable], dtype=np.int16).astype(
+            np.float32)
         out = self.process(samples)
         return np.clip(out, -32768, 32767).astype(np.int16).tobytes()
 
@@ -113,10 +120,8 @@ def resample_pcm_bytes(pcm_bytes: bytes, orig_sr: int, target_sr: int = 16000) -
     from . import native
     g = gcd(orig_sr, target_sr)
     up, down = target_sr // g, orig_sr // g
-    if native.native_available():
-        samples = np.frombuffer(pcm_bytes, dtype=np.int16).astype(np.float32)
-        out = native.resample_poly(samples, up, down, _kaiser_lowpass(up, down))
-        return np.clip(out, -32768, 32767).astype(np.int16).tobytes()
     samples = np.frombuffer(pcm_bytes, dtype=np.int16).astype(np.float32)
-    out = resample(samples, orig_sr, target_sr)
+    # native.resample_poly falls back to an identical numpy path when the
+    # C++ library is unavailable.
+    out = native.resample_poly(samples, up, down, _kaiser_lowpass(up, down))
     return np.clip(out, -32768, 32767).astype(np.int16).tobytes()

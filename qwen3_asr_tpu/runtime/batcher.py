@@ -72,7 +72,7 @@ class MicroBatcher:
             if group is None:
                 group = []
                 self._groups[key] = group
-                asyncio.create_task(self._flush_later(key))
+                asyncio.create_task(self._flush_later(key, group))
             group.append(pending)
             full = None
             if len(group) >= self.max_batch:
@@ -83,10 +83,16 @@ class MicroBatcher:
             asyncio.create_task(self._submit(key, full))
         return await future
 
-    async def _flush_later(self, key):
+    async def _flush_later(self, key, group):
         await asyncio.sleep(self.window_s)
         async with self._lock:
-            group = self._groups.pop(key, None)
+            # Only flush the group this timer was created for — a
+            # max_batch-filled group may already have been popped and a
+            # successor started under the same key.
+            if self._groups.get(key) is group:
+                self._groups.pop(key, None)
+            else:
+                group = None
         if group:
             await self._submit(key, group)
 

@@ -42,12 +42,17 @@ REQUEST_TIMEOUT = int(os.getenv("REQUEST_TIMEOUT", "300"))
 MIN_FREE_HBM_MB = int(os.getenv("MIN_FREE_HBM_MB", "3500"))
 
 
+class WorkerStartupError(RuntimeError):
+    """Worker could not be spawned or never became ready."""
+
+
 class WorkerSupervisor:
     """Owns the worker subprocess: spawn, readiness poll, idle kill."""
 
     def __init__(self):
         self.proc: subprocess.Popen | None = None
         self.last_used = time.time()
+        self.inflight = 0   # proxied requests currently awaiting the worker
         self._lock = asyncio.Lock()
         self._last_health: dict = {}
 
@@ -72,7 +77,8 @@ class WorkerSupervisor:
                 if not ok:
                     log.error("Not enough HBM to start worker: {}MB free, "
                               "need ~{}MB", free_mb, MIN_FREE_HBM_MB)
-                    raise RuntimeError(f"Insufficient HBM: {free_mb}MB free")
+                    raise WorkerStartupError(
+                        f"Insufficient HBM: {free_mb}MB free")
                 log.info("Starting worker process... (HBM free: {}MB)",
                          free_mb)
                 self.proc = subprocess.Popen([
@@ -104,31 +110,41 @@ class WorkerSupervisor:
                     # connection failure.
                     log.error("Worker process failed to become ready "
                               "within WORKER_STARTUP_TIMEOUT")
-                    self.proc.terminate()
-                    try:
-                        self.proc.wait(timeout=10)
-                    except subprocess.TimeoutExpired:
-                        self.proc.kill()
-                    self.proc = None
-                    raise RuntimeError("worker failed to become ready")
+                    await self._terminate()
+                    raise WorkerStartupError("worker failed to become ready")
             self.last_used = time.time()
+
+    async def _terminate(self):
+        """Stop the worker without blocking the event loop on wait()."""
+        proc = self.proc
+        self.proc = None
+        # The health snapshot described THAT worker's HBM usage; once it is
+        # gone the numbers are stale and must not veto the next spawn.
+        self._last_health = {}
+        if proc is None:
+            return
+        proc.terminate()
+        try:
+            await asyncio.to_thread(proc.wait, 10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
 
     async def kill(self):
         async with self._lock:
             if self.alive():
                 log.info("Killing worker process (idle timeout)...")
-                self.proc.terminate()
-                try:
-                    self.proc.wait(timeout=10)
-                except subprocess.TimeoutExpired:
-                    self.proc.kill()
-                self.proc = None
+                await self._terminate()
                 log.info("Worker process killed -- RAM reclaimed")
 
     async def idle_watchdog(self):
         while True:
             await asyncio.sleep(30)
             if IDLE_TIMEOUT <= 0:
+                continue
+            # In-flight proxied requests count as activity: a long first
+            # request (model load + compile) must not be killed mid-flight.
+            if self.inflight > 0:
+                self.last_used = time.time()
                 continue
             if self.alive() and time.time() - self.last_used > IDLE_TIMEOUT:
                 await self.kill()
@@ -168,9 +184,16 @@ async def _forward_multipart(request: web.Request, sup: WorkerSupervisor,
         form.add_field(key, str(fields.get(key, default)))
     url = _worker_url(worker_path)
     session = aiohttp.ClientSession()
-    resp = await session.post(
-        url, data=form, headers=_trace_headers(),
-        timeout=aiohttp.ClientTimeout(total=REQUEST_TIMEOUT))
+    sup.inflight += 1
+    try:
+        resp = await session.post(
+            url, data=form, headers=_trace_headers(),
+            timeout=aiohttp.ClientTimeout(total=REQUEST_TIMEOUT))
+    except BaseException:
+        sup.inflight -= 1
+        await session.close()
+        raise
+    sup.inflight -= 1
     sup.last_used = time.time()
     return session, resp, url, fields
 
@@ -262,6 +285,17 @@ async def gw_transcribe_stream(request: web.Request) -> web.StreamResponse:
         except Exception as e:
             log.error("Gateway POST /v1/audio/transcriptions/stream | error "
                       "after {:.2f}s: {}", time.time() - t0, e)
+            # Clients must be able to tell a truncated stream from a
+            # complete one (the worker emits SSE_STREAM_ERROR for its own
+            # failures; do the same for relay failures).
+            try:
+                await response.write(
+                    ("data: " + json.dumps({
+                        "code": "SSE_STREAM_ERROR",
+                        "message": f"worker stream interrupted: {e}",
+                        "statusCode": 502}) + "\n\n").encode())
+            except Exception:
+                pass
         await response.write_eof()
         return response
     finally:
@@ -331,8 +365,15 @@ async def gw_websocket(request: web.Request) -> web.WebSocketResponse:
                     except Exception as e:
                         log.warning("[GW-WS] worker_to_client error: {}", e)
 
-                await asyncio.gather(client_to_worker(), worker_to_client(),
-                                     return_exceptions=True)
+                pumps = [asyncio.ensure_future(client_to_worker()),
+                         asyncio.ensure_future(worker_to_client())]
+                # When EITHER side ends (client disconnect or worker death),
+                # tear both down — otherwise a quiet client hangs forever
+                # waiting on a dead worker.
+                await asyncio.wait(pumps, return_when=asyncio.FIRST_COMPLETED)
+                for p in pumps:
+                    p.cancel()
+                await asyncio.gather(*pumps, return_exceptions=True)
 
     except Exception as e:
         try:
@@ -378,7 +419,7 @@ async def _worker_failure_middleware(request, handler):
     (WORKER_STARTUP_FAILED, reference gateway.py:352-354)."""
     try:
         return await handler(request)
-    except RuntimeError as e:
+    except WorkerStartupError as e:
         return error_response("WORKER_STARTUP_FAILED",
                               f"Worker startup failed: {e}", 503)
 
