@@ -155,3 +155,48 @@ def test_performance_warm_latency(ensure_server, audio_fixtures):
     warm = time.time() - t0
     assert status == 200
     assert warm < 30, f"warm latency {warm:.1f}s"
+
+
+def test_accuracy_wer_gate(ensure_server):
+    """Accuracy gate (reference E2Etest/test_accuracy.py): runs when real
+    speech fixtures + expected transcripts are provided via
+    ASR_E2E_DATA=<dir> containing pairs <name>.wav + <name>.txt
+    (optionally <name>.lang with the language code). Skips otherwise —
+    synthetic fixtures have no ground truth."""
+    import os
+    import pathlib
+    data_dir = os.getenv("ASR_E2E_DATA")
+    if not data_dir or not pathlib.Path(data_dir).is_dir():
+        pytest.skip("set ASR_E2E_DATA to a dir of <name>.wav/<name>.txt pairs")
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    from qwen3_asr_tpu.utils.metrics import cer, wer
+
+    # per-language pass thresholds (reference conftest.py:33-49)
+    wer_gates = {"en": 0.15, "zh": 0.25, "ja": 0.25, "yue": 0.30,
+                 "hi": 0.30, "th": 0.35}
+    cer_gates = {"en": 0.10, "zh": 0.20, "ja": 0.20, "yue": 0.25,
+                 "hi": 0.25, "th": 0.30}
+
+    results = []
+    for wav in sorted(pathlib.Path(data_dir).glob("*.wav")):
+        txt = wav.with_suffix(".txt")
+        if not txt.exists():
+            continue
+        lang_file = wav.with_suffix(".lang")
+        lang = lang_file.read_text().strip() if lang_file.exists() else "en"
+        expected = txt.read_text().strip()
+        status, body, _ = _post_multipart(
+            BASE_URL + "/v1/audio/transcriptions", str(wav),
+            {"language": lang})
+        assert status == 200, body
+        got = json.loads(body)["text"]
+        w, c = wer(expected, got), cer(expected, got)
+        results.append((wav.name, lang, w, c))
+        use_cer = lang in ("zh", "ja", "yue", "th")
+        metric, gate = (c, cer_gates.get(lang, 0.5)) if use_cer else \
+            (w, wer_gates.get(lang, 0.5))
+        assert metric <= gate, (
+            f"{wav.name} [{lang}]: {'CER' if use_cer else 'WER'} "
+            f"{metric:.1%} > gate {gate:.0%}\nexpected: {expected}\ngot: {got}")
+    assert results, "no wav/txt pairs found in ASR_E2E_DATA"
