@@ -37,6 +37,10 @@ def _load_engine_sync(model_id: str):
 
     backend = jax.default_backend()
     dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
+    # Optional low-precision KV cache (halves decode-phase cache bandwidth;
+    # independent of weight quantization).
+    kv_dtype = {"fp8": jnp.float8_e4m3fn, "bf16": jnp.bfloat16,
+                "": None}.get(os.getenv("ASR_KV_CACHE_DTYPE", "").lower())
 
     if os.path.isdir(model_id):
         from ..runtime.checkpoint import load_asr_checkpoint
@@ -86,7 +90,7 @@ def _load_engine_sync(model_id: str):
                  quantize_mode.upper(), round(before), round(after),
                  round(before - after))
 
-    return TranscriptionEngine(model, dtype=dtype)
+    return TranscriptionEngine(model, dtype=dtype, cache_dtype=kv_dtype)
 
 
 class ModelManager:

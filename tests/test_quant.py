@@ -91,3 +91,22 @@ def test_quantize_params_bundle():
     assert q["encoder"]["layers"]["fc1_w"]["q"].dtype == jnp.int8
     # norms untouched
     assert q["decoder"]["layers"]["ln1"].dtype != jnp.int8
+
+
+def test_fp8_kv_cache_generation():
+    """fp8 KV cache: generation runs and stays close to full precision
+    (the cache is written/read through dtype casts already)."""
+    import jax
+    cfg = preset("tiny")
+    params = init_decoder_params(cfg.decoder, jax.random.PRNGKey(11))
+    embeds = jax.random.normal(jax.random.PRNGKey(12), (1, 10, 64))
+    vf = jnp.zeros((1,), jnp.int32)
+
+    full = greedy_generate(params, cfg.decoder, embeds, vf, max_new=8,
+                           eos_id=cfg.eos_token_id, pad_id=cfg.pad_token_id,
+                           cache_dtype=jnp.float32)
+    fp8 = greedy_generate(params, cfg.decoder, embeds, vf, max_new=8,
+                          eos_id=cfg.eos_token_id, pad_id=cfg.pad_token_id,
+                          cache_dtype=jnp.float8_e4m3fn)
+    assert fp8.tokens.shape == full.tokens.shape
+    assert int(jnp.max(fp8.tokens)) < cfg.decoder.vocab_size
