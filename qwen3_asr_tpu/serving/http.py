@@ -31,15 +31,25 @@ async def request_id_middleware(request: web.Request,
                                 handler: Callable[[web.Request],
                                                   Awaitable[web.StreamResponse]]
                                 ) -> web.StreamResponse:
+    import time as _time
+    from ..utils.telemetry import metrics
     req_id = request.headers.get("X-Request-ID") or str(uuid.uuid4())
     token = set_request_id(req_id)
+    t0 = _time.time()
+    status = "500"
     try:
         response = await handler(request)
+        status = str(response.status)
         if "X-Request-ID" not in response.headers:
             response.headers["X-Request-ID"] = req_id
         return response
     finally:
         reset_request_id(token)
+        if request.path not in ("/metrics",):
+            metrics.inc("asr_requests_total", path=request.path,
+                        method=request.method, status=status)
+            metrics.observe("asr_request_duration_seconds",
+                            _time.time() - t0, path=request.path)
 
 
 async def read_upload(request: web.Request) -> tuple[dict, Optional[bytes], str]:

@@ -57,6 +57,16 @@ async def health(request: web.Request) -> web.Response:
     return web.json_response(mgr.health_info())
 
 
+async def metrics_endpoint(request: web.Request) -> web.Response:
+    """Prometheus text exposition (net-new vs the reference)."""
+    from ..utils.telemetry import metrics
+    mgr = get_manager(request)
+    metrics.gauge("asr_model_loaded", 1.0 if mgr.engine is not None else 0.0)
+    metrics.gauge("asr_queue_depth", float(mgr.queue.depth))
+    return web.Response(text=metrics.render(),
+                        content_type="text/plain", charset="utf-8")
+
+
 async def _decode_or_error(file_bytes, filename, endpoint):
     if file_bytes is None or len(file_bytes) == 0:
         return None, error_response("AUDIO_DECODE_FAILED",
@@ -651,6 +661,7 @@ def build_app(manager: ModelManager | None = None) -> web.Application:
     app.router.add_post("/v1/audio/transcriptions/stream", transcribe_stream)
     app.router.add_get("/ws/transcribe", websocket_transcribe)
     app.router.add_post("/debug/trace", debug_trace)
+    app.router.add_get("/metrics", metrics_endpoint)
 
     openapi = build_openapi(API_TITLE, API_VERSION, API_DESCRIPTION,
                             API_TAGS, route_metadata())

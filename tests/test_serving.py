@@ -357,3 +357,19 @@ def test_translations_srt_with_fake_llm(client, loop):
         finally:
             await llm.close()
     loop.run_until_complete(go())
+
+
+def test_metrics_endpoint(client, loop):
+    """Prometheus exposition: counters and histograms accumulate."""
+    async def go():
+        await client.get("/health")
+        resp = await client.get("/metrics")
+        assert resp.status == 200
+        text = await resp.text()
+        assert "asr_requests_total" in text
+        assert 'path="/health"' in text
+        assert "asr_request_duration_seconds_bucket" in text
+        assert "asr_model_loaded" in text
+        assert "asr_queue_depth" in text
+        assert "asr_uptime_seconds" in text
+    loop.run_until_complete(go())
