@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 
-def build_engine(preset_name: str, dtype):
+def build_engine(preset_name: str, dtype, cache_dtype=None):
     import jax
     import jax.numpy as jnp
     from qwen3_asr_tpu.models.asr import AsrModel
@@ -56,7 +56,8 @@ def build_engine(preset_name: str, dtype):
          "<|audio_bos|>", "<|audio_eos|>"])}
     tok = BpeTokenizer(byte_vocab, [], specials)
     model = AsrModel(cfg, params, tok)
-    return TranscriptionEngine(model, dtype=dtype, cache_dtype=dtype)
+    return TranscriptionEngine(model, dtype=dtype,
+                               cache_dtype=cache_dtype or dtype)
 
 
 def main():
@@ -72,7 +73,10 @@ def main():
     clip_s = float(os.getenv("BENCH_CLIP_S", "20"))
     iters = int(os.getenv("BENCH_ITERS", "3"))
 
-    engine = build_engine(preset_name, dtype)
+    kv_env = os.getenv("ASR_KV_CACHE_DTYPE", "").lower()
+    cache_dtype = {"fp8": jnp.float8_e4m3fn,
+                   "bf16": jnp.bfloat16}.get(kv_env, dtype)
+    engine = build_engine(preset_name, dtype, cache_dtype)
 
     rng = np.random.default_rng(0)
     clips = [(rng.standard_normal(int(16000 * clip_s)).astype(np.float32) * 0.05,

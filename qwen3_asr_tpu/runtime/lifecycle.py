@@ -192,11 +192,21 @@ class ModelManager:
     def _unload_sync(self):
         if self.engine is None:
             return
+        # Re-check idleness HERE, on the inference thread: the watchdog's
+        # check ran before this call was queued, and a long job (e.g. a
+        # first-request bucket compile) may have occupied the executor past
+        # IDLE_TIMEOUT — unloading now would rip the engine out from under a
+        # request already past ensure_loaded().
+        if (time.time() - self._last_used <= self.idle_timeout
+                or self.queue.depth > 0):
+            log.info("Skipping idle unload: engine used or queue non-empty")
+            return
         log.info("Unloading model (idle timeout)...")
         from ..sidecars import subtitle
         subtitle.unload_aligner()
         self.engine = None
         self.fast_engine = None
+        self.loaded_model_id = None
         gc.collect()
         log.info("Model unloaded")
 
@@ -232,23 +242,30 @@ class ModelManager:
         (reference src/server.py:849-923) incl. speculative + dual-model;
         resume_tokens enables the streaming self-draft fast path."""
         self._last_used = time.time()
-        use_spec = (os.getenv("USE_SPECULATIVE", "").lower() == "true"
-                    and self.fast_engine is not None
-                    and os.getenv("ASR_SPECULATIVE_MODE",
-                                  "token").lower() == "result")
-        if use_spec:
-            draft = self.fast_engine.transcribe(
-                audio, sr, lang_code, return_timestamps, context)
-            draft_text = draft[0].text if draft else ""
-            # Result-level accept heuristic (reference src/server.py:837-840).
-            if len(draft_text) < 100 and "[" not in draft_text:
-                return draft
-            return self.engine.transcribe(audio, sr, lang_code,
-                                          return_timestamps, context)
-        eng = (self.fast_engine if use_fast and self.fast_engine is not None
-               else self.engine)
-        return eng.transcribe(audio, sr, lang_code, return_timestamps,
-                              context, resume_tokens=resume_tokens)
+        try:
+            use_spec = (os.getenv("USE_SPECULATIVE", "").lower() == "true"
+                        and self.fast_engine is not None
+                        and os.getenv("ASR_SPECULATIVE_MODE",
+                                      "token").lower() == "result")
+            if use_spec:
+                draft = self.fast_engine.transcribe(
+                    audio, sr, lang_code, return_timestamps, context)
+                draft_text = draft[0].text if draft else ""
+                # Result-level accept heuristic (reference src/server.py:837-840).
+                if len(draft_text) < 100 and "[" not in draft_text:
+                    return draft
+                return self.engine.transcribe(audio, sr, lang_code,
+                                              return_timestamps, context)
+            eng = (self.fast_engine
+                   if use_fast and self.fast_engine is not None
+                   else self.engine)
+            return eng.transcribe(audio, sr, lang_code, return_timestamps,
+                                  context, resume_tokens=resume_tokens)
+        finally:
+            # Stamp at the END too: a long job (first-bucket compile can take
+            # minutes) must reset the idle clock when it FINISHES, or the
+            # watchdog unloads an engine that was busy the whole time.
+            self._last_used = time.time()
 
     # -- health ---------------------------------------------------------------------
     def health_info(self) -> dict:

@@ -456,7 +456,11 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
     vad_param = request.query.get("use_server_vad")
     if vad_param is not None:
         use_vad = vad_param.lower() in ("true", "1", "yes")
-    client_sr = int(request.query.get("sample_rate", str(TARGET_SR)))
+    sr_raw = request.query.get("sample_rate", str(TARGET_SR))
+    try:
+        client_sr = int(sr_raw)
+    except ValueError:
+        client_sr = -1  # falls into the structured error below
     resampler = None
     if client_sr in (8000,) :
         from ..audio.resample import StreamingResampler
@@ -469,7 +473,7 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
         if client_sr not in (8000, 16000):
             await ws.send_json({
                 "code": "UNSUPPORTED_SAMPLE_RATE",
-                "message": f"sample_rate must be 8000 or 16000, got {client_sr}",
+                "message": f"sample_rate must be 8000 or 16000, got {sr_raw}",
                 "statusCode": 400})
             await ws.close()
             return ws

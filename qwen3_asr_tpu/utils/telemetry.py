@@ -56,14 +56,24 @@ class Metrics:
         return "{" + inner + "}"
 
     def render(self) -> str:
-        """Prometheus text exposition format."""
+        """Prometheus text exposition format.
+
+        One '# TYPE' line per metric NAME (not per label set) — strict
+        expfmt parsers reject duplicate TYPE lines for the same metric."""
         lines = []
+        typed = set()
+
+        def type_line(name: str, kind: str):
+            if name not in typed:
+                typed.add(name)
+                lines.append(f"# TYPE {name} {kind}")
+
         with self._lock:
             for (name, labels), value in sorted(self._counters.items()):
-                lines.append(f"# TYPE {name} counter")
+                type_line(name, "counter")
                 lines.append(f"{name}{self._fmt_labels(labels)} {value}")
             for (name, labels), buckets in sorted(self._hist.items()):
-                lines.append(f"# TYPE {name} histogram")
+                type_line(name, "histogram")
                 cumulative = 0
                 for i, b in enumerate(_BUCKETS):
                     cumulative += buckets[i]
@@ -83,7 +93,7 @@ class Metrics:
                 lines.append(f"{name}_sum{self._fmt_labels(labels)} "
                              f"{round(self._hist_sum[(name, labels)], 4)}")
             for (name, labels), value in sorted(self._gauges.items()):
-                lines.append(f"# TYPE {name} gauge")
+                type_line(name, "gauge")
                 lines.append(f"{name}{self._fmt_labels(labels)} {value}")
         lines.append(f"# TYPE asr_uptime_seconds gauge")
         lines.append(f"asr_uptime_seconds {round(time.time() - self.started_at, 1)}")
