@@ -13,12 +13,22 @@ detokenize) — on one TPU chip.
 Weights are zero-initialized 1.7B-shaped bf16 (compute-identical to real
 weights; zero logits never hit EOS, so decode runs the FULL token budget —
 a worst-case number).
+
+Default config (tuned on v5e, round 2): QUANTIZE=int8 (weight-only incl.
+embedding/lm_head), bf16 KV cache, batch 32. Measured ladder at 20 s clips:
+  bf16 b16             116.8x   (round-1 shipping config)
+  int8+fp8KV b16       137.7x   (fp8 KV convert does NOT fuse — dropped)
+  int8 b16, carry-KV   188.7x   (scan-carry cache + quantized embed)
+  int8 b32, carry-KV   209.5x   <- default
+Override with QUANTIZE / BENCH_BATCH / ASR_KV_CACHE_DTYPE.
 """
 import json
 import os
 import time
 
 import numpy as np
+
+os.environ.setdefault("QUANTIZE", "int8")
 
 
 def build_engine(preset_name: str, dtype, cache_dtype=None):
@@ -69,7 +79,7 @@ def main():
     backend = jax.default_backend()
     preset_name = os.getenv("BENCH_PRESET", "tiny" if backend == "cpu" else "1.7b")
     dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
-    batch = int(os.getenv("BENCH_BATCH", "16"))
+    batch = int(os.getenv("BENCH_BATCH", "32" if backend == "tpu" else "16"))
     clip_s = float(os.getenv("BENCH_CLIP_S", "20"))
     iters = int(os.getenv("BENCH_ITERS", "3"))
 

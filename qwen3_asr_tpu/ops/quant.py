@@ -61,13 +61,38 @@ def qdot(x: jax.Array, w: Union[jax.Array, dict]) -> jax.Array:
     return (out * w["s"].astype(jnp.float32)).astype(x.dtype)
 
 
-def quantize_decoder_params(params: dict, mode: str) -> dict:
+def quantize_embed(w: jax.Array, mode: str) -> dict:
+    """Per-vocab-row symmetric quantization of the [V, H] embedding.
+
+    The row is the output channel of the tied lm_head matmul (hidden @ E.T),
+    so the scale commutes out of that contraction too; the embedding lookup
+    multiplies each gathered row by its scale. Halves the single largest
+    tensor (151k x H) — the per-decode-step logits read drops with it."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=-1, keepdims=True)  # [V, 1]
+    if mode == "int8":
+        scale = jnp.maximum(absmax / 127.0, 1e-10)
+        q = jnp.clip(jnp.round(wf / scale), -128, 127).astype(jnp.int8)
+    elif mode == "fp8":
+        scale = jnp.maximum(absmax / 448.0, 1e-10)
+        q = (wf / scale).astype(jnp.float8_e4m3fn)
+    else:
+        raise ValueError(f"unknown quantization mode: {mode}")
+    return {"q": q, "s": scale.astype(jnp.bfloat16)}
+
+
+def quantize_decoder_params(params: dict, mode: str,
+                            include_embed: bool = True) -> dict:
     """Quantize the large decoder matmul weights; everything else unchanged."""
     out = dict(params)
     out["layers"] = {
         k: (quantize_array(v, mode) if k in _DECODER_QUANT_KEYS else v)
         for k, v in params["layers"].items()
     }
+    if include_embed and not is_quantized(params["embed"]):
+        out["embed"] = quantize_embed(params["embed"], mode)
+        if "lm_head" in params and not is_quantized(params["lm_head"]):
+            out["lm_head"] = quantize_array(params["lm_head"], mode)
     return out
 
 
@@ -81,10 +106,16 @@ def quantize_encoder_params(params: dict, mode: str) -> dict:
 
 
 def quantize_params(params: dict, mode: str) -> dict:
-    """Quantize an {"encoder", "decoder"} bundle (QUANTIZE=int8|fp8)."""
+    """Quantize an {"encoder", "decoder"} bundle (QUANTIZE=int8|fp8).
+
+    ASR_QUANTIZE_EMBED=false keeps the embedding/lm_head in full precision
+    (slower per-step logits, slightly safer numerics)."""
+    import os
+    include_embed = os.getenv("ASR_QUANTIZE_EMBED", "true").lower() != "false"
     out = dict(params)
     if "decoder" in params:
-        out["decoder"] = quantize_decoder_params(params["decoder"], mode)
+        out["decoder"] = quantize_decoder_params(params["decoder"], mode,
+                                                 include_embed=include_embed)
     if "encoder" in params:
         out["encoder"] = quantize_encoder_params(params["encoder"], mode)
     return out
