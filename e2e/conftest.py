@@ -37,6 +37,13 @@ DURATION_SLAS = {
 }
 
 _results = []
+_accuracy_rows = []
+
+
+def record_accuracy(rows):
+    """Called by the WER/CER gate to surface a per-language accuracy table
+    in the markdown report (reference conftest.py:33-49 accuracy breakdown)."""
+    _accuracy_rows.extend(rows)
 
 
 def _server_alive(timeout_s: float = 30.0) -> bool:
@@ -119,6 +126,15 @@ def pytest_sessionfinish(session, exitstatus):
         lines += ["", "## Failures", ""]
         for r in fails:
             lines += [f"### {r['name']}", "```", r["error"], "```", ""]
+    if _accuracy_rows:
+        lines += ["", "## Accuracy Breakdown", "",
+                  "| file | lang | WER | CER | gate | pass |",
+                  "|---|---|---|---|---|---|"]
+        for r in _accuracy_rows:
+            lines.append(
+                f"| {r['file']} | {r['lang']} | {r['wer']:.1%} | "
+                f"{r['cer']:.1%} | {r['gate']:.0%} | "
+                f"{'✅' if r['passed'] else '❌'} |")
     rt = Path(__file__).parent / "reports" / "realtime_latest.json"
     if rt.exists():
         lines += ["", "## Real-Time Benchmark", "```json",

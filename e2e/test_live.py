@@ -157,20 +157,51 @@ def test_performance_warm_latency(ensure_server, audio_fixtures):
     assert warm < 30, f"warm latency {warm:.1f}s"
 
 
-def test_accuracy_wer_gate(ensure_server):
-    """Accuracy gate (reference E2Etest/test_accuracy.py): runs when real
-    speech fixtures + expected transcripts are provided via
-    ASR_E2E_DATA=<dir> containing pairs <name>.wav + <name>.txt
-    (optionally <name>.lang with the language code). Skips otherwise —
-    synthetic fixtures have no ground truth."""
+def _accuracy_data_dir(tmp_path_factory=None):
+    """Resolve the WER/CER fixture dir: ASR_E2E_DATA wins; otherwise the
+    reference FLEURS fixtures are materialized automatically (e2e/fleurs.py)."""
     import os
     import pathlib
+    import tempfile
     data_dir = os.getenv("ASR_E2E_DATA")
-    if not data_dir or not pathlib.Path(data_dir).is_dir():
-        pytest.skip("set ASR_E2E_DATA to a dir of <name>.wav/<name>.txt pairs")
+    if data_dir and pathlib.Path(data_dir).is_dir():
+        return data_dir
+    from e2e.fleurs import materialize_fleurs_fixtures
+    return materialize_fleurs_fixtures(
+        os.path.join(tempfile.gettempdir(), "asr_e2e_fleurs"))
+
+
+def _server_model_id():
+    try:
+        with urllib.request.urlopen(BASE_URL + "/health", timeout=5) as r:
+            return (json.loads(r.read()) or {}).get("model_id") or ""
+    except Exception:
+        return ""
+
+
+def test_accuracy_wer_gate(ensure_server):
+    """Accuracy gate (reference E2Etest/test_accuracy.py:283-335).
+
+    Fixtures: ASR_E2E_DATA=<dir> of <name>.wav/<name>.txt(/.lang) pairs, or
+    — automatically — the reference suite's 12 real FLEURS clips with
+    committed transcripts. Skips ONLY when the server runs synthetic
+    weights (preset:/tiny): zero/random weights produce no real text, so a
+    WER gate against them is meaningless."""
+    import pathlib
+    data_dir = _accuracy_data_dir()
+    if not data_dir:
+        pytest.skip("no accuracy fixtures: set ASR_E2E_DATA or mount the "
+                    "reference E2Etest/data tree")
+    model_id = _server_model_id()
+    if "preset:" in model_id or "tiny" in model_id.lower() or not model_id:
+        pytest.skip(
+            f"ACCURACY GATE SKIPPED — server runs synthetic weights "
+            f"(model_id={model_id!r}). Mount a real Qwen3-ASR checkpoint and "
+            f"set MODEL_ID to its directory to activate the WER/CER gate.")
     import sys
     sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
     from qwen3_asr_tpu.utils.metrics import cer, wer
+    from e2e import conftest as _cf
 
     # per-language pass thresholds (reference conftest.py:33-49)
     wer_gates = {"en": 0.15, "zh": 0.25, "ja": 0.25, "yue": 0.30,
@@ -178,7 +209,7 @@ def test_accuracy_wer_gate(ensure_server):
     cer_gates = {"en": 0.10, "zh": 0.20, "ja": 0.20, "yue": 0.25,
                  "hi": 0.25, "th": 0.30}
 
-    results = []
+    results, failures = [], []
     for wav in sorted(pathlib.Path(data_dir).glob("*.wav")):
         txt = wav.with_suffix(".txt")
         if not txt.exists():
@@ -192,11 +223,16 @@ def test_accuracy_wer_gate(ensure_server):
         assert status == 200, body
         got = json.loads(body)["text"]
         w, c = wer(expected, got), cer(expected, got)
-        results.append((wav.name, lang, w, c))
         use_cer = lang in ("zh", "ja", "yue", "th")
         metric, gate = (c, cer_gates.get(lang, 0.5)) if use_cer else \
             (w, wer_gates.get(lang, 0.5))
-        assert metric <= gate, (
-            f"{wav.name} [{lang}]: {'CER' if use_cer else 'WER'} "
-            f"{metric:.1%} > gate {gate:.0%}\nexpected: {expected}\ngot: {got}")
-    assert results, "no wav/txt pairs found in ASR_E2E_DATA"
+        results.append({"file": wav.name, "lang": lang, "wer": w, "cer": c,
+                        "gate": gate, "passed": metric <= gate})
+        if metric > gate:
+            failures.append(
+                f"{wav.name} [{lang}]: {'CER' if use_cer else 'WER'} "
+                f"{metric:.1%} > gate {gate:.0%}\n  expected: {expected}\n  "
+                f"got: {got}")
+    _cf.record_accuracy(results)  # per-language table in the e2e report
+    assert results, f"no wav/txt pairs found in {data_dir}"
+    assert not failures, "\n".join(failures)

@@ -2,9 +2,10 @@
 
 Replaces the reference's soundfile decode (src/server.py:200-203) for the
 formats we can parse natively: WAV (RIFF/RIFX, PCM 8/16/24/32-bit and
-float32/float64), AIFF/AIFC (uncompressed), AU/SND, and W64/RF64 headers.
-Compressed formats (MP3/OGG/FLAC) raise ``UnsupportedFormatError`` — the
-serving layer maps that to the same AUDIO_DECODE_FAILED error the reference
+float32/float64), AIFF/AIFC (uncompressed), AU/SND, W64/RF64 headers, and
+FLAC (full native decoder, audio/flac.py). MP3/OGG raise
+``UnsupportedFormatError`` with the supported-format list — the serving
+layer maps that to the same AUDIO_DECODE_FAILED error the reference
 returns for undecodable input.
 
 Decoded audio is returned as mono float32 in [-1, 1] plus the sample rate.
@@ -200,7 +201,7 @@ def _decode_au(buf: bytes) -> Tuple[np.ndarray, int]:
 # --- public API ---------------------------------------------------------------
 
 _MAGIC_COMPRESSED = {
-    b"fLaC": "FLAC", b"OggS": "OGG", b"ID3": "MP3",
+    b"OggS": "OGG", b"ID3": "MP3",
 }
 
 
@@ -220,15 +221,20 @@ def decode_audio(audio_bytes: bytes) -> Tuple[np.ndarray, int]:
             return _decode_aiff(audio_bytes)
         if head == b".snd":
             return _decode_au(audio_bytes)
+        if head == b"fLaC":
+            from .flac import decode_flac
+            return decode_flac(audio_bytes)
     except (struct.error, IndexError, ValueError) as e:
         raise AudioDecodeError(f"corrupt audio container: {e}") from e
+    supported = "supported formats: WAV, AIFF/AIFC, AU/SND, RF64, FLAC"
     for magic, name in _MAGIC_COMPRESSED.items():
         if audio_bytes.startswith(magic):
             raise UnsupportedFormatError(
-                f"{name} decoding requires an external decoder (not available)")
+                f"{name} decoding is not available; {supported}")
     if audio_bytes[:2] == b"\xff\xfb" or audio_bytes[:2] == b"\xff\xf3":
-        raise UnsupportedFormatError("MP3 decoding requires an external decoder")
-    raise AudioDecodeError("unknown audio format")
+        raise UnsupportedFormatError(
+            f"MP3 decoding is not available; {supported}")
+    raise AudioDecodeError(f"unknown audio format; {supported}")
 
 
 def encode_wav(audio: np.ndarray, sr: int, normalize: bool = False) -> bytes:

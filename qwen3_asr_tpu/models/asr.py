@@ -56,20 +56,120 @@ def normalize_language(lang: Optional[str]) -> Tuple[Optional[str], Optional[str
 
 @dataclasses.dataclass
 class PromptTemplate:
+    """ASR prompt construction.
+
+    Two modes:
+
+    * **Checkpoint-driven** (preferred): when the checkpoint directory ships
+      a chat template (``chat_template.jinja`` or ``tokenizer_config.json``'s
+      ``chat_template`` field — the upstream ``qwen_asr`` SDK's source of
+      truth, which the reference consumes via ``model.transcribe``,
+      src/server.py:866-869), it is rendered with the standard ASR message
+      structure (system = context-bias text, user = language hint + audio)
+      and split at the audio placeholder into (prefix, suffix).
+    * **Built-in fallback**: the Qwen-Omni chat convention below, used for
+      synthetic presets and checkpoints without a template. This is a
+      documented approximation, NOT verified against the upstream SDK:
+
+          <|im_start|>system\\n{context}<|im_end|>\\n
+          <|im_start|>user\\n{Language: {name}\\n}<|audio_bos|><|AUDIO|>*N
+          <|audio_eos|><|im_end|>\\n<|im_start|>assistant\\n
+    """
     system: str = "You are a speech recognition model."
     im_start: str = "<|im_start|>"
     im_end: str = "<|im_end|>"
     audio_token: str = "<|AUDIO|>"
     audio_bos: str = "<|audio_bos|>"
     audio_eos: str = "<|audio_eos|>"
+    chat_template: Optional[str] = None     # raw jinja source (checkpoint)
 
-    def prefix_text(self, language_name: Optional[str], context: str = "") -> str:
+    @staticmethod
+    def from_checkpoint(model_dir: str) -> "PromptTemplate":
+        """Build a template from checkpoint metadata when available.
+
+        Reads special-token strings and the chat template from
+        ``tokenizer_config.json`` / ``chat_template.jinja`` (HF convention;
+        same files transformers' AutoProcessor consumes)."""
+        import json as _json
+        import os as _os
+
+        kwargs: dict = {}
+        tc_path = _os.path.join(model_dir, "tokenizer_config.json")
+        if _os.path.isfile(tc_path):
+            with open(tc_path) as f:
+                tc = _json.load(f)
+
+            def tok_str(v):
+                return v.get("content") if isinstance(v, dict) else v
+
+            for field, key in (("audio_token", "audio_token"),
+                               ("audio_bos", "audio_bos_token"),
+                               ("audio_eos", "audio_eos_token")):
+                if tc.get(key):
+                    kwargs[field] = tok_str(tc[key])
+            if isinstance(tc.get("chat_template"), str):
+                kwargs["chat_template"] = tc["chat_template"]
+        jinja_path = _os.path.join(model_dir, "chat_template.jinja")
+        if _os.path.isfile(jinja_path):
+            with open(jinja_path) as f:
+                kwargs["chat_template"] = f.read()
+        return PromptTemplate(**kwargs)
+
+    # -- checkpoint-template rendering ---------------------------------------
+    def _render_chat(self, language_name: Optional[str], context: str
+                     ) -> Optional[Tuple[str, str]]:
+        """Render the checkpoint's chat template → (prefix, suffix) split at
+        the audio placeholder. Returns None if no template / render fails."""
+        if not self.chat_template:
+            return None
+        try:
+            import jinja2
+            env = jinja2.Environment(
+                trim_blocks=True, lstrip_blocks=True,
+                extensions=["jinja2.ext.loopcontrols"])
+            env.globals["raise_exception"] = _jinja_raise
+            tmpl = env.from_string(self.chat_template)
+            lang_line = f"Language: {language_name}\n" if language_name else ""
+            user_content = [{"type": "audio", "audio": ""}]
+            if lang_line:
+                user_content.insert(0, {"type": "text", "text": lang_line})
+            messages = []
+            if context or self.system:
+                messages.append({"role": "system",
+                                 "content": context or self.system})
+            messages.append({"role": "user", "content": user_content})
+            text = tmpl.render(
+                messages=messages, add_generation_prompt=True,
+                audio_token=self.audio_token, audio_bos_token=self.audio_bos,
+                audio_eos_token=self.audio_eos)
+            if text.count(self.audio_token) != 1:
+                return None
+            prefix, suffix = text.split(self.audio_token)
+            return prefix, suffix
+        except Exception:
+            return None
+
+    def prompt_texts(self, language_name: Optional[str], context: str = ""
+                     ) -> Tuple[str, str]:
+        """(prefix_text, suffix_text) around the audio embedding span."""
+        rendered = self._render_chat(language_name, context)
+        if rendered is not None:
+            return rendered
         sys_block = f"{self.im_start}system\n{context or self.system}{self.im_end}\n"
         lang_line = f"Language: {language_name}\n" if language_name else ""
-        return (f"{sys_block}{self.im_start}user\n{lang_line}{self.audio_bos}")
+        prefix = f"{sys_block}{self.im_start}user\n{lang_line}{self.audio_bos}"
+        suffix = f"{self.audio_eos}{self.im_end}\n{self.im_start}assistant\n"
+        return prefix, suffix
+
+    def prefix_text(self, language_name: Optional[str], context: str = "") -> str:
+        return self.prompt_texts(language_name, context)[0]
 
     def suffix_text(self) -> str:
-        return (f"{self.audio_eos}{self.im_end}\n{self.im_start}assistant\n")
+        return self.prompt_texts(None, "")[1]
+
+
+def _jinja_raise(msg):  # transformers chat templates call raise_exception()
+    raise ValueError(msg)
 
 
 class AsrModel:

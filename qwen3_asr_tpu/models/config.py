@@ -69,6 +69,14 @@ class AsrConfig:
 
     @staticmethod
     def from_dict(d: dict) -> "AsrConfig":
+        # Qwen3-Omni-style checkpoints nest the audio/text configs under
+        # "thinker_config" (transformers Qwen3OmniMoeConfig.sub_configs).
+        if "thinker_config" in d and isinstance(d["thinker_config"], dict):
+            inner = dict(d["thinker_config"])
+            for k in ("audio_token_id", "bos_token_id", "eos_token_id",
+                      "pad_token_id"):
+                inner.setdefault(k, d[k]) if k in d else None
+            d = inner
         enc_d = d.get("audio_config", d.get("audio_encoder_config", {}))
         dec_d = d.get("text_config", d.get("decoder_config", d))
         enc_fields = {f.name for f in dataclasses.fields(AudioEncoderConfig)}

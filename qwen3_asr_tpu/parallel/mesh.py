@@ -88,7 +88,8 @@ def encoder_param_specs() -> dict:
 
 def _tree_shard(tree, specs, mesh: Mesh):
     def place(x, spec):
-        # Drop specs that don't divide the actual dims (tiny test models).
+        # Drop specs that don't divide the actual dims (tiny test models,
+        # and the size-1 axes of quantization scale tensors).
         clean = []
         for dim, axis in zip(x.shape, tuple(spec) + (None,) * x.ndim):
             if axis is None:
@@ -98,7 +99,18 @@ def _tree_shard(tree, specs, mesh: Mesh):
                     int(np.prod([mesh.shape[a] for a in axis]))
                 clean.append(axis if dim % size == 0 else None)
         return jax.device_put(x, NamedSharding(mesh, P(*clean)))
-    return jax.tree.map(place, tree, specs)
+
+    def place_leaf(x, spec):
+        # Quantized leaves are {"q","s"} dicts: the values tensor takes the
+        # weight's spec; the per-output-channel scale reuses it too (its
+        # size-1 reduced axes are dropped by the divisibility cleanup).
+        if isinstance(x, dict) and set(x.keys()) == {"q", "s"}:
+            return {"q": place(x["q"], spec), "s": place(x["s"], spec)}
+        return place(x, spec)
+
+    return jax.tree.map(place_leaf, tree, specs,
+                        is_leaf=lambda x: isinstance(x, dict)
+                        and set(x.keys()) == {"q", "s"})
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:

@@ -104,7 +104,8 @@ class MicroBatcher:
                       bucket_s)
 
         def run():
-            from ..runtime.engine import TARGET_SR, TranscriptionResult
+            from ..runtime.engine import (TARGET_SR, TranscriptionResult,
+                                          _response_language)
             mgr._last_used = time.time()
             clips = [p.audio for p in group]
             # Pad the batch to a power-of-two size so only {1,2,4,8,...}
@@ -120,13 +121,8 @@ class MicroBatcher:
             texts = texts[:len(group)]
             out = []
             for p, text in zip(group, texts):
-                if language is None and text:
-                    from ..text.langid import detect_language
-                    out_lang = detect_language(text) or "auto"
-                else:
-                    out_lang = language or "auto"
                 out.append([TranscriptionResult(
-                    text=text, language=out_lang,
+                    text=text, language=_response_language(text, language),
                     start_time=0.0, end_time=len(p.audio) / TARGET_SR)])
             return out
 

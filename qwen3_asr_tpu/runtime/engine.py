@@ -87,6 +87,9 @@ class TranscriptionEngine:
         self.draft_model: Optional[AsrModel] = None
         self._spec_fns = {}
         self.last_used = time.time()
+        # Optional jax.sharding.Mesh: weights pre-sharded by the lifecycle
+        # layer; batches are dp-sharded in _run_bucket (SURVEY §2.3).
+        self.mesh = None
 
     def attach_draft(self, draft_model: AsrModel) -> None:
         """Enable token-level speculative decoding: `draft_model` proposes,
@@ -271,6 +274,17 @@ class TranscriptionEngine:
         self._generate_fns[key] = run
         return run
 
+    def _place_batch(self, arr: np.ndarray):
+        """Shard a [B, ...] host array over the mesh's dp axis (replicated
+        when B doesn't divide dp, e.g. streaming batch-1)."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp = self.mesh.shape["dp"]
+        lead = "dp" if arr.shape[0] % dp == 0 else None
+        spec = P(lead, *([None] * (arr.ndim - 1)))
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
     # -- core batched path --------------------------------------------------------
     def _run_bucket(self, clips: Sequence[np.ndarray], bucket_frames: int,
                     bucket_s: float, language: Optional[str],
@@ -292,6 +306,10 @@ class TranscriptionEngine:
         prefix = np.full((batch, PREFIX_BUDGET), self.model.pad_id, np.int32)
         prefix[:, pad_count:] = prefix_ids
         valid_from = np.full((batch,), pad_count, np.int32)
+
+        audio = self._place_batch(audio)
+        prefix = self._place_batch(prefix)
+        valid_from = self._place_batch(valid_from)
 
         max_new = max_new_tokens_for(bucket_s)
         if resume_tokens is not None and batch == 1:
@@ -383,11 +401,7 @@ class TranscriptionEngine:
             text, token_ids = texts[0], id_lists[0]
             start_t = seg_start / TARGET_SR
             end_t = (seg_start + len(seg)) / TARGET_SR
-            if lang_code is None and text:
-                from ..text.langid import detect_language
-                out_lang = detect_language(text) or "auto"
-            else:
-                out_lang = lang_code or "auto"
+            out_lang = _response_language(text, lang_code)
             res = TranscriptionResult(
                 text=text, language=out_lang,
                 start_time=start_t, end_time=end_t, token_ids=token_ids)
@@ -422,7 +436,7 @@ class TranscriptionEngine:
                                         language)
             for i, text in zip(idxs, texts):
                 out[i] = TranscriptionResult(
-                    text=text, language=lang_code or "auto",
+                    text=text, language=_response_language(text, lang_code),
                     start_time=0.0, end_time=len(prepped[i]) / TARGET_SR)
         return out  # type: ignore[return-value]
 
@@ -454,6 +468,18 @@ class TranscriptionEngine:
                                       language=language)
             log.info("Warmup bucket {}s compiled in {:.1f}s", sec,
                      time.time() - t0)
+
+
+def _response_language(text: str, lang_code: Optional[str]) -> str:
+    """The ONE language-metadata rule for every path (solo transcribe,
+    transcribe_batch, micro-batcher): explicit language echoes back;
+    language=auto runs script-based detection on the produced text."""
+    if lang_code:
+        return lang_code
+    if text:
+        from ..text.langid import detect_language
+        return detect_language(text) or "auto"
+    return "auto"
 
 
 def _estimate_word_timestamps(text: str, start_t: float, end_t: float

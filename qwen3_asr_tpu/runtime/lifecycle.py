@@ -43,12 +43,19 @@ def _load_engine_sync(model_id: str):
                 "": None}.get(os.getenv("ASR_KV_CACHE_DTYPE", "").lower())
 
     if os.path.isdir(model_id):
+        from ..models.asr import PromptTemplate
         from ..runtime.checkpoint import load_asr_checkpoint
         from ..text.tokenizer import BpeTokenizer
         cfg, params = load_asr_checkpoint(model_id, dtype=dtype)
         tok_path = os.path.join(model_id, "tokenizer.json")
         tokenizer = BpeTokenizer.from_file(tok_path)
-        model = AsrModel(cfg, params, tokenizer)
+        # Prompt template is checkpoint-driven when the checkpoint ships one
+        # (chat_template.jinja / tokenizer_config.json) — see PromptTemplate.
+        template = PromptTemplate.from_checkpoint(model_id)
+        if template.chat_template:
+            log.info("Using checkpoint chat template ({} chars)",
+                     len(template.chat_template))
+        model = AsrModel(cfg, params, tokenizer, template=template)
     elif model_id.startswith("preset:"):
         from ..models.config import preset
         from ..models.decoder import init_decoder_params
@@ -90,7 +97,28 @@ def _load_engine_sync(model_id: str):
                  quantize_mode.upper(), round(before), round(after),
                  round(before - after))
 
-    return TranscriptionEngine(model, dtype=dtype, cache_dtype=kv_dtype)
+    # Mesh sharding (SURVEY §2.3): ASR_MESH_DP/ASR_MESH_TP pin the layout;
+    # ASR_MESH_AUTO=true derives one from jax.device_count(). Weights are
+    # placed once at load; the engine dp-shards each batch. Single-device
+    # meshes are skipped (nothing to shard).
+    mesh = None
+    dp_env, tp_env = os.getenv("ASR_MESH_DP"), os.getenv("ASR_MESH_TP")
+    auto = os.getenv("ASR_MESH_AUTO", "").lower() == "true"
+    if dp_env or tp_env or auto:
+        if jax.device_count() > 1:
+            from ..parallel.mesh import make_mesh, shard_params
+            mesh = make_mesh(dp=int(dp_env) if dp_env else None,
+                             tp=int(tp_env) if tp_env else None)
+            model.params = shard_params(model.params, mesh)
+            log.info("Mesh sharding enabled: dp={} tp={} over {} devices",
+                     mesh.shape["dp"], mesh.shape["tp"], jax.device_count())
+        else:
+            log.info("Mesh requested but only 1 device present; "
+                     "serving unsharded")
+
+    engine = TranscriptionEngine(model, dtype=dtype, cache_dtype=kv_dtype)
+    engine.mesh = mesh
+    return engine
 
 
 class ModelManager:
@@ -279,6 +307,10 @@ class ModelManager:
             devices = jax.devices()
             info["device"] = str(devices[0].device_kind) if devices else None
             info["num_devices"] = len(devices)
+            mesh = getattr(self.engine, "mesh", None)
+            if mesh is not None:
+                info["mesh"] = {"dp": mesh.shape["dp"],
+                                "tp": mesh.shape["tp"]}
             if self.engine is not None:
                 stats = getattr(devices[0], "memory_stats", lambda: None)()
                 if stats:

@@ -35,8 +35,17 @@ def build_tokenizer_json(path: str, vocab_size: int = 480) -> None:
     tok.save(path)
 
 
-def write_tiny_checkpoint(dirpath: str, seed: int = 0) -> str:
-    """Create a tiny random Qwen3-ASR-format checkpoint. Returns dirpath."""
+def write_tiny_checkpoint(dirpath: str, seed: int = 0,
+                          key_prefix: str = "",
+                          nested_config: bool = False,
+                          chat_template: str = None) -> str:
+    """Create a tiny random Qwen3-ASR-format checkpoint. Returns dirpath.
+
+    key_prefix/nested_config reproduce the Qwen3-Omni "thinker" layout
+    (keys like thinker.model.layers.0..., config nested under
+    thinker_config) for converter layout-regression tests; chat_template
+    writes a tokenizer_config.json carrying the template (the
+    checkpoint-driven prompt path)."""
     os.makedirs(dirpath, exist_ok=True)
     tok_path = os.path.join(dirpath, "tokenizer.json")
     build_tokenizer_json(tok_path)
@@ -56,8 +65,7 @@ def write_tiny_checkpoint(dirpath: str, seed: int = 0) -> str:
                num_key_value_heads=2, head_dim=12, rms_norm_eps=1e-6,
                rope_theta=1000000.0, tie_word_embeddings=True)
 
-    config = {
-        "model_type": "qwen3_asr",
+    inner = {
         "audio_config": enc,
         "text_config": dec,
         "audio_token_id": specials["<|AUDIO|>"],
@@ -65,8 +73,18 @@ def write_tiny_checkpoint(dirpath: str, seed: int = 0) -> str:
         "eos_token_id": specials["<|im_end|>"],
         "pad_token_id": specials["<|endoftext|>"],
     }
+    if nested_config:
+        config = {"model_type": "qwen3_asr", "thinker_config": inner}
+    else:
+        config = {"model_type": "qwen3_asr", **inner}
     with open(os.path.join(dirpath, "config.json"), "w") as f:
         json.dump(config, f, indent=1)
+    if chat_template is not None:
+        with open(os.path.join(dirpath, "tokenizer_config.json"), "w") as f:
+            json.dump({"chat_template": chat_template,
+                       "audio_token": "<|AUDIO|>",
+                       "audio_bos_token": "<|audio_bos|>",
+                       "audio_eos_token": "<|audio_eos|>"}, f, indent=1)
 
     rng = np.random.default_rng(seed)
 
@@ -74,9 +92,10 @@ def write_tiny_checkpoint(dirpath: str, seed: int = 0) -> str:
         return (rng.standard_normal(shape) * 0.05).astype(np.float32)
 
     sd = {}
+    kp = key_prefix
     # --- audio encoder (HF qwen3-omni audio tower naming) ---
     ch, d, ffn = enc["downsample_hidden_size"], enc["d_model"], enc["encoder_ffn_dim"]
-    p = "audio_tower."
+    p = kp + "audio_tower."
     sd[p + "conv2d1.weight"] = r(ch, 1, 3, 3)
     sd[p + "conv2d1.bias"] = r(ch)
     sd[p + "conv2d2.weight"] = r(ch, ch, 3, 3)
@@ -109,7 +128,7 @@ def write_tiny_checkpoint(dirpath: str, seed: int = 0) -> str:
     # --- decoder (HF qwen3 naming) ---
     h, inter = dec["hidden_size"], dec["intermediate_size"]
     nq, nkv, hd = dec["num_attention_heads"], dec["num_key_value_heads"], dec["head_dim"]
-    p = "model."
+    p = kp + "model."
     sd[p + "embed_tokens.weight"] = r(vocab_size, h)
     for i in range(dec["num_hidden_layers"]):
         lp = f"{p}layers.{i}."
@@ -137,6 +156,8 @@ def load_tiny_model(dirpath: str):
     from qwen3_asr_tpu.models.asr import AsrModel
     from qwen3_asr_tpu.runtime.checkpoint import load_asr_checkpoint
     from qwen3_asr_tpu.text.tokenizer import BpeTokenizer
+    from qwen3_asr_tpu.models.asr import PromptTemplate
     cfg, params = load_asr_checkpoint(dirpath, dtype=jnp.float32)
     tok = BpeTokenizer.from_file(os.path.join(dirpath, "tokenizer.json"))
-    return AsrModel(cfg, params, tok)
+    return AsrModel(cfg, params, tok,
+                    template=PromptTemplate.from_checkpoint(dirpath))

@@ -38,3 +38,115 @@ def test_no_cache_mode(tmp_path):
     cfg, params = load_asr_checkpoint(ckpt, dtype=jnp.float32, cache=False)
     assert "decoder" in params and "encoder" in params
     assert cfg.audio_token_id > 0
+
+
+def test_thinker_layout_loads_identically(tmp_path):
+    """Layout regression (VERDICT r1 item 2): the real Qwen3-ASR checkpoint
+    family may nest weights under a 'thinker.' prefix with the config under
+    'thinker_config' (the Qwen3-Omni convention, transformers
+    Qwen3OmniMoeConfig.sub_configs). The converter must produce the SAME
+    pytree as the flat layout."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from qwen3_asr_tpu.runtime.checkpoint import load_asr_checkpoint
+
+    flat = str(tmp_path / "flat")
+    nested = str(tmp_path / "nested")
+    write_tiny_checkpoint(flat, seed=7)
+    write_tiny_checkpoint(nested, seed=7, key_prefix="thinker.",
+                          nested_config=True)
+
+    cfg_a, params_a = load_asr_checkpoint(flat, dtype=jnp.float32,
+                                          cache=False)
+    cfg_b, params_b = load_asr_checkpoint(nested, dtype=jnp.float32,
+                                          cache=False)
+    assert cfg_a.decoder == cfg_b.decoder
+    assert cfg_a.encoder == cfg_b.encoder
+    assert cfg_a.eos_token_id == cfg_b.eos_token_id
+    leaves_a = jax.tree.leaves(params_a)
+    leaves_b = jax.tree.leaves(params_b)
+    assert len(leaves_a) == len(leaves_b)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_real_1p7b_shapes_convert(tmp_path):
+    """Shape-fidelity probe: a safetensors dir with the REAL 1.7B
+    dimensions (vocab 151936, hidden 2048, 28 layers / encoder d_model 1280,
+    32 layers) but a sliced layer count, in thinker layout, converts
+    without key errors. Guards _find_prefix and every key pattern against
+    the production layout without needing 3.4 GB of weights."""
+    import json as _json
+    import numpy as np
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+    from qwen3_asr_tpu.runtime.checkpoint import load_asr_checkpoint
+
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    L_DEC, L_ENC = 2, 2  # sliced depth; all other dims real
+    enc = dict(num_mel_bins=128, d_model=1280, encoder_layers=L_ENC,
+               encoder_attention_heads=20, encoder_ffn_dim=5120,
+               output_dim=2048, downsample_hidden_size=480,
+               n_window=100, n_window_infer=400)
+    dec = dict(vocab_size=151936, hidden_size=2048, intermediate_size=6144,
+               num_hidden_layers=L_DEC, num_attention_heads=16,
+               num_key_value_heads=8, head_dim=128,
+               tie_word_embeddings=True)
+    (d / "config.json").write_text(_json.dumps({
+        "model_type": "qwen3_asr",
+        "thinker_config": {"audio_config": enc, "text_config": dec,
+                           "audio_token_id": 151646,
+                           "eos_token_id": 151645,
+                           "pad_token_id": 151643}}))
+
+    def z(*shape):
+        return np.zeros(shape, np.float16)
+
+    sd = {}
+    p = "thinker.audio_tower."
+    ch = 480
+    sd[p + "conv2d1.weight"] = z(ch, 1, 3, 3); sd[p + "conv2d1.bias"] = z(ch)
+    sd[p + "conv2d2.weight"] = z(ch, ch, 3, 3); sd[p + "conv2d2.bias"] = z(ch)
+    sd[p + "conv2d3.weight"] = z(ch, ch, 3, 3); sd[p + "conv2d3.bias"] = z(ch)
+    sd[p + "conv_out.weight"] = z(1280, ch * 16)
+    for i in range(L_ENC):
+        lp = f"{p}layers.{i}."
+        sd[lp + "self_attn_layer_norm.weight"] = z(1280)
+        sd[lp + "self_attn_layer_norm.bias"] = z(1280)
+        for nm in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[lp + f"self_attn.{nm}.weight"] = z(1280, 1280)
+            sd[lp + f"self_attn.{nm}.bias"] = z(1280)
+        sd[lp + "final_layer_norm.weight"] = z(1280)
+        sd[lp + "final_layer_norm.bias"] = z(1280)
+        sd[lp + "fc1.weight"] = z(5120, 1280); sd[lp + "fc1.bias"] = z(5120)
+        sd[lp + "fc2.weight"] = z(1280, 5120); sd[lp + "fc2.bias"] = z(1280)
+    sd[p + "ln_post.weight"] = z(1280); sd[p + "ln_post.bias"] = z(1280)
+    sd[p + "proj1.weight"] = z(1280, 1280); sd[p + "proj1.bias"] = z(1280)
+    sd[p + "proj2.weight"] = z(2048, 1280); sd[p + "proj2.bias"] = z(2048)
+
+    p = "thinker.model."
+    sd[p + "embed_tokens.weight"] = z(151936, 2048)
+    for i in range(L_DEC):
+        lp = f"{p}layers.{i}."
+        sd[lp + "input_layernorm.weight"] = z(2048)
+        sd[lp + "post_attention_layernorm.weight"] = z(2048)
+        sd[lp + "self_attn.q_proj.weight"] = z(16 * 128, 2048)
+        sd[lp + "self_attn.k_proj.weight"] = z(8 * 128, 2048)
+        sd[lp + "self_attn.v_proj.weight"] = z(8 * 128, 2048)
+        sd[lp + "self_attn.o_proj.weight"] = z(2048, 16 * 128)
+        sd[lp + "self_attn.q_norm.weight"] = z(128)
+        sd[lp + "self_attn.k_norm.weight"] = z(128)
+        sd[lp + "mlp.gate_proj.weight"] = z(6144, 2048)
+        sd[lp + "mlp.up_proj.weight"] = z(6144, 2048)
+        sd[lp + "mlp.down_proj.weight"] = z(2048, 6144)
+    sd[p + "norm.weight"] = z(2048)
+    save_file(sd, str(d / "model.safetensors"))
+
+    cfg, params = load_asr_checkpoint(str(d), dtype=jnp.bfloat16, cache=False)
+    assert cfg.decoder.vocab_size == 151936
+    assert params["decoder"]["embed"].shape == (151936, 2048)
+    assert params["decoder"]["layers"]["wq"].shape == (L_DEC, 2048, 2048)
+    assert params["encoder"]["layers"]["fc1_w"].shape == (L_ENC, 1280, 5120)
+    assert params["encoder"]["conv_out_w"].shape == (480 * 16, 1280)
