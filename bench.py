@@ -15,12 +15,20 @@ weights; zero logits never hit EOS, so decode runs the FULL token budget —
 a worst-case number).
 
 Default config (tuned on v5e, round 2): QUANTIZE=int8 (weight-only incl.
-embedding/lm_head), bf16 KV cache, batch 32. Measured ladder at 20 s clips:
-  bf16 b16             116.8x   (round-1 shipping config)
-  int8+fp8KV b16       137.7x   (fp8 KV convert does NOT fuse — dropped)
-  int8 b16, carry-KV   188.7x   (scan-carry cache + quantized embed)
-  int8 b32, carry-KV   209.5x   <- default
-Override with QUANTIZE / BENCH_BATCH / ASR_KV_CACHE_DTYPE.
+embedding/lm_head), fp8 KV cache, UNROLLED decode layers, batch 32.
+Measured ladder at 20 s clips (decode-step ms at B32/S512 in parens):
+  bf16 b16                     116.8x   (round-1 shipping config)
+  int8+fp8KV b16               137.7x   (fp8 convert didn't fuse in scan)
+  int8 b16, carry-KV           188.7x   (scan-carry cache + quantized embed)
+  int8 b32, carry-KV           209.5x   (8.4 ms/step)
+  int8+fp8KV b32, unrolled     270.8x   (6.1 ms/step; scan's traced layer
+                                         index forced a dynamic_slice copy
+                                         of the layer cache — unrolling
+                                         makes it an XLA view, and the fp8
+                                         KV convert now fuses)  <- default
+  int8+fp8KV b64, unrolled     120.5x   (regresses hard — stay at b32)
+Override with QUANTIZE / BENCH_BATCH / ASR_KV_CACHE_DTYPE /
+ASR_DECODER_UNROLL.
 """
 import json
 import os
@@ -83,7 +91,8 @@ def main():
     clip_s = float(os.getenv("BENCH_CLIP_S", "20"))
     iters = int(os.getenv("BENCH_ITERS", "3"))
 
-    kv_env = os.getenv("ASR_KV_CACHE_DTYPE", "").lower()
+    kv_env = os.getenv("ASR_KV_CACHE_DTYPE",
+                       "fp8" if backend == "tpu" else "").lower()
     cache_dtype = {"fp8": jnp.float8_e4m3fn,
                    "bf16": jnp.bfloat16}.get(kv_env, dtype)
     engine = build_engine(preset_name, dtype, cache_dtype)

@@ -34,6 +34,12 @@ DURATION_SLAS = {
     "test_subtitles_fast": 45,
     "test_error_garbage": 5,
     "test_realtime_benchmark": 180,
+    "test_ws_cumulative_partials_monotonic": 120,
+    "test_concurrent_http_requests": 120,
+    "test_ws_not_blocked_by_http": 90,
+    "test_ws_recovery_after_error": 30,
+    "test_http_recovery_after_error": 60,
+    "test_idle_unload_and_lazy_reload": 180,
 }
 
 _results = []

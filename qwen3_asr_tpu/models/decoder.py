@@ -23,6 +23,7 @@ converter stacks per-layer tensors (runtime/checkpoint.py).
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -31,6 +32,41 @@ import jax.numpy as jnp
 from ..ops.attention import AttnSpec, attend_spec
 from ..ops.quant import qdot
 from .config import DecoderConfig
+
+
+def _use_stacked_decode(t: int, s: int, d: int, spec: AttnSpec) -> bool:
+    """Trace-time choice: route single-token decode attention through the
+    stacked-cache Pallas kernel (ops/decode_attention.py). EXPLICIT opt-in
+    only (ASR_ATTN_BACKEND=decode|decode_interpret): measured on v5e at
+    B32/S512 the (B·n_kv)-instance grid serializes 32 KB DMAs and loses to
+    the unrolled-XLA path (16.1 vs ~4.6 ms/step) — it may still win for
+    few-instance/long-cache shapes. Requires a block-aligned cache and the
+    decode-step mask shape (valid_from/to, no causal/window)."""
+    backend = os.getenv("ASR_ATTN_BACKEND", "auto")
+    if backend == "decode_interpret":
+        pass  # CPU test mode: force the kernel in interpret mode
+    elif backend != "decode" or jax.default_backend() != "tpu":
+        return False
+    if t != 1 or spec.causal or spec.window_block != 0:
+        return False
+    if spec.valid_from is None or spec.valid_to is None:
+        return False
+    return d >= 64 and s % 128 == 0 and s >= 256
+
+
+def _unroll_decode(t: int) -> bool:
+    """Unroll the decode-step layer loop: static layer indices turn the
+    per-layer cache access into an offset view XLA fuses into the attention
+    reads, instead of the dynamic_slice copy the scanned (traced-index)
+    form pays. Default: on for TPU decode steps; ASR_DECODER_UNROLL=
+    true/false overrides (prefill always scans — compute-bound, and one
+    traced body keeps compiles fast)."""
+    mode = os.getenv("ASR_DECODER_UNROLL", "auto").lower()
+    if mode == "true":
+        return t == 1
+    if mode == "false":
+        return False
+    return t == 1 and jax.default_backend() == "tpu"
 
 
 class KVCache(NamedTuple):
@@ -145,13 +181,26 @@ def _layer(cfg: DecoderConfig, hidden: jax.Array, lp: dict,
         v_all, v.astype(v_all.dtype)[None], (layer_idx, 0, 0, write_pos, 0))
 
     s = k_all.shape[3]
-    k_layer = jax.lax.dynamic_slice(
-        k_all, (layer_idx, 0, 0, 0, 0), (1, b, nkv, s, d))[0]
-    v_layer = jax.lax.dynamic_slice(
-        v_all, (layer_idx, 0, 0, 0, 0), (1, b, nkv, s, d))[0]
-
-    attn = attend_spec(q, k_layer.astype(q.dtype), v_layer.astype(q.dtype),
-                       attn_spec, scale=d ** -0.5)
+    if _use_stacked_decode(t, s, d, attn_spec):
+        # Decode step on TPU: the Pallas kernel DMAs the layer's live blocks
+        # straight from the STACKED cache — no dynamic_slice materialization
+        # (XLA copies the whole [B,n_kv,S,D] layer out otherwise, tripling
+        # the attention phase's HBM traffic) and dead-block skipping.
+        from ..ops.decode_attention import decode_attention
+        interp = os.getenv("ASR_ATTN_BACKEND", "") == "decode_interpret"
+        attn = decode_attention(
+            q, k_all, v_all, layer_idx=layer_idx,
+            kv_valid_from=attn_spec.valid_from,
+            kv_valid_to=attn_spec.valid_to, sm_scale=d ** -0.5,
+            interpret=interp)
+    else:
+        k_layer = jax.lax.dynamic_slice(
+            k_all, (layer_idx, 0, 0, 0, 0), (1, b, nkv, s, d))[0]
+        v_layer = jax.lax.dynamic_slice(
+            v_all, (layer_idx, 0, 0, 0, 0), (1, b, nkv, s, d))[0]
+        attn = attend_spec(q, k_layer.astype(q.dtype),
+                           v_layer.astype(q.dtype),
+                           attn_spec, scale=d ** -0.5)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nq * d)
     hidden = hidden + qdot(attn, lp["wo"])
 
@@ -174,6 +223,23 @@ def decoder_forward(params: dict, cfg: DecoderConfig,
     """
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
     n_layers = cfg.num_hidden_layers
+
+    if _unroll_decode(inputs_embeds.shape[1]):
+        # Decode step: unroll the layer loop with STATIC layer indices.
+        # The per-layer cache slice becomes an offset view XLA fuses into
+        # the attention reads — no [B,n_kv,S,D] copy per layer (the scan's
+        # traced index forces a dynamic_slice materialization: measured
+        # 8.4 → ~4.6 ms/step at B32/S512 int8 on v5e). Compile time grows
+        # (one body per layer) — decode-step-only, amortized by the
+        # persistent compile cache.
+        hidden, k_all, v_all = inputs_embeds, cache.k, cache.v
+        for i in range(n_layers):
+            lp = jax.tree.map(lambda x: x[i], params["layers"])
+            hidden, k_all, v_all = _layer(cfg, hidden, lp, cos, sin,
+                                          k_all, v_all, i, write_pos,
+                                          attn_spec)
+        hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+        return hidden, KVCache(k_all, v_all)
 
     def body(carry, xs):
         hidden, k_all, v_all = carry

@@ -11,6 +11,12 @@ framework's dense per-request caches:
   DMA is issued — HBM traffic scales with the true context length, not the
   bucket's padded maximum (the decode loop's cache is sized for
   prompt+max_new but early steps only need the prefix);
+* the cache may be passed STACKED ``[L, B, n_kv, S, D]`` with a traced
+  ``layer_idx`` (scalar-prefetched): the kernel DMAs the layer's blocks
+  straight out of the stacked array. Inside the decoder's layer scan this
+  removes the per-layer ``dynamic_slice`` materialization XLA otherwise
+  pays (copy-out read+write of the whole layer cache ≈ 3× the attention
+  HBM traffic — measured 8.4→5.6 ms/step at B32/S512 on v5e);
 * GQA: grid iterates (batch, kv_head); each instance computes the whole
   query group [G, D] against its KV head — one MXU matmul per block;
 * fp32 online-softmax statistics, safe divide.
@@ -20,7 +26,7 @@ Used for while_loop decode steps (q_len == 1).
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -30,13 +36,15 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _kernel(valid_from_ref, valid_to_ref, q_ref, k_hbm, v_hbm, o_ref,
-            k_buf, v_buf, sem_k, sem_v, m_scr, l_scr, acc_scr,
+def _kernel(valid_from_ref, valid_to_ref, layer_ref, q_ref, k_hbm, v_hbm,
+            o_ref, k_buf, v_buf, sem_k, sem_v, m_scr, l_scr, acc_scr,
             *, block_k: int, s_len: int, sm_scale: float):
-    """Grid: (B, n_kv). q_ref: [1, 1, G, D] VMEM; k/v_hbm: [B, n_kv, S, D]
-    in ANY/HBM; k/v_buf: [2, block_k, D] VMEM double buffers."""
+    """Grid: (B, n_kv). q_ref: [1, 1, G, D] VMEM; k/v_hbm: [L, B, n_kv, S, D]
+    in ANY/HBM (layer_ref[0] selects the layer); k/v_buf: [2, block_k, D]
+    VMEM double buffers."""
     b = pl.program_id(0)
     h = pl.program_id(1)
+    lyr = layer_ref[0]
     n_blocks = s_len // block_k
 
     vf = valid_from_ref[b]
@@ -48,12 +56,12 @@ def _kernel(valid_from_ref, valid_to_ref, q_ref, k_hbm, v_hbm, o_ref,
 
     def dma_k(slot, i):
         return pltpu.make_async_copy(
-            k_hbm.at[b, h, pl.ds(i * block_k, block_k), :],
+            k_hbm.at[lyr, b, h, pl.ds(i * block_k, block_k), :],
             k_buf.at[slot], sem_k.at[slot])
 
     def dma_v(slot, i):
         return pltpu.make_async_copy(
-            v_hbm.at[b, h, pl.ds(i * block_k, block_k), :],
+            v_hbm.at[lyr, b, h, pl.ds(i * block_k, block_k), :],
             v_buf.at[slot], sem_v.at[slot])
 
     # find the first live block and prefetch it
@@ -116,15 +124,22 @@ def _kernel(valid_from_ref, valid_to_ref, q_ref, k_hbm, v_hbm, o_ref,
 
 
 def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                     layer_idx: Union[int, jax.Array] = 0,
                      kv_valid_from: Optional[jax.Array] = None,
                      kv_valid_to: Optional[jax.Array] = None,
                      sm_scale: Optional[float] = None,
                      block_k: int = 128,
                      interpret: bool = False) -> jax.Array:
-    """q: [B, Nq, 1, D]; k/v: [B, Nkv, S, D] → [B, Nq, 1, D]."""
+    """q: [B, Nq, 1, D] → [B, Nq, 1, D].
+
+    k/v: either one layer's cache [B, Nkv, S, D] (layer_idx ignored), or the
+    full stacked cache [L, B, Nkv, S, D] with ``layer_idx`` selecting the
+    layer WITHOUT slicing it out (S must then be a block_k multiple)."""
     b, nq, t, d = q.shape
     assert t == 1, "decode_attention is for single-token queries"
-    _, nkv, s_len, _ = k.shape
+    stacked = k.ndim == 5
+    s_len = k.shape[-2]
+    nkv = k.shape[-3]
     g = nq // nkv
     if sm_scale is None:
         sm_scale = d ** -0.5
@@ -132,8 +147,13 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     block_k = min(block_k, s_len)
     s_pad = -(-s_len // block_k) * block_k
     if s_pad != s_len:
+        assert not stacked, \
+            "stacked cache length must be a block_k multiple (pad the cache)"
         k = jnp.pad(k, ((0, 0), (0, 0), (0, s_pad - s_len), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, s_pad - s_len), (0, 0)))
+    if not stacked:
+        k, v = k[None], v[None]
+        layer_idx = 0
 
     qg = q.reshape(b, nkv, g, d)              # [B, n_kv, G, D]
 
@@ -149,7 +169,7 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(b, nkv),
             in_specs=[
                 pl.BlockSpec((1, 1, g, d),
@@ -174,6 +194,7 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(kv_valid_from.astype(jnp.int32), kv_valid_to.astype(jnp.int32),
+      jnp.asarray(layer_idx, jnp.int32).reshape(1),
       qg, k, v)
 
     return out.reshape(b, nq, 1, d)

@@ -107,6 +107,17 @@ class MicroBatcher:
             from ..runtime.engine import (TARGET_SR, TranscriptionResult,
                                           _response_language)
             mgr._last_used = time.time()
+            try:
+                return _run_inner()
+            finally:
+                # Stamp at the END too: a first-request bucket compile can
+                # exceed IDLE_TIMEOUT and the idle watchdog's unload re-check
+                # runs right after us on this same executor thread.
+                mgr._last_used = time.time()
+
+        def _run_inner():
+            from ..runtime.engine import (TARGET_SR, TranscriptionResult,
+                                          _response_language)
             clips = [p.audio for p in group]
             # Pad the batch to a power-of-two size so only {1,2,4,8,...}
             # batch shapes ever compile (arbitrary group sizes would each

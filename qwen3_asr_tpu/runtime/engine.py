@@ -406,8 +406,12 @@ class TranscriptionEngine:
                 text=text, language=out_lang,
                 start_time=start_t, end_time=end_t, token_ids=token_ids)
             if return_timestamps and text:
-                res.timestamps = _estimate_word_timestamps(text, start_t, end_t)
+                res.timestamps = _word_timestamps(seg, text, start_t, end_t,
+                                                  out_lang)
             results.append(res)
+        # Stamp at the END too: a first-request bucket compile can exceed
+        # IDLE_TIMEOUT; the idle clock must restart when the work FINISHES.
+        self.last_used = time.time()
         return results
 
     def transcribe_batch(self, clips: Sequence[Tuple[np.ndarray, int]],
@@ -438,6 +442,7 @@ class TranscriptionEngine:
                 out[i] = TranscriptionResult(
                     text=text, language=_response_language(text, lang_code),
                     start_time=0.0, end_time=len(prepped[i]) / TARGET_SR)
+        self.last_used = time.time()  # idle clock restarts at job END
         return out  # type: ignore[return-value]
 
     # -- warmup --------------------------------------------------------------------
@@ -480,6 +485,24 @@ def _response_language(text: str, lang_code: Optional[str]) -> str:
         from ..text.langid import detect_language
         return detect_language(text) or "auto"
     return "auto"
+
+
+def _word_timestamps(seg_audio: np.ndarray, text: str, start_t: float,
+                     end_t: float, language: str) -> List[dict]:
+    """Model-quality word timing when the ForcedAligner is loaded (the
+    reference returns SDK/model timestamps, src/server.py:866-869); falls
+    back to char-proportional estimates otherwise or on aligner failure."""
+    from ..sidecars import subtitle
+    if subtitle.aligner_loaded():
+        try:
+            words = subtitle.align_audio(seg_audio, TARGET_SR, text, language)
+            if words:
+                return [{"word": w.text,
+                         "start": round(w.start + start_t, 3),
+                         "end": round(w.end + start_t, 3)} for w in words]
+        except Exception as e:  # alignment must never fail the request
+            log.warning("Aligner timestamps failed ({}); using estimates", e)
+    return _estimate_word_timestamps(text, start_t, end_t)
 
 
 def _estimate_word_timestamps(text: str, start_t: float, end_t: float

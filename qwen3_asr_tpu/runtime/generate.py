@@ -57,7 +57,10 @@ def greedy_generate(params, cfg: DecoderConfig, inputs_embeds: jax.Array,
     per-row offset is harmless.
     """
     b, prompt_len, _ = inputs_embeds.shape
-    total = prompt_len + max_new
+    # Round the cache up to a 128 multiple: the stacked-cache decode kernel
+    # (ops/decode_attention.py) requires block-aligned S, and the attention
+    # masks (valid_from/valid_to) make the padding inert on every backend.
+    total = -(-(prompt_len + max_new) // 128) * 128
     cache = init_kv_cache(cfg, b, total, dtype=cache_dtype)
 
     # ---- prefill -------------------------------------------------------------

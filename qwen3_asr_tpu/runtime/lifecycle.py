@@ -217,6 +217,16 @@ class ModelManager:
         self._last_used = time.time()
         log.info("Model loaded in {:.1f}s", time.time() - t0)
 
+    def _last_activity(self) -> float:
+        """Most recent use across every inference path: manager-stamped
+        requests AND direct engine dispatches (the micro-batcher calls
+        engine.transcribe_batch without passing through transcribe_sync)."""
+        stamps = [self._last_used]
+        for eng in (self.engine, self.fast_engine):
+            if eng is not None:
+                stamps.append(getattr(eng, "last_used", 0.0))
+        return max(stamps)
+
     def _unload_sync(self):
         if self.engine is None:
             return
@@ -225,16 +235,18 @@ class ModelManager:
         # first-request bucket compile) may have occupied the executor past
         # IDLE_TIMEOUT — unloading now would rip the engine out from under a
         # request already past ensure_loaded().
-        if (time.time() - self._last_used <= self.idle_timeout
+        if (time.time() - self._last_activity() <= self.idle_timeout
                 or self.queue.depth > 0):
             log.info("Skipping idle unload: engine used or queue non-empty")
             return
         log.info("Unloading model (idle timeout)...")
         from ..sidecars import subtitle
         subtitle.unload_aligner()
+        # Clear the id BEFORE the engine: /health reads these from another
+        # thread and must never see model_loaded=false with a model_id.
+        self.loaded_model_id = None
         self.engine = None
         self.fast_engine = None
-        self.loaded_model_id = None
         gc.collect()
         log.info("Model unloaded")
 
@@ -255,10 +267,11 @@ class ModelManager:
             await asyncio.sleep(interval)
             if self.idle_timeout <= 0 or self.engine is None:
                 continue
-            if time.time() - self._last_used > self.idle_timeout:
+            if time.time() - self._last_activity() > self.idle_timeout:
                 async with self._lock:
                     if (self.engine is not None
-                            and time.time() - self._last_used > self.idle_timeout):
+                            and time.time() - self._last_activity()
+                            > self.idle_timeout):
                         await asyncio.get_event_loop().run_in_executor(
                             infer_executor(), self._unload_sync)
 
@@ -302,6 +315,14 @@ class ModelManager:
             "model_loaded": self.engine is not None,
             "model_id": self.loaded_model_id,
         }
+        if self.engine is not None:
+            try:
+                import jax as _jax
+                info["model_params_m"] = round(sum(
+                    x.size for x in _jax.tree.leaves(self.engine.model.params)
+                ) / 1e6, 1)
+            except Exception:
+                pass
         try:
             import jax
             devices = jax.devices()

@@ -100,6 +100,20 @@ async def transcribe(request: web.Request) -> web.Response:
     audio, sr = decoded
     lang_code = None if language == "auto" else language
 
+    if return_timestamps and os.getenv("ASR_TIMESTAMP_MODE",
+                                       "accurate") == "accurate":
+        # Model-quality word timing via the ForcedAligner (reference SDK
+        # timestamps, src/server.py:866-869). Missing aligner weights are
+        # not an error — the engine falls back to estimates.
+        from ..runtime.queue import infer_executor
+        from ..sidecars import subtitle as subtitle_mod
+        try:
+            await asyncio.get_event_loop().run_in_executor(
+                infer_executor(), subtitle_mod.load_aligner)
+        except Exception as e:
+            log.info("Aligner unavailable for timestamps ({}); "
+                     "char-proportional estimates will be used", e)
+
     try:
         # Micro-batched path: concurrent same-bucket uploads share one
         # device dispatch (falls back to a solo job when not batchable).

@@ -5,10 +5,12 @@ Replaces the reference's Qwen3-ForcedAligner SDK model
 weight-reusing: the checkpoint's AUDIO ENCODER produces per-token acoustic
 embeddings in the decoder's embedding space (that is literally its training
 objective — proj2 maps into text-embedding space), the target text is
-embedded with the decoder's token table, and a monotonic dynamic-programming
-alignment (DTW over cosine similarity) assigns each text token a span of
-acoustic frames. Frame rate is 12.5 tokens/s (80 ms), comfortably near the
-reference's ~33 ms quoted word accuracy once word boundaries interpolate.
+embedded with the decoder's token table, and a forced-alignment Viterbi
+partition over cosine similarity assigns each text token an exclusive span
+of acoustic frames (silence edges trimmed). Frame rate is 12.5 tokens/s
+(80 ms); with a clean similarity signal the machinery recovers known word
+boundaries to mean ≤40 ms / max ≤80 ms error (quantization of the frame
+grid — measured in tests/test_aligner.py::test_alignment_accuracy_*).
 
 FORCED_ALIGNER_ID may point at any ASR-format checkpoint directory
 (a dedicated aligner checkpoint or the main ASR model itself).
@@ -100,50 +102,92 @@ class AlignerEngine:
         a = acoustic / (np.linalg.norm(acoustic, axis=-1, keepdims=True) + 1e-6)
         t = text_emb / (np.linalg.norm(text_emb, axis=-1, keepdims=True) + 1e-6)
         sim = t @ a.T                                    # [n_tokens, n_frames]
-        token_frames = _monotonic_align(sim)             # frame idx per token
-
-        # Token → word spans → seconds (interpolated inside frames).
-        out: List[AlignedWord] = []
-        cursor = 0
+        spans = _token_spans(sim)                        # [n_tokens, 2]
         frame_s = duration / max(n_frames, 1)
-        for w, ids in zip(words, word_ids):
-            span = token_frames[cursor:cursor + len(ids)]
-            cursor += len(ids)
-            if len(span) == 0:
-                continue
-            start = float(span[0]) * frame_s
-            end = float(span[-1] + 1) * frame_s
-            out.append(AlignedWord(w, round(min(start, duration), 3),
-                                   round(min(end, duration), 3)))
-        # Enforce monotonic non-overlap.
-        for prev, cur in zip(out, out[1:]):
-            if cur.start < prev.end:
-                cur.start = prev.end
-            if cur.end < cur.start:
-                cur.end = cur.start
-        return out
+        return _spans_to_words(words, word_ids, spans, frame_s, duration)
 
 
-def _monotonic_align(sim: np.ndarray) -> np.ndarray:
-    """DTW path: each token gets a non-decreasing frame index maximizing
-    total similarity. sim: [n_tokens, n_frames] → [n_tokens] frame indices."""
+def _viterbi_partition(sim: np.ndarray) -> np.ndarray:
+    """Forced-alignment Viterbi: partition ALL frames among the tokens,
+    in order, maximizing summed per-frame similarity. Returns
+    entry[i] = first frame owned by token i (strictly increasing).
+
+    cost[i,j] = sim[i,j] + max(cost[i,j-1], cost[i-1,j-1]) — the in-row
+    j-1 recurrence collapses to a cumsum + running max per row:
+    cost[i,j] = S[j] + max_{k<=j}(cost[i-1,k-1] - S[k-1]), S = cumsum(sim[i]).
+    """
     n_tok, n_frames = sim.shape
     if n_tok == 0:
         return np.zeros(0, np.int32)
-    NEG = -1e9
-    dp = np.full((n_tok, n_frames), NEG, np.float32)
-    back = np.zeros((n_tok, n_frames), np.int32)
-    dp[0] = sim[0]
+    if n_tok > n_frames:  # degenerate: more tokens than frames
+        return (np.arange(n_tok) * n_frames // n_tok).astype(np.int32)
+    NEG = np.float32(-1e9)
     idx = np.arange(n_frames, dtype=np.int32)
+    entry = np.zeros((n_tok, n_frames), np.int32)   # chosen k per (i, j)
+    prev = np.cumsum(sim[0], dtype=np.float32)      # token 0 owns 0..j
     for i in range(1, n_tok):
-        # best predecessor at frame <= j: vectorized running argmax
-        # (>= semantics: ties prefer the later frame)
-        run_best = np.maximum.accumulate(dp[i - 1])
-        is_new = dp[i - 1] >= run_best
-        back[i] = np.maximum.accumulate(np.where(is_new, idx, 0))
-        dp[i] = run_best + sim[i]
-    path = np.zeros(n_tok, np.int32)
-    path[-1] = int(np.argmax(dp[-1]))
+        s = np.cumsum(sim[i], dtype=np.float32)
+        # v[k] = cost[i-1, k-1] - S[k-1]; k=0 invalid (token i-1 needs a frame)
+        v = np.concatenate(([NEG], prev[:-1] - s[:-1]))
+        run = np.maximum.accumulate(v)
+        is_new = v >= run                            # ties → later entry
+        entry[i] = np.maximum.accumulate(np.where(is_new, idx, 0))
+        prev = s + run
+    entries = np.zeros(n_tok, np.int32)
+    j = n_frames - 1
     for i in range(n_tok - 1, 0, -1):
-        path[i - 1] = back[i][path[i]]
-    return path
+        entries[i] = entry[i, j]
+        j = entries[i] - 1
+    return entries
+
+
+def _token_spans(sim: np.ndarray, trim_frac: float = 0.3) -> np.ndarray:
+    """Token → inclusive [first, last] frame spans.
+
+    The Viterbi partition assigns every frame to a token, so a word before
+    a silence gap would otherwise stretch across the silence. Trim span
+    edges whose similarity falls below min + trim_frac*(max-min) within
+    the span — clear-silence frames sit near the span minimum while real
+    speech frames stay above it."""
+    n_tok, n_frames = sim.shape
+    entries = _viterbi_partition(sim)
+    spans = np.zeros((n_tok, 2), np.int32)
+    for i in range(n_tok):
+        lo = int(entries[i])
+        hi = int(entries[i + 1]) - 1 if i + 1 < n_tok else n_frames - 1
+        hi = max(lo, hi)
+        row = sim[i, lo:hi + 1]
+        thr = row.min() + trim_frac * (row.max() - row.min())
+        keep = np.nonzero(row >= thr)[0]
+        if len(keep):
+            lo, hi = lo + int(keep[0]), lo + int(keep[-1])
+        spans[i] = (lo, hi)
+    return spans
+
+
+def _spans_to_words(words: List[str], word_ids: List[List[int]],
+                    spans: np.ndarray, frame_s: float,
+                    duration: float) -> List[AlignedWord]:
+    """Per-token frame spans → word-level [start, end) seconds.
+
+    Separate from align() so the accuracy bound can be established with a
+    controlled similarity signal (tests/test_aligner.py) independent of
+    checkpoint weights."""
+    out: List[AlignedWord] = []
+    cursor = 0
+    for w, ids in zip(words, word_ids):
+        chunk = spans[cursor:cursor + len(ids)]
+        cursor += len(ids)
+        if len(chunk) == 0:
+            continue
+        start = float(chunk[0, 0]) * frame_s
+        end = float(chunk[-1, 1] + 1) * frame_s
+        out.append(AlignedWord(w, round(min(start, duration), 3),
+                               round(min(end, duration), 3)))
+    # Enforce monotonic non-overlap.
+    for prev, cur in zip(out, out[1:]):
+        if cur.start < prev.end:
+            cur.start = prev.end
+        if cur.end < cur.start:
+            cur.end = cur.start
+    return out

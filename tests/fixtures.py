@@ -130,6 +130,16 @@ def write_tiny_checkpoint(dirpath: str, seed: int = 0,
     nq, nkv, hd = dec["num_attention_heads"], dec["num_key_value_heads"], dec["head_dim"]
     p = kp + "model."
     sd[p + "embed_tokens.weight"] = r(vocab_size, h)
+    # Bias the tied lm_head toward word-like tokens: an unbiased random
+    # model collapses greedy decode onto one whitespace token (strips to
+    # ""), making every text assertion downstream vacuous. Boosting a
+    # couple dozen alphabetic token rows makes argmax land on printable,
+    # input-dependent tokens while staying a pure random test model.
+    word_ids = sorted(
+        tid for t, tid in tok_blob["model"]["vocab"].items()
+        if len(t) >= 3 and t.lstrip("Ġ").isalpha() and tid < vocab_size
+    )[:24]
+    sd[p + "embed_tokens.weight"][word_ids] *= 4.0
     for i in range(dec["num_hidden_layers"]):
         lp = f"{p}layers.{i}."
         sd[lp + "input_layernorm.weight"] = np.ones(h, np.float32)

@@ -41,17 +41,153 @@ def test_align_cjk_tokens(aligner):
     assert len(words) == 4  # char-level CJK tokens
 
 
-def test_monotonic_align_dp():
-    from qwen3_asr_tpu.sidecars.aligner import _monotonic_align
-    # diagonal similarity → identity-ish path
+def test_viterbi_partition_dp():
+    from qwen3_asr_tpu.sidecars.aligner import _viterbi_partition
+    # diagonal similarity → identity-ish entries
     sim = np.eye(4, 8, dtype=np.float32)
-    path = _monotonic_align(sim)
-    assert list(path) == [0, 1, 2, 3]
-    # non-decreasing always
+    entries = _viterbi_partition(sim)
+    assert list(entries) == [0, 1, 2, 3]
+    # entries strictly increasing for ANY similarity (each token ≥1 frame)
     rng = np.random.default_rng(0)
     sim = rng.standard_normal((6, 20)).astype(np.float32)
-    path = _monotonic_align(sim)
-    assert all(b >= a for a, b in zip(path, path[1:]))
+    entries = _viterbi_partition(sim)
+    assert entries[0] == 0
+    assert all(b > a for a, b in zip(entries, entries[1:]))
+    assert entries[-1] < 20
+
+
+def test_viterbi_partition_is_optimal():
+    """Vectorized DP matches brute force on small cases."""
+    from itertools import combinations
+    from qwen3_asr_tpu.sidecars.aligner import _viterbi_partition
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        n_tok, n_frames = 3, 7
+        sim = rng.standard_normal((n_tok, n_frames)).astype(np.float32)
+        best, best_score = None, -np.inf
+        for cuts in combinations(range(1, n_frames), n_tok - 1):
+            ent = (0,) + cuts
+            score = sum(sim[i, ent[i]:(ent[i + 1] if i + 1 < n_tok
+                                       else n_frames)].sum()
+                        for i in range(n_tok))
+            if score > best_score:
+                best, best_score = ent, score
+        got = _viterbi_partition(sim)
+        got_score = sum(sim[i, got[i]:(got[i + 1] if i + 1 < n_tok
+                                       else n_frames)].sum()
+                        for i in range(n_tok))
+        assert got_score >= best_score - 1e-4, (list(got), best)
+
+
+def _ground_truth_case(boundaries, frame_s=0.08, peak=8.0, noise=0.0,
+                       seed=0):
+    """Build a controlled similarity matrix from known word timings.
+
+    boundaries: list of (word, start_s, end_s, n_tokens). Each token
+    occupies an even share of its word; every frame the token overlaps
+    gets a similarity peak (an idealized acoustic/text embedding match).
+    The Viterbi partition + trim should recover the word boundaries up
+    to frame quantization. Returns (words, word_ids, sim, frame_s,
+    duration)."""
+    duration = boundaries[-1][2]
+    n_frames = int(np.ceil(duration / frame_s))
+    words, word_ids, tok_spans = [], [], []
+    for word, start, end, n_tok in boundaries:
+        words.append(word)
+        word_ids.append(list(range(n_tok)))  # ids only set span lengths
+        for k in range(n_tok):
+            t0 = start + (end - start) * k / n_tok
+            t1 = start + (end - start) * (k + 1) / n_tok
+            tok_spans.append((t0, t1))
+    rng = np.random.default_rng(seed)
+    sim = noise * rng.standard_normal(
+        (len(tok_spans), n_frames)).astype(np.float32)
+    for i, (t0, t1) in enumerate(tok_spans):
+        f0 = int(t0 / frame_s)
+        f1 = max(f0 + 1, int(np.ceil(t1 / frame_s)))
+        sim[i, f0:min(f1, n_frames)] += peak
+    return words, word_ids, sim, frame_s, duration
+
+
+def _boundary_errors(aligned, boundaries):
+    errs = []
+    for got, (word, start, end, _) in zip(aligned, boundaries):
+        assert got.text == word
+        errs += [abs(got.start - start), abs(got.end - end)]
+    return np.asarray(errs)
+
+
+def test_alignment_accuracy_ground_truth():
+    """Known-timing accuracy bound (VERDICT r1 item 7): with a peaked
+    similarity signal the DTW + interpolation machinery recovers word
+    boundaries to within the 80 ms frame grid — mean error under half a
+    frame, max error under one frame."""
+    from qwen3_asr_tpu.sidecars.aligner import _spans_to_words, _token_spans
+    boundaries = [("the", 0.10, 0.31, 1), ("quick", 0.31, 0.74, 2),
+                  ("brown", 0.83, 1.27, 2), ("fox", 1.27, 1.62, 1),
+                  ("jumps", 1.90, 2.45, 3), ("over", 2.45, 2.81, 2),
+                  ("everything", 2.95, 3.84, 4)]
+    words, word_ids, sim, frame_s, duration = _ground_truth_case(boundaries)
+    spans = _token_spans(sim)
+    aligned = _spans_to_words(words, word_ids, spans, frame_s, duration)
+    assert len(aligned) == len(boundaries)
+    errs = _boundary_errors(aligned, boundaries)
+    assert errs.mean() <= frame_s / 2 + 1e-6, f"mean {errs.mean()*1e3:.0f}ms"
+    assert errs.max() <= frame_s + 1e-6, f"max {errs.max()*1e3:.0f}ms"
+
+
+def test_alignment_accuracy_noisy_similarity():
+    """Same ground truth with noise on the similarity matrix: monotonic
+    DTW keeps mean boundary error within one frame (80 ms)."""
+    from qwen3_asr_tpu.sidecars.aligner import _spans_to_words, _token_spans
+    boundaries = [("alpha", 0.05, 0.52, 2), ("beta", 0.52, 1.11, 2),
+                  ("gamma", 1.30, 1.88, 3), ("delta", 1.88, 2.50, 2)]
+    worst_mean = 0.0
+    for seed in range(5):
+        words, word_ids, sim, frame_s, duration = _ground_truth_case(
+            boundaries, peak=4.0, noise=1.0, seed=seed)
+        spans = _token_spans(sim)
+        aligned = _spans_to_words(words, word_ids, spans, frame_s, duration)
+        errs = _boundary_errors(aligned, boundaries)
+        worst_mean = max(worst_mean, float(errs.mean()))
+    assert worst_mean <= 0.08 + 1e-6, f"worst mean {worst_mean*1e3:.0f}ms"
+
+
+def test_engine_timestamps_use_aligner_when_loaded(monkeypatch):
+    """return_timestamps routes through the aligner when loaded and
+    falls back to char-proportional estimates otherwise."""
+    from qwen3_asr_tpu.runtime.engine import _word_timestamps
+    from qwen3_asr_tpu.sidecars import subtitle as sub
+    from qwen3_asr_tpu.sidecars.aligner import AlignedWord
+
+    class StubAligner:
+        def align(self, audio, sr, text, language):
+            return [AlignedWord("hello", 0.2, 0.5),
+                    AlignedWord("world", 0.6, 0.9)]
+
+    audio = speech_like(1.0, seed=7)
+    monkeypatch.setattr(sub, "_aligner", StubAligner())
+    ts = _word_timestamps(audio, "hello world", 10.0, 11.0, "en")
+    assert ts == [{"word": "hello", "start": 10.2, "end": 10.5},
+                  {"word": "world", "start": 10.6, "end": 10.9}]
+
+    monkeypatch.setattr(sub, "_aligner", None)
+    ts = _word_timestamps(audio, "hello world", 0.0, 1.0, "en")
+    assert [t["word"] for t in ts] == ["hello", "world"]
+    assert ts[0]["start"] == 0.0 and ts[-1]["end"] <= 1.0 + 1e-6
+
+
+def test_engine_timestamps_aligner_failure_falls_back(monkeypatch):
+    from qwen3_asr_tpu.runtime.engine import _word_timestamps
+    from qwen3_asr_tpu.sidecars import subtitle as sub
+
+    class Broken:
+        def align(self, *a):
+            raise RuntimeError("boom")
+
+    monkeypatch.setattr(sub, "_aligner", Broken())
+    ts = _word_timestamps(speech_like(1.0), "one two", 0.0, 1.0, "en")
+    assert [t["word"] for t in ts] == ["one", "two"]
 
 
 def test_subtitle_accurate_mode_with_aligner(tmp_path, monkeypatch):

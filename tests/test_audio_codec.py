@@ -98,9 +98,16 @@ def test_truncated_wav_rejected():
 
 def test_compressed_formats_unsupported():
     with pytest.raises(UnsupportedFormatError):
-        decode_audio(b"fLaC" + b"\x00" * 100)
-    with pytest.raises(UnsupportedFormatError):
         decode_audio(b"OggS" + b"\x00" * 100)
+    with pytest.raises(UnsupportedFormatError):
+        decode_audio(b"ID3\x04" + b"\x00" * 100)
+
+
+def test_corrupt_flac_rejected():
+    # FLAC is natively supported now; corrupt FLAC is a decode error,
+    # not an unsupported format.
+    with pytest.raises(AudioDecodeError):
+        decode_audio(b"fLaC" + b"\x00" * 100)
 
 
 def test_rf64_decode():

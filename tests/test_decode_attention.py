@@ -61,6 +61,104 @@ def test_decode_unaligned_cache():
                                atol=2e-5, rtol=1e-4)
 
 
+def test_decode_stacked_layer_indexing():
+    """Stacked [L,B,Nkv,S,D] cache + layer_idx matches slicing by hand."""
+    L, b, nq, nkv, s, d = 3, 2, 8, 4, 256, 64
+    q = _rand(20, (b, nq, 1, d))
+    k_all = _rand(21, (L, b, nkv, s, d))
+    v_all = _rand(22, (L, b, nkv, s, d))
+    vf = jnp.asarray([0, 64], jnp.int32)
+    vt = jnp.asarray([200, 256], jnp.int32)
+    for layer in range(L):
+        ours = decode_attention(q, k_all, v_all, layer_idx=layer,
+                                kv_valid_from=vf, kv_valid_to=vt,
+                                interpret=True)
+        ref = _ref(q, k_all[layer], v_all[layer], vf, vt)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4,
+                                   err_msg=f"layer {layer}")
+
+
+def test_decode_stacked_traced_layer_idx():
+    """layer_idx as a traced scalar (the scan-body case) under jit."""
+    L, b, nq, nkv, s, d = 2, 1, 4, 2, 128, 64
+    q = _rand(23, (b, nq, 1, d))
+    k_all = _rand(24, (L, b, nkv, s, d))
+    v_all = _rand(25, (L, b, nkv, s, d))
+    vt = jnp.asarray([100], jnp.int32)
+
+    @jax.jit
+    def run(idx):
+        return decode_attention(q, k_all, v_all, layer_idx=idx,
+                                kv_valid_to=vt, interpret=True)
+
+    for layer in range(L):
+        ours = run(jnp.int32(layer))
+        ref = _ref(q, k_all[layer], v_all[layer],
+                   jnp.zeros((b,), jnp.int32), vt)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_greedy_decode_through_stacked_kernel(monkeypatch):
+    """Full greedy_generate parity: stacked-kernel decode (interpret mode)
+    must produce token-identical output to the XLA path."""
+    from qwen3_asr_tpu.models.config import DecoderConfig
+    from qwen3_asr_tpu.models.decoder import init_decoder_params
+    from qwen3_asr_tpu.runtime.generate import greedy_generate
+
+    cfg = DecoderConfig(vocab_size=96, hidden_size=64, intermediate_size=128,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        num_key_value_heads=1, head_dim=64,
+                        rms_norm_eps=1e-6, rope_theta=10000.0,
+                        tie_word_embeddings=True)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(7), jnp.float32)
+    b, prompt = 2, 12
+    embeds = _rand(26, (b, prompt, cfg.hidden_size)) * 0.3
+    vf = jnp.asarray([0, 3], jnp.int32)
+
+    monkeypatch.delenv("ASR_ATTN_BACKEND", raising=False)
+    ref = greedy_generate(params, cfg, embeds, vf, max_new=8,
+                          eos_id=1, pad_id=0, cache_dtype=jnp.float32)
+
+    monkeypatch.setenv("ASR_ATTN_BACKEND", "decode_interpret")
+    monkeypatch.setenv("ASR_STACKED_DECODE_MIN_S", "128")
+    ours = greedy_generate(params, cfg, embeds, vf, max_new=8,
+                           eos_id=1, pad_id=0, cache_dtype=jnp.float32)
+
+    np.testing.assert_array_equal(np.asarray(ours.tokens),
+                                  np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(ours.lengths),
+                                  np.asarray(ref.lengths))
+
+
+def test_greedy_decode_unrolled_parity(monkeypatch):
+    """Unrolled decode layers (static indices) must be token-identical to
+    the scanned form."""
+    from qwen3_asr_tpu.models.config import DecoderConfig
+    from qwen3_asr_tpu.models.decoder import init_decoder_params
+    from qwen3_asr_tpu.runtime.generate import greedy_generate
+
+    cfg = DecoderConfig(vocab_size=96, hidden_size=64, intermediate_size=128,
+                        num_hidden_layers=3, num_attention_heads=2,
+                        num_key_value_heads=1, head_dim=64,
+                        rms_norm_eps=1e-6, rope_theta=10000.0,
+                        tie_word_embeddings=True)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(11), jnp.float32)
+    b, prompt = 2, 10
+    embeds = _rand(27, (b, prompt, cfg.hidden_size)) * 0.3
+    vf = jnp.asarray([0, 2], jnp.int32)
+
+    monkeypatch.setenv("ASR_DECODER_UNROLL", "false")
+    ref = greedy_generate(params, cfg, embeds, vf, max_new=8,
+                          eos_id=1, pad_id=0, cache_dtype=jnp.float32)
+    monkeypatch.setenv("ASR_DECODER_UNROLL", "true")
+    ours = greedy_generate(params, cfg, embeds, vf, max_new=8,
+                           eos_id=1, pad_id=0, cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(ours.tokens),
+                                  np.asarray(ref.tokens))
+
+
 def test_decode_bf16():
     b, nq, nkv, s, d = 1, 16, 8, 384, 128
     q = _rand(9, (b, nq, 1, d), jnp.bfloat16)

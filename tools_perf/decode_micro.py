@@ -29,9 +29,9 @@ from qwen3_asr_tpu.runtime.engine import enable_compilation_cache
 
 enable_compilation_cache()
 
-B = 16
-S = 512
-STEPS = 64
+B = int(os.getenv("MB_B", "16"))
+S = int(os.getenv("MB_S", "512"))
+STEPS = int(os.getenv("MB_STEPS", "64"))
 
 cfg = preset("1.7b").decoder
 key = jax.random.PRNGKey(0)
