@@ -97,19 +97,38 @@ def main():
                    "bf16": jnp.bfloat16}.get(kv_env, dtype)
     engine = build_engine(preset_name, dtype, cache_dtype)
 
+    # s16 PCM clips — the wire format (WAV/WS payloads are s16le); the
+    # fused executable converts on device, halving host→device transfer.
     rng = np.random.default_rng(0)
-    clips = [(rng.standard_normal(int(16000 * clip_s)).astype(np.float32) * 0.05,
-              16000) for _ in range(batch)]
+    clips = [((rng.standard_normal(int(16000 * clip_s)) * 0.05 * 32767)
+              .clip(-32768, 32767).astype(np.int16), 16000)
+             for _ in range(batch)]
 
     # Warmup/compile
     t0 = time.time()
     engine.transcribe_batch(clips, language="en")
     compile_s = time.time() - t0
 
+    # Steady-state serving throughput: `concurrency` in-flight batches keep
+    # the chip busy while the next batch's host prep/upload overlaps device
+    # compute — exactly what the serving queue does under load. Set
+    # BENCH_CONCURRENCY=1 for the strictly serial per-request number.
+    concurrency = int(os.getenv("BENCH_CONCURRENCY", "2"))
     t0 = time.time()
-    for _ in range(iters):
-        engine.transcribe_batch(clips, language="en")
+    if concurrency > 1:
+        import concurrent.futures
+        with concurrent.futures.ThreadPoolExecutor(concurrency) as pool:
+            list(pool.map(
+                lambda _: engine.transcribe_batch(clips, language="en"),
+                range(iters)))
+    else:
+        for _ in range(iters):
+            engine.transcribe_batch(clips, language="en")
     elapsed = time.time() - t0
+
+    t0 = time.time()
+    engine.transcribe_batch(clips, language="en")
+    serial_s = time.time() - t0
 
     audio_s = batch * clip_s * iters
     rtfx = audio_s / elapsed
@@ -123,6 +142,9 @@ def main():
             "backend": backend, "batch": batch, "clip_s": clip_s,
             "iters": iters, "compile_s": round(compile_s, 1),
             "wall_s": round(elapsed, 2),
+            "concurrency": concurrency,
+            "serial_batch_latency_s": round(serial_s, 2),
+            "serial_rtfx": round(batch * clip_s / serial_s, 1),
             "decode_tokens_per_clip": 16 + int(8 * clip_s),
         },
     }))

@@ -139,9 +139,13 @@ class TranscriptionEngine:
 
         @jax.jit
         def run(params, audio, prefix_ids, valid_from):
-            """audio: [B, n_samples] f32; prefix_ids: [B, PREFIX_BUDGET]
-            (left-padded with pad_id); valid_from: [B] first-real-token idx."""
+            """audio: [B, n_samples] f32 OR s16 PCM (converted on device —
+            halves the host→device transfer, the wire format is s16 anyway);
+            prefix_ids: [B, PREFIX_BUDGET] (left-padded with pad_id);
+            valid_from: [B] first-real-token idx."""
             b = audio.shape[0]
+            if audio.dtype == jnp.int16:
+                audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
 
             def mel_one(a):
                 m, _ = _log_mel_impl(a, jnp.int32(n_samples), window, mel_fb,
@@ -204,6 +208,9 @@ class TranscriptionEngine:
 
         @jax.jit
         def run(verify_params, draft_params, audio, prefix_ids, valid_from):
+            if audio.dtype == jnp.int16:
+                audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
+
             def mel_one(a):
                 m, _ = _log_mel_impl(a, jnp.int32(n_samples), window, mel_fb,
                                      n_mels)
@@ -252,6 +259,9 @@ class TranscriptionEngine:
 
         @jax.jit
         def run(params, audio, prefix_ids, valid_from, prev_tokens, prev_len):
+            if audio.dtype == jnp.int16:
+                audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
+
             def mel_one(a):
                 m, _ = _log_mel_impl(a, jnp.int32(n_samples), window, mel_fb,
                                      n_mels)
@@ -295,9 +305,17 @@ class TranscriptionEngine:
         n_samples = bucket_frames * HOP_LENGTH
         batch = len(clips)
 
-        audio = np.zeros((batch, n_samples), dtype=np.float32)
+        # Keep s16 PCM in its wire format: the fused executable converts on
+        # device, and the host→device transfer (the serial-path bottleneck
+        # over remote links) halves.
+        in_dtype = (np.int16 if all(c.dtype == np.int16 for c in clips)
+                    else np.float32)
+        audio = np.zeros((batch, n_samples), dtype=in_dtype)
         for i, clip in enumerate(clips):
-            audio[i, :min(len(clip), n_samples)] = clip[:n_samples]
+            c = clip[:n_samples]
+            if c.dtype == np.int16 and in_dtype == np.float32:
+                c = c.astype(np.float32) / 32768.0  # mixed batch: rescale
+            audio[i, :len(c)] = c
 
         prefix_ids, _, _ = self.model.prompt_ids(0, language, context)
         if len(prefix_ids) > PREFIX_BUDGET:
@@ -331,8 +349,9 @@ class TranscriptionEngine:
             result = fn(self.model.params, jnp.asarray(audio),
                         jnp.asarray(prefix), jnp.asarray(valid_from))
 
-        tokens = np.asarray(result.tokens)
-        lengths = np.asarray(result.lengths)
+        # ONE host transfer for both arrays (each fetch pays a full RTT on
+        # remote-attached devices).
+        tokens, lengths = jax.device_get((result.tokens, result.lengths))
         texts, id_lists = [], []
         for i in range(batch):
             ids = strip_generation(tokens[i], int(lengths[i]),
@@ -356,7 +375,7 @@ class TranscriptionEngine:
         while len(audio) - start > max_samples:
             hi = start + max_samples
             lo = max(start + 1, hi - search)
-            window = audio[lo:hi]
+            window = audio[lo:hi].astype(np.float32)  # int16² would overflow
             n_frames = max(1, len(window) // frame)
             frames = window[:n_frames * frame].reshape(n_frames, frame)
             energies = np.sqrt(np.mean(frames ** 2, axis=1))
@@ -378,11 +397,7 @@ class TranscriptionEngine:
         resume_tokens: previous streaming tick's token ids — enables
         self-draft resume decoding (single-segment audio only)."""
         self.last_used = time.time()
-        audio = np.asarray(audio, dtype=np.float32)
-        if audio.ndim > 1:
-            audio = audio.mean(axis=1)
-        if sr != TARGET_SR:
-            audio = resample(audio, sr, TARGET_SR)
+        audio = _prep_audio(audio, sr)
         if len(audio) == 0:
             return []
 
@@ -419,14 +434,7 @@ class TranscriptionEngine:
                          ) -> List[TranscriptionResult]:
         """Batch same-bucket clips into single device dispatches."""
         self.last_used = time.time()
-        prepped = []
-        for audio, sr in clips:
-            audio = np.asarray(audio, dtype=np.float32)
-            if audio.ndim > 1:
-                audio = audio.mean(axis=1)
-            if sr != TARGET_SR:
-                audio = resample(audio, sr, TARGET_SR)
-            prepped.append(audio)
+        prepped = [_prep_audio(audio, sr) for audio, sr in clips]
 
         lang_code, _ = normalize_language(language)
         by_bucket = {}
@@ -473,6 +481,25 @@ class TranscriptionEngine:
                                       language=language)
             log.info("Warmup bucket {}s compiled in {:.1f}s", sec,
                      time.time() - t0)
+
+
+def _prep_audio(audio, sr: int) -> np.ndarray:
+    """Normalize input audio for the bucket path. Mono 16 kHz s16 PCM stays
+    int16 (the wire format — the fused executable converts on device, which
+    halves the host→device transfer); everything else becomes mono float32
+    at TARGET_SR."""
+    audio = np.asarray(audio)
+    if audio.dtype == np.int16 and audio.ndim == 1 and sr == TARGET_SR:
+        return audio
+    if audio.dtype == np.int16:
+        audio = audio.astype(np.float32) / 32768.0
+    else:
+        audio = audio.astype(np.float32, copy=False)
+    if audio.ndim > 1:
+        audio = audio.mean(axis=1)
+    if sr != TARGET_SR:
+        audio = resample(audio, sr, TARGET_SR)
+    return audio
 
 
 def _response_language(text: str, lang_code: Optional[str]) -> str:

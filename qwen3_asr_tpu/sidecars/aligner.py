@@ -64,7 +64,10 @@ class AlignerEngine:
         from ..audio.resample import resample
         from ..sidecars.subtitle import _tokenize
 
-        audio = np.asarray(audio, dtype=np.float32)
+        audio = np.asarray(audio)
+        if audio.dtype == np.int16:  # wire-format PCM → [-1, 1] float
+            audio = audio.astype(np.float32) / 32768.0
+        audio = audio.astype(np.float32, copy=False)
         if sr != 16000:
             audio = resample(audio, sr, 16000)
             sr = 16000

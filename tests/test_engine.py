@@ -109,6 +109,28 @@ def test_split_no_silence_uses_min_energy_frame():
     assert lo <= segments[1][0] <= hi
 
 
+def test_int16_input_matches_float(engine):
+    """s16 PCM rides through in wire format (converted on device) and must
+    transcribe identically to the pre-scaled float input."""
+    pcm = (speech_like(1.0, seed=30) * 32767).astype(np.int16)
+    as_float = pcm.astype(np.float32) / 32768.0
+    ri = engine.transcribe(pcm, 16000, language="en")
+    rf = engine.transcribe(as_float, 16000, language="en")
+    assert ri[0].text == rf[0].text
+
+    bi = engine.transcribe_batch([(pcm, 16000)] * 2, language="en")
+    assert [r.text for r in bi] == [ri[0].text] * 2
+
+
+def test_mixed_dtype_batch_rescales(engine):
+    """int16 clips in a float batch must be rescaled, not blown up."""
+    pcm = (speech_like(0.7, seed=31) * 32767).astype(np.int16)
+    flt = pcm.astype(np.float32) / 32768.0
+    mixed = engine.transcribe_batch([(pcm, 16000), (flt, 16000)],
+                                    language="en")
+    assert mixed[0].text == mixed[1].text
+
+
 def test_timestamps(engine):
     results = engine.transcribe(speech_like(1.0, seed=7), 16000,
                                 language="en", return_timestamps=True)
