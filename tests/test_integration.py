@@ -2,6 +2,7 @@
 (coverage model: reference E2Etest/test_integration.py)."""
 import asyncio
 import os
+import threading
 import time
 
 import pytest
@@ -23,22 +24,35 @@ def test_priority_preemption():
         q = PriorityInferQueue()
         q.start()
         order = []
+        gate = threading.Event()
 
-        def job(name, dur=0.05):
+        def job(name):
             def fn():
-                time.sleep(dur)
                 order.append(name)
                 return name
             return fn
 
-        # First job occupies the worker; the rest queue up and must pop
-        # in priority order.
-        tasks = [asyncio.create_task(q.submit(job("first"), priority=1))]
-        await asyncio.sleep(0.01)
+        # First job occupies the worker until WE release it — the rest
+        # queue up behind it and must pop in priority order regardless of
+        # machine load (no sleeps to race against).
+        started = threading.Event()
+
+        def first():
+            started.set()
+            gate.wait(timeout=10)
+            order.append("first")
+
+        tasks = [asyncio.create_task(q.submit(first, priority=1))]
+        while not started.is_set():  # worker has POPPED first and runs it
+            await asyncio.sleep(0.001)
         tasks.append(asyncio.create_task(q.submit(job("http-1"), priority=1)))
         tasks.append(asyncio.create_task(q.submit(job("http-2"), priority=1)))
-        await asyncio.sleep(0.001)
+        while q.depth < 2:  # both HTTP jobs enqueued
+            await asyncio.sleep(0.001)
         tasks.append(asyncio.create_task(q.submit(job("ws-1"), priority=0)))
+        while q.depth < 3:  # ws job enqueued too — now release the worker
+            await asyncio.sleep(0.001)
+        gate.set()
         await asyncio.gather(*tasks)
         q.stop()
         assert order[0] == "first"
