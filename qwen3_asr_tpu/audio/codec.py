@@ -226,14 +226,18 @@ def decode_audio(audio_bytes: bytes) -> Tuple[np.ndarray, int]:
             return decode_flac(audio_bytes)
     except (struct.error, IndexError, ValueError) as e:
         raise AudioDecodeError(f"corrupt audio container: {e}") from e
-    supported = "supported formats: WAV, AIFF/AIFC, AU/SND, RF64, FLAC"
+    supported = ("supported formats: WAV, AIFF/AIFC, AU/SND, RF64, FLAC, "
+                 "MP3, OGG")
+    kind = None
     for magic, name in _MAGIC_COMPRESSED.items():
         if audio_bytes.startswith(magic):
-            raise UnsupportedFormatError(
-                f"{name} decoding is not available; {supported}")
-    if audio_bytes[:2] == b"\xff\xfb" or audio_bytes[:2] == b"\xff\xf3":
-        raise UnsupportedFormatError(
-            f"MP3 decoding is not available; {supported}")
+            kind = name
+    if kind is None and audio_bytes[0] == 0xFF \
+            and (audio_bytes[1] & 0xE0) == 0xE0:
+        kind = "MP3"  # raw MPEG frame sync, no ID3 tag
+    if kind is not None:
+        from .compressed import decode_compressed
+        return decode_compressed(audio_bytes, kind)
     raise AudioDecodeError(f"unknown audio format; {supported}")
 
 

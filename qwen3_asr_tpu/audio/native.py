@@ -116,11 +116,20 @@ def resample_poly(x: np.ndarray, up: int, down: int,
     n_out = int(np.ceil(len(x) * up / down))
     lib = get_lib()
     if lib is None:
-        up_x = np.zeros(len(x) * up, np.float32)
-        up_x[::up] = x
+        # Vectorized true polyphase — O(n_out · taps/up), same arithmetic
+        # as the C++ kernel (only live taps touch real samples). A dense
+        # zero-stuff + convolve would pay ~up² more work, which for odd
+        # rate pairs (11025→16000 ⇒ up=640) is catastrophic.
         pad = (len(h) - 1) // 2
-        filtered = np.convolve(np.pad(up_x, (pad, pad)), h, mode="valid")
-        return filtered[::down][:n_out].astype(np.float32)
+        taps_pp = -(-len(h) // up)
+        p = np.arange(n_out, dtype=np.int64) * down - pad
+        k = ((-p) % up)[:, None] + np.arange(taps_pp, dtype=np.int64) * up
+        src = (p[:, None] + k) // up
+        valid = (k < len(h)) & (src >= 0) & (src < len(x))
+        prod = np.where(valid,
+                        x[np.clip(src, 0, len(x) - 1)]
+                        * h[np.minimum(k, len(h) - 1)], np.float32(0))
+        return prod.sum(axis=1).astype(np.float32)
     out = np.empty(n_out, np.float32)
     lib.resample_poly(x, len(x), up, down, h, len(h), out, n_out)
     return out

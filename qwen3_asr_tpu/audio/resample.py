@@ -1,18 +1,18 @@
-"""Polyphase FIR resampling in JAX (TPU-friendly).
+"""Polyphase FIR resampling (host path).
 
-Replaces librosa.resample for the WebSocket 8 kHz → 16 kHz path
-(reference src/server.py:32-42). Implemented as zero-stuffing + one
-convolution with a Kaiser-windowed sinc low-pass — the classic
-``resample_poly`` algorithm expressed as dense vector ops instead of a
-per-phase scalar loop, so XLA maps it onto the VPU.
+Replaces librosa.resample for the WebSocket 8 kHz → 16 kHz path and for
+arbitrary upload rates (reference src/server.py:32-42). A Kaiser-windowed
+sinc low-pass drives a TRUE polyphase evaluation — O(n_out · taps/up),
+never materializing the zero-stuffed signal. That matters beyond style:
+odd rate pairs like 11025→16000 factor to up/down = 640/441, where a dense
+zero-stuff + convolve pays ~up² more work (hundreds of GFLOPs for seconds
+of audio). Resampling always runs host-side BEFORE bucketing, so this is
+the C++ kernel (native/audio_dsp.cpp) with a vectorized numpy fallback.
 """
 from __future__ import annotations
 
-import functools
 from math import gcd
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -30,30 +30,15 @@ def _kaiser_lowpass(up: int, down: int, ntaps_per_phase: int = 10,
     return h.astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("up", "down", "n_out"))
-def _resample_impl(x: jax.Array, h: jax.Array, up: int, down: int,
-                   n_out: int) -> jax.Array:
-    n_in = x.shape[0]
-    # Zero-stuff: [n_in*up]
-    up_x = jnp.zeros((n_in * up,), dtype=x.dtype).at[::up].set(x)
-    # Convolve centered (group delay = (len(h)-1)/2 samples at the high rate).
-    pad = (h.shape[0] - 1) // 2
-    padded = jnp.pad(up_x, (pad, pad))
-    filtered = jnp.convolve(padded, h, mode="valid")
-    return filtered[::down][:n_out]
-
-
 def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     """Resample float32 audio between sample rates with a polyphase FIR."""
     if orig_sr == target_sr:
         return np.asarray(audio, dtype=np.float32)
     g = gcd(orig_sr, target_sr)
     up, down = target_sr // g, orig_sr // g
-    x = jnp.asarray(audio, dtype=jnp.float32)
-    h = jnp.asarray(_kaiser_lowpass(up, down))
-    n_out = int(np.ceil(len(audio) * up / down))
-    out = _resample_impl(x, h, up, down, n_out)
-    return np.asarray(out)
+    from . import native
+    return native.resample_poly(np.asarray(audio, dtype=np.float32),
+                                up, down, _kaiser_lowpass(up, down))
 
 
 class StreamingResampler:

@@ -88,7 +88,7 @@ class WebSocketPartial(BaseModel):
 
 API_TAGS = [
     {"name": "Transcription",
-     "description": "Speech-to-text endpoints. Upload audio (WAV, AIFF, AU) and get text back."},
+     "description": "Speech-to-text endpoints. Upload audio (WAV, FLAC, MP3, OGG, AIFF, AU) and get text back."},
     {"name": "Streaming",
      "description": "Real-time WebSocket and SSE transcription for low-latency use."},
     {"name": "Subtitles",
@@ -112,8 +112,9 @@ rebuilt on JAX/XLA/Pallas.
 - **Translation** via external LLM API
 
 ## Audio formats
-Native decode: WAV (PCM/float), AIFF/AIFC, AU, RF64. Compressed containers
-(MP3/OGG/FLAC/M4A) need an external decoder.
+WAV (PCM/float), AIFF/AIFC, AU, RF64, FLAC (native decoder), MP3 and
+Ogg Vorbis/Opus (SDL_mixer backend, stream-native sample rate). M4A/AAC
+is not supported.
 
 ## WebSocket protocol
 Connect to `/ws/transcribe`, stream raw PCM (s16le, mono, 16 kHz), and use

@@ -96,10 +96,12 @@ def test_truncated_wav_rejected():
         decode_audio(wav[:20])
 
 
-def test_compressed_formats_unsupported():
-    with pytest.raises(UnsupportedFormatError):
+def test_corrupt_compressed_rejected():
+    # MP3/OGG route through the SDL backend now (audio/compressed.py);
+    # garbage with a compressed magic is a decode error, not silence.
+    with pytest.raises(AudioDecodeError):
         decode_audio(b"OggS" + b"\x00" * 100)
-    with pytest.raises(UnsupportedFormatError):
+    with pytest.raises(AudioDecodeError):
         decode_audio(b"ID3\x04" + b"\x00" * 100)
 
 

@@ -141,6 +141,30 @@ def test_transcribe_truncated_wav(client, loop):
     loop.run_until_complete(go())
 
 
+def test_transcribe_mp3_upload(client, loop):
+    """Compressed upload end-to-end: MP3 decodes through the SDL backend,
+    resamples 11025→16k on the framework path, and transcribes
+    (reference accepts anything libsndfile/ffmpeg decodes,
+    src/server.py:200-203)."""
+    pygame = pytest.importorskip("pygame")
+    mp3_path = os.path.join(os.path.dirname(pygame.__file__),
+                            "examples", "data", "house_lo.mp3")
+    if not os.path.exists(mp3_path):
+        pytest.skip("pygame example audio not present")
+
+    async def go():
+        import aiohttp
+        form = aiohttp.FormData()
+        form.add_field("file", open(mp3_path, "rb").read(),
+                       filename="clip.mp3", content_type="audio/mpeg")
+        form.add_field("language", "en")
+        resp = await client.post("/v1/audio/transcriptions", data=form)
+        assert resp.status == 200
+        body = await resp.json()
+        assert set(body) >= {"text", "language"}
+    loop.run_until_complete(go())
+
+
 # ── SSE streaming ────────────────────────────────────────────────────────────
 
 def test_sse_stream_short(client, loop):

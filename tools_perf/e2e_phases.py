@@ -57,8 +57,9 @@ suffix = jnp.asarray(engine._suffix_ids, jnp.int32)
 params = model.params
 
 
-@jax.jit
-def mel_only(audio):
+# Params are ARGUMENTS, not closure constants — capturing the 2+ GB weight
+# tree as lowered constants makes remote compiles pathologically slow.
+def _mel(audio):
     def one(a):
         m, _ = _log_mel_impl(a, jnp.int32(n_samples), window, mel_fb, n_mels)
         return m
@@ -66,21 +67,26 @@ def mel_only(audio):
 
 
 @jax.jit
-def mel_encoder(audio):
-    mel = mel_only(audio)
+def mel_only(audio):
+    return _mel(audio)
+
+
+@jax.jit
+def mel_encoder(p, audio):
+    mel = _mel(audio)
     flens = jnp.full((B,), bucket_frames, jnp.int32)
-    out, _ = encoder_forward(params["encoder"], cfg.encoder, mel, flens)
+    out, _ = encoder_forward(p["encoder"], cfg.encoder, mel, flens)
     return out
 
 
 @jax.jit
-def mel_enc_prefill(audio, prefix_ids, valid_from):
-    mel = mel_only(audio)
+def mel_enc_prefill(p, audio, prefix_ids, valid_from):
+    mel = _mel(audio)
     flens = jnp.full((B,), bucket_frames, jnp.int32)
-    audio_embeds, _ = encoder_forward(params["encoder"], cfg.encoder, mel,
+    audio_embeds, _ = encoder_forward(p["encoder"], cfg.encoder, mel,
                                       flens)
-    pre = embed_tokens(params["decoder"], cfg.decoder, prefix_ids)
-    suf = embed_tokens(params["decoder"], cfg.decoder,
+    pre = embed_tokens(p["decoder"], cfg.decoder, prefix_ids)
+    suf = embed_tokens(p["decoder"], cfg.decoder,
                        jnp.broadcast_to(suffix[None], (B, suffix.shape[0])))
     inputs = jnp.concatenate([pre.astype(dtype), audio_embeds.astype(dtype),
                               suf.astype(dtype)], axis=1)
@@ -89,9 +95,9 @@ def mel_enc_prefill(audio, prefix_ids, valid_from):
     cache = init_kv_cache(cfg.decoder, b, total, dtype=cache_dtype)
     positions = jnp.broadcast_to(jnp.arange(t), (b, t))
     spec = AttnSpec(causal=True, q_offset=0, valid_from=valid_from)
-    hidden, cache = decoder_forward(params["decoder"], cfg.decoder, inputs,
+    hidden, cache = decoder_forward(p["decoder"], cfg.decoder, inputs,
                                     positions, cache, jnp.int32(0), spec)
-    return jnp.argmax(lm_logits(params["decoder"], cfg.decoder,
+    return jnp.argmax(lm_logits(p["decoder"], cfg.decoder,
                                 hidden[:, -1]), axis=-1)
 
 
@@ -112,8 +118,8 @@ def timed(fn, *args, n=5):
 
 
 t_mel = timed(mel_only, audio)
-t_enc = timed(mel_encoder, audio)
-t_pre = timed(mel_enc_prefill, audio, prefix_ids, valid_from)
+t_enc = timed(mel_encoder, params, audio)
+t_pre = timed(mel_enc_prefill, params, audio, prefix_ids, valid_from)
 t_full = timed(full, params, audio, prefix_ids, valid_from)
 
 print(f"B={B} clip={CLIP_S}s bucket={bucket_s}s frames={bucket_frames}")
