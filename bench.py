@@ -15,9 +15,12 @@ weights; zero logits never hit EOS, so decode runs the FULL token budget —
 a worst-case number).
 
 Default config (tuned on v5e, round 2): QUANTIZE=int8 (weight-only incl.
-embedding/lm_head), fp8 KV cache, UNROLLED decode layers, batch 32.
-Measured ladder at 20 s clips (decode-step ms at B32/S512 in parens):
-  bf16 b16                     116.8x   (round-1 shipping config)
+embedding/lm_head), fp8 KV cache, UNROLLED decode layers, batch 96,
+s16 wire-format clips, 2 batches in flight (steady-state serving mode;
+BENCH_CONCURRENCY=1 gives the strictly serial number, reported alongside
+as serial_rtfx either way).
+Measured ladder at 20 s clips (steady-state / serial):
+  bf16 b16 f32-input serial    116.8x   (round-1 shipping config)
   int8+fp8KV b16               137.7x   (fp8 convert didn't fuse in scan)
   int8 b16, carry-KV           188.7x   (scan-carry cache + quantized embed)
   int8 b32, carry-KV           209.5x   (8.4 ms/step)
@@ -25,10 +28,16 @@ Measured ladder at 20 s clips (decode-step ms at B32/S512 in parens):
                                          index forced a dynamic_slice copy
                                          of the layer cache — unrolling
                                          makes it an XLA view, and the fp8
-                                         KV convert now fuses)  <- default
-  int8+fp8KV b64, unrolled     120.5x   (regresses hard — stay at b32)
-Override with QUANTIZE / BENCH_BATCH / ASR_KV_CACHE_DTYPE /
-ASR_DECODER_UNROLL.
+                                         KV convert now fuses)
+  + s16 input, conc 2, b32     435.6x / 377.5x
+  b64                          485.9x / 436.6x   (weight reads amortize)
+  b96                          545.2x / 443.3x   <- default
+  b96 re-run                   509.5x / 450.3x   (tunnel variance ~7%)
+  b96 conc 3                   363.5x            (3 in-flight thrashes HBM)
+  b112                         506.0x / 455.6x
+  b128                         429.0x / 431.7x   (2 in-flight no longer fit)
+Override with QUANTIZE / BENCH_BATCH / BENCH_CONCURRENCY /
+ASR_KV_CACHE_DTYPE / ASR_DECODER_UNROLL.
 """
 import json
 import os
@@ -87,7 +96,7 @@ def main():
     backend = jax.default_backend()
     preset_name = os.getenv("BENCH_PRESET", "tiny" if backend == "cpu" else "1.7b")
     dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
-    batch = int(os.getenv("BENCH_BATCH", "32" if backend == "tpu" else "16"))
+    batch = int(os.getenv("BENCH_BATCH", "96" if backend == "tpu" else "16"))
     clip_s = float(os.getenv("BENCH_CLIP_S", "20"))
     iters = int(os.getenv("BENCH_ITERS", "3"))
 
