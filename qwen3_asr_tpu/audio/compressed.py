@@ -101,7 +101,9 @@ def _mixer(sr: int, channels: int):
             f"{_SUPPORTED}") from e
     global _mixer_state
     if _mixer_state != (sr, channels):
-        if _mixer_state is not None:
+        prev = _mixer_state
+        _mixer_state = None  # if quit/init raises, never claim the old state
+        if prev is not None:
             pygame.mixer.quit()
         pygame.mixer.init(frequency=sr, size=-16, channels=channels,
                           buffer=512)

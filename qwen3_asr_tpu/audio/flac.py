@@ -13,9 +13,12 @@ it commonly sees. This module implements:
   Used for round-trip tests and the debug tooling; real-world files come
   from arbitrary encoders and hit the decoder only.
 
-A C++ fast path for the hot Rice loops lives in native/audio_dsp.cpp
-(``flac_rice_decode``); the Python path is the reference implementation and
-the automatic fallback.
+The per-sample work — Rice/raw residual decoding and the LPC/fixed
+prediction recurrence — dispatches to C++ (native/audio_dsp.cpp:
+``flac_rice_decode`` / ``flac_raw_decode`` / ``flac_predict``) via absolute
+bit-offset handoff with the Python ``_BitReader``; the pure-Python loops
+remain the reference implementation and the automatic fallback
+(tests/test_flac.py asserts both paths agree).
 """
 from __future__ import annotations
 
@@ -86,6 +89,18 @@ class _BitReader:
         self.bit_cnt = 0
         self.bit_buf = 0
 
+    def bit_pos(self) -> int:
+        """Absolute bit offset into the stream (for C++ handoff)."""
+        return self.byte_pos * 8 - self.bit_cnt
+
+    def seek(self, abs_bit: int) -> None:
+        """Resume reading at an absolute bit offset."""
+        self.byte_pos = abs_bit >> 3
+        self.bit_buf = 0
+        self.bit_cnt = 0
+        if abs_bit & 7:
+            self.read(abs_bit & 7)
+
 
 # ───────────────────────────── decoder ─────────────────────────────────────
 
@@ -118,7 +133,27 @@ def _read_utf8_number(br: _BitReader) -> int:
     return val
 
 
-def _read_residual(br: _BitReader, blocksize: int, order: int) -> List[int]:
+def _read_raw(br: _BitReader, n: int, bits: int) -> np.ndarray:
+    """n two's-complement values of `bits` bits → int64 array (C++ hot path,
+    Python fallback)."""
+    out = np.empty(n, np.int64)
+    if n == 0:
+        return out
+    from . import native
+    lib = native.get_lib()
+    if lib is not None:
+        data = np.frombuffer(br.data, np.uint8)
+        new = lib.flac_raw_decode(data, len(data), br.bit_pos(), n, bits, out)
+        if new < 0:
+            raise FlacError("unexpected end of FLAC stream")
+        br.seek(new)
+    else:
+        for i in range(n):
+            out[i] = br.read_signed(bits)
+    return out
+
+
+def _read_residual(br: _BitReader, blocksize: int, order: int) -> np.ndarray:
     method = br.read(2)
     if method > 1:
         raise FlacError(f"reserved residual method {method}")
@@ -131,30 +166,71 @@ def _read_residual(br: _BitReader, blocksize: int, order: int) -> List[int]:
     part_samples = blocksize >> po
     if part_samples <= order and n_parts == 1:
         raise FlacError("invalid partition size")
-    out: List[int] = []
+    from . import native
+    lib = native.get_lib()
+    data = np.frombuffer(br.data, np.uint8) if lib is not None else None
+    out = np.empty(blocksize - order, np.int64)
+    pos = 0
     read, read_unary = br.read, br.read_unary
     for part in range(n_parts):
         n = part_samples - (order if part == 0 else 0)
         param = read(plen)
+        seg = out[pos:pos + n]
+        pos += n
         if param == escape:
             raw_bits = read(5)
             if raw_bits == 0:
-                out.extend([0] * n)
+                seg[:] = 0
+            elif lib is not None:
+                new = lib.flac_raw_decode(data, len(data), br.bit_pos(), n,
+                                          raw_bits, seg)
+                if new < 0:
+                    raise FlacError("unexpected end of FLAC stream")
+                br.seek(new)
             else:
                 sign = 1 << (raw_bits - 1)
                 full = 1 << raw_bits
-                for _ in range(n):
+                for i in range(n):
                     v = read(raw_bits)
-                    out.append(v - full if v & sign else v)
-        elif param == 0:
-            for _ in range(n):
-                u = read_unary()
-                out.append((u >> 1) ^ -(u & 1))
+                    seg[i] = v - full if v & sign else v
+        elif lib is not None:
+            new = lib.flac_rice_decode(data, len(data), br.bit_pos(), n,
+                                       param, seg)
+            if new < 0:
+                raise FlacError("unexpected end of FLAC stream")
+            br.seek(new)
         else:
-            for _ in range(n):
-                u = (read_unary() << param) | read(param)
-                out.append((u >> 1) ^ -(u & 1))
+            for i in range(n):
+                u = (read_unary() << param) | (read(param) if param else 0)
+                seg[i] = (u >> 1) ^ -(u & 1)
     return out
+
+
+def _predict(warm: np.ndarray, resid: np.ndarray, coeffs: np.ndarray,
+             shift: int) -> np.ndarray:
+    """Restore samples from warmup + residual via the prediction recurrence
+    (buf[i] += (coeffs · history) >> shift), in C++ when available."""
+    order = len(coeffs)
+    buf = np.empty(order + len(resid), np.int64)
+    buf[:order] = warm
+    buf[order:] = resid
+    if order == 0:
+        return buf
+    from . import native
+    lib = native.get_lib()
+    if lib is not None:
+        lib.flac_predict(buf, len(buf),
+                         np.ascontiguousarray(coeffs, np.int32), order, shift)
+    else:
+        b = buf.tolist()  # plain ints: the recurrence in exact arithmetic
+        cs = [int(c) for c in coeffs]
+        for i in range(order, len(b)):
+            pred = 0
+            for j in range(order):
+                pred += cs[j] * b[i - 1 - j]
+            b[i] += pred >> shift
+        buf = np.array(b, np.int64)
+    return buf
 
 
 def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
@@ -171,38 +247,26 @@ def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
     if sf_type == 0:  # CONSTANT
         samples = np.full(blocksize, br.read_signed(bps), np.int64)
     elif sf_type == 1:  # VERBATIM
-        samples = np.array([br.read_signed(bps) for _ in range(blocksize)],
-                           np.int64)
+        samples = _read_raw(br, blocksize, bps)
     elif 8 <= sf_type <= 12:  # FIXED, order = sf_type - 8
         order = sf_type - 8
-        warm = [br.read_signed(bps) for _ in range(order)]
+        warm = _read_raw(br, order, bps)
         resid = _read_residual(br, blocksize, order)
-        coeffs = _FIXED_COEFFS[order]
-        buf = warm + resid  # residuals overwritten in place below
-        for i in range(order, blocksize):
-            pred = 0
-            for j, c in enumerate(coeffs):
-                pred += c * buf[i - 1 - j]
-            buf[i] += pred
-        samples = np.array(buf, np.int64)
+        samples = _predict(warm, resid,
+                           np.array(_FIXED_COEFFS[order], np.int64), 0)
     elif sf_type >= 32:  # LPC, order = (sf_type & 31) + 1
         order = (sf_type & 31) + 1
-        warm = [br.read_signed(bps) for _ in range(order)]
+        warm = _read_raw(br, order, bps)
         precision = br.read(4) + 1
         if precision == 16:
             raise FlacError("invalid LPC precision")
         shift = br.read_signed(5)
         if shift < 0:
             raise FlacError("negative LPC shift")
-        coeffs = [br.read_signed(precision) for _ in range(order)]
+        coeffs = np.array([br.read_signed(precision) for _ in range(order)],
+                          np.int64)
         resid = _read_residual(br, blocksize, order)
-        buf = warm + resid
-        for i in range(order, blocksize):
-            pred = 0
-            for j in range(order):
-                pred += coeffs[j] * buf[i - 1 - j]
-            buf[i] += pred >> shift
-        samples = np.array(buf, np.int64)
+        samples = _predict(warm, resid, coeffs, shift)
     else:
         raise FlacError(f"reserved subframe type {sf_type}")
 
@@ -262,6 +326,11 @@ def decode_flac(data: bytes) -> Tuple[np.ndarray, int]:
         except FlacError:
             break
         if sync != 0x3FFE:
+            if total == 0 and got:
+                # Unknown stream length (streamed/piped encodes write
+                # total_samples=0): trailing padding/tags after the last
+                # frame end the stream, they don't invalidate it.
+                break
             raise FlacError(f"lost frame sync at byte {br.byte_pos}")
         br.read(1)  # reserved
         br.read(1)  # blocking strategy
@@ -435,13 +504,110 @@ def _write_subframe(bw: _BitWriter, x: np.ndarray, bps: int) -> None:
             bw.write(u & ((1 << param) - 1), param)
 
 
+def _write_rice_residual(bw: _BitWriter, resid: np.ndarray, order: int,
+                         partition_order: int, rice2: bool,
+                         escape: bool) -> None:
+    """Residual section: method/partition header + per-partition codes."""
+    plen = 5 if rice2 else 4
+    bw.write(1 if rice2 else 0, 2)
+    bw.write(partition_order, 4)
+    n_parts = 1 << partition_order
+    blocksize = len(resid) + order
+    part_samples = blocksize >> partition_order
+    pos = 0
+    for part in range(n_parts):
+        n = part_samples - (order if part == 0 else 0)
+        seg = resid[pos:pos + n]
+        pos += n
+        if escape:
+            peak = int(np.abs(seg).max()) if len(seg) else 0
+            raw_bits = max(peak.bit_length() + 1, 2)
+            bw.write((1 << plen) - 1, plen)
+            bw.write(raw_bits, 5)
+            for v in seg:
+                bw.write(int(v) & ((1 << raw_bits) - 1), raw_bits)
+        else:
+            param = _best_rice_param(seg, plen)
+            bw.write(param, plen)
+            for e in seg:
+                e = int(e)
+                u = (e << 1) if e >= 0 else ((-e) << 1) - 1
+                bw.write_unary(u >> param)
+                if param:
+                    bw.write(u & ((1 << param) - 1), param)
+
+
+def _write_subframe_ex(bw: _BitWriter, x: np.ndarray, bps: int, *,
+                       mode: str = "fixed", fixed_order: int = 1,
+                       lpc_coeffs: Tuple[int, ...] = (7, -3),
+                       lpc_shift: int = 2, lpc_precision: int = 5,
+                       partition_order: int = 0, rice2: bool = False,
+                       wasted: int = 0, escape: bool = False) -> None:
+    """Subframe writer exercising the decoder paths real encoders use but
+    the cost-optimizing ``_write_subframe`` never emits: LPC subframes,
+    multi-partition Rice, Rice2 (5-bit params), escape partitions, and
+    wasted bits. Test-support surface — behavior-compatible with any
+    conforming decoder."""
+    x = x.astype(np.int64)
+    if wasted:
+        x = (x >> wasted)  # caller's samples lose low bits; decoder shifts back
+    eff_bps = bps - wasted
+    blocksize = len(x)
+
+    bw.write(0, 1)  # pad
+    if mode == "verbatim":
+        bw.write(1, 6)
+        _write_wasted(bw, wasted)
+        for v in x:
+            bw.write(int(v) & ((1 << eff_bps) - 1), eff_bps)
+        return
+    if mode == "lpc":
+        order = len(lpc_coeffs)
+        bw.write(32 + (order - 1), 6)
+        _write_wasted(bw, wasted)
+        for i in range(order):
+            bw.write(int(x[i]) & ((1 << eff_bps) - 1), eff_bps)
+        bw.write(lpc_precision - 1, 4)
+        bw.write(lpc_shift & 0x1F, 5)
+        for c in lpc_coeffs:
+            bw.write(int(c) & ((1 << lpc_precision) - 1), lpc_precision)
+        resid = np.empty(blocksize - order, np.int64)
+        for i in range(order, blocksize):
+            pred = 0
+            for j in range(order):
+                pred += lpc_coeffs[j] * int(x[i - 1 - j])
+            resid[i - order] = int(x[i]) - (pred >> lpc_shift)
+    else:
+        order = fixed_order
+        bw.write(8 + order, 6)
+        _write_wasted(bw, wasted)
+        for i in range(order):
+            bw.write(int(x[i]) & ((1 << eff_bps) - 1), eff_bps)
+        resid = x.copy()
+        for _ in range(order):
+            resid = np.diff(resid)
+    _write_rice_residual(bw, resid, order, partition_order, rice2, escape)
+
+
+def _write_wasted(bw: _BitWriter, wasted: int) -> None:
+    if wasted:
+        bw.write(1, 1)
+        bw.write_unary(wasted - 1)
+    else:
+        bw.write(0, 1)
+
+
 def encode_flac(audio: np.ndarray, sr: int, bps: int = 16,
                 blocksize: int = 4096, stereo_mode: str = "independent",
-                channels: Optional[np.ndarray] = None) -> bytes:
+                channels: Optional[np.ndarray] = None,
+                subframe_opts: Optional[dict] = None) -> bytes:
     """Encode float32 [-1,1] (mono, or [N,2] via ``channels``) to FLAC.
 
     stereo_mode: independent | left_side | right_side | mid_side
-    (decorrelation modes exist to exercise the decoder in tests)."""
+    (decorrelation modes exist to exercise the decoder in tests).
+    subframe_opts: kwargs for ``_write_subframe_ex`` (LPC / multi-partition
+    Rice / Rice2 / escape / wasted-bits subframes — the paths real libFLAC
+    encodes that the minimal cost-picking writer never emits)."""
     if channels is not None:
         pcm = np.clip(channels, -1.0, 1.0)
     else:
@@ -495,7 +661,10 @@ def encode_flac(audio: np.ndarray, sr: int, bps: int = 16,
 
         if ch_code < 8:
             for c in range(n_ch):
-                _write_subframe(bw, block[:, c], bps)
+                if subframe_opts is not None:
+                    _write_subframe_ex(bw, block[:, c], bps, **subframe_opts)
+                else:
+                    _write_subframe(bw, block[:, c], bps)
         else:
             left, right = block[:, 0], block[:, 1]
             side = left - right

@@ -64,6 +64,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.fir_same.argtypes = [f32p, i64, f32p, i32, f32p]
     lib.resample_poly.argtypes = [f32p, i64, i32, i32, f32p, i32, f32p, i64]
     lib.frame_rms.argtypes = [f32p, i64, i32, i32, f32p, i64]
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.flac_rice_decode.argtypes = [u8p, i64, i64, i64, i32, i64p]
+    lib.flac_rice_decode.restype = i64
+    lib.flac_raw_decode.argtypes = [u8p, i64, i64, i64, i32, i64p]
+    lib.flac_raw_decode.restype = i64
+    lib.flac_predict.argtypes = [i64p, i64, i32p, i32, i32]
     _lib = lib
     log.info("native audio DSP loaded: {}", so_path)
     return _lib
@@ -119,17 +127,25 @@ def resample_poly(x: np.ndarray, up: int, down: int,
         # Vectorized true polyphase — O(n_out · taps/up), same arithmetic
         # as the C++ kernel (only live taps touch real samples). A dense
         # zero-stuff + convolve would pay ~up² more work, which for odd
-        # rate pairs (11025→16000 ⇒ up=640) is catastrophic.
+        # rate pairs (11025→16000 ⇒ up=640) is catastrophic. Output is
+        # computed in blocks: the [block, taps_pp] index/product temporaries
+        # would otherwise reach gigabytes for minutes-long audio.
         pad = (len(h) - 1) // 2
         taps_pp = -(-len(h) // up)
-        p = np.arange(n_out, dtype=np.int64) * down - pad
-        k = ((-p) % up)[:, None] + np.arange(taps_pp, dtype=np.int64) * up
-        src = (p[:, None] + k) // up
-        valid = (k < len(h)) & (src >= 0) & (src < len(x))
-        prod = np.where(valid,
-                        x[np.clip(src, 0, len(x) - 1)]
-                        * h[np.minimum(k, len(h) - 1)], np.float32(0))
-        return prod.sum(axis=1).astype(np.float32)
+        out = np.empty(n_out, np.float32)
+        block = max(1, (1 << 22) // max(taps_pp, 1))  # ~4M temp elements
+        j = np.arange(taps_pp, dtype=np.int64) * up
+        for lo in range(0, n_out, block):
+            hi = min(lo + block, n_out)
+            p = np.arange(lo, hi, dtype=np.int64) * down - pad
+            k = ((-p) % up)[:, None] + j
+            src = (p[:, None] + k) // up
+            valid = (k < len(h)) & (src >= 0) & (src < len(x))
+            prod = np.where(valid,
+                            x[np.clip(src, 0, len(x) - 1)]
+                            * h[np.minimum(k, len(h) - 1)], np.float32(0))
+            out[lo:hi] = prod.sum(axis=1)
+        return out
     out = np.empty(n_out, np.float32)
     lib.resample_poly(x, len(x), up, down, h, len(h), out, n_out)
     return out

@@ -82,6 +82,14 @@ class PromptTemplate:
     audio_bos: str = "<|audio_bos|>"
     audio_eos: str = "<|audio_eos|>"
     chat_template: Optional[str] = None     # raw jinja source (checkpoint)
+    # lazily-built caches (the compiled template is immutable; rendering on
+    # the 450 ms WS tick must not rebuild a jinja Environment per call)
+    _compiled: object = dataclasses.field(default=None, init=False,
+                                          repr=False, compare=False)
+    _suffix_static: Optional[bool] = dataclasses.field(default=None,
+                                                       init=False,
+                                                       repr=False,
+                                                       compare=False)
 
     @staticmethod
     def from_checkpoint(model_dir: str) -> "PromptTemplate":
@@ -123,12 +131,14 @@ class PromptTemplate:
         if not self.chat_template:
             return None
         try:
-            import jinja2
-            env = jinja2.Environment(
-                trim_blocks=True, lstrip_blocks=True,
-                extensions=["jinja2.ext.loopcontrols"])
-            env.globals["raise_exception"] = _jinja_raise
-            tmpl = env.from_string(self.chat_template)
+            if self._compiled is None:
+                import jinja2
+                env = jinja2.Environment(
+                    trim_blocks=True, lstrip_blocks=True,
+                    extensions=["jinja2.ext.loopcontrols"])
+                env.globals["raise_exception"] = _jinja_raise
+                self._compiled = env.from_string(self.chat_template)
+            tmpl = self._compiled
             lang_line = f"Language: {language_name}\n" if language_name else ""
             user_content = [{"type": "audio", "audio": ""}]
             if lang_line:
@@ -149,12 +159,33 @@ class PromptTemplate:
         except Exception:
             return None
 
+    def _suffix_is_static(self) -> bool:
+        """The engine bakes suffix ids into each fused executable at load, so
+        the checkpoint template is only usable if the post-audio text does
+        NOT depend on language/context. Probed once: a template that renders
+        the language hint after the audio span (audio-first content order)
+        would otherwise silently drop the hint — fall back to the builtin
+        format (which keeps it in the prefix) and say so."""
+        if self._suffix_static is None:
+            base = self._render_chat(None, "")
+            probe = self._render_chat("French", "probe context")
+            self._suffix_static = (base is not None and probe is not None
+                                   and base[1] == probe[1])
+            if not self._suffix_static and base is not None:
+                from ..utils.logging import log
+                log.warning(
+                    "checkpoint chat template renders language/context AFTER "
+                    "the audio span; falling back to the builtin prompt "
+                    "format so the hint stays in the (dynamic) prefix")
+        return self._suffix_static
+
     def prompt_texts(self, language_name: Optional[str], context: str = ""
                      ) -> Tuple[str, str]:
         """(prefix_text, suffix_text) around the audio embedding span."""
-        rendered = self._render_chat(language_name, context)
-        if rendered is not None:
-            return rendered
+        if self.chat_template and self._suffix_is_static():
+            rendered = self._render_chat(language_name, context)
+            if rendered is not None:
+                return rendered
         sys_block = f"{self.im_start}system\n{context or self.system}{self.im_end}\n"
         lang_line = f"Language: {language_name}\n" if language_name else ""
         prefix = f"{sys_block}{self.im_start}user\n{lang_line}{self.audio_bos}"
@@ -190,9 +221,11 @@ class AsrModel:
                    context: str = "") -> Tuple[List[int], List[int], int]:
         """Returns (prefix_ids, suffix_ids, audio_span) for a bucket."""
         _, lang_name = normalize_language(language)
-        prefix = self.tokenizer.encode(
-            self.template.prefix_text(lang_name, context))
-        suffix = self.tokenizer.encode(self.template.suffix_text())
+        # ONE template render per call (suffix is enforced static, so both
+        # halves come from the same render).
+        prefix_t, suffix_t = self.template.prompt_texts(lang_name, context)
+        prefix = self.tokenizer.encode(prefix_t)
+        suffix = self.tokenizer.encode(suffix_t)
         return prefix, suffix, n_audio_tokens
 
     def build_inputs_embeds(self, prefix_ids: List[int], suffix_ids: List[int],

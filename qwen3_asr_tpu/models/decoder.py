@@ -260,7 +260,9 @@ def embed_tokens(params: dict, cfg: DecoderConfig, ids: jax.Array) -> jax.Array:
     if isinstance(w, dict):  # quantized {"q": [V,H], "s": [V,1]}
         rows = jnp.take(w["q"], ids, axis=0).astype(jnp.float32)
         scales = jnp.take(w["s"], ids, axis=0).astype(jnp.float32)
-        return (rows * scales).astype(jnp.bfloat16)
+        # The scale dtype records the model's compute dtype (bf16 in prod,
+        # f32 on CPU engines) — don't hardcode bf16 here.
+        return (rows * scales).astype(w["s"].dtype)
     return jnp.take(w, ids, axis=0)
 
 

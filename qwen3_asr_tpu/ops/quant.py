@@ -36,7 +36,10 @@ def quantize_array(w: jax.Array, mode: str) -> dict:
         q = (wf / scale).astype(jnp.float8_e4m3fn)
     else:
         raise ValueError(f"unknown quantization mode: {mode}")
-    return {"q": q, "s": scale.astype(jnp.bfloat16)}
+    # Scales keep the SOURCE dtype: it marks the compute precision the rest
+    # of the model runs in (f32 on CPU engines, bf16 in production) — a
+    # hardcoded bf16 here would silently downgrade f32 pipelines.
+    return {"q": q, "s": scale.astype(w.dtype)}
 
 
 def is_quantized(w: Any) -> bool:
@@ -78,7 +81,7 @@ def quantize_embed(w: jax.Array, mode: str) -> dict:
         q = (wf / scale).astype(jnp.float8_e4m3fn)
     else:
         raise ValueError(f"unknown quantization mode: {mode}")
-    return {"q": q, "s": scale.astype(jnp.bfloat16)}
+    return {"q": q, "s": scale.astype(w.dtype)}  # source compute dtype
 
 
 def quantize_decoder_params(params: dict, mode: str,

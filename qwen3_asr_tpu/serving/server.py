@@ -67,13 +67,22 @@ async def metrics_endpoint(request: web.Request) -> web.Response:
                         content_type="text/plain", charset="utf-8")
 
 
+# Aligner weights that failed to load once won't load on a retry (missing
+# checkpoint dir); remember so timestamped requests stop paying the probe.
+_aligner_load_failed = False
+
+
 async def _decode_or_error(file_bytes, filename, endpoint):
     if file_bytes is None or len(file_bytes) == 0:
         return None, error_response("AUDIO_DECODE_FAILED",
                                     "Could not decode audio: empty file",
                                     422, fileSize=0)
     try:
-        audio, sr = decode_audio(file_bytes)
+        # Decode off the event loop: FLAC/MP3/OGG decode is host CPU work
+        # (pure-Python bit streams / SDL under a lock) that would otherwise
+        # stall every concurrent WS tick for its duration.
+        audio, sr = await asyncio.get_event_loop().run_in_executor(
+            None, decode_audio, file_bytes)
         return (audio, sr), None
     except AudioDecodeError as e:
         log.error("{} | audio decode failed: {}", endpoint, e)
@@ -104,15 +113,20 @@ async def transcribe(request: web.Request) -> web.Response:
                                        "accurate") == "accurate":
         # Model-quality word timing via the ForcedAligner (reference SDK
         # timestamps, src/server.py:866-869). Missing aligner weights are
-        # not an error — the engine falls back to estimates.
-        from ..runtime.queue import infer_executor
+        # not an error — the engine falls back to estimates. Already-loaded
+        # (or known-unloadable) aligners skip the infer-executor round-trip,
+        # which would otherwise queue behind in-flight inference.
         from ..sidecars import subtitle as subtitle_mod
-        try:
-            await asyncio.get_event_loop().run_in_executor(
-                infer_executor(), subtitle_mod.load_aligner)
-        except Exception as e:
-            log.info("Aligner unavailable for timestamps ({}); "
-                     "char-proportional estimates will be used", e)
+        global _aligner_load_failed
+        if not subtitle_mod.aligner_loaded() and not _aligner_load_failed:
+            from ..runtime.queue import infer_executor
+            try:
+                await asyncio.get_event_loop().run_in_executor(
+                    infer_executor(), subtitle_mod.load_aligner)
+            except Exception as e:
+                _aligner_load_failed = True
+                log.info("Aligner unavailable for timestamps ({}); "
+                         "char-proportional estimates will be used", e)
 
     try:
         # Micro-batched path: concurrent same-bucket uploads share one
