@@ -55,6 +55,7 @@ class WorkerSupervisor:
         self.inflight = 0   # proxied requests currently awaiting the worker
         self._lock = asyncio.Lock()
         self._last_health: dict = {}
+        self._ready = False  # /health answered since the last (re)spawn
 
     def alive(self) -> bool:
         return self.proc is not None and self.proc.poll() is None
@@ -73,6 +74,13 @@ class WorkerSupervisor:
     async def ensure(self):
         async with self._lock:
             if not self.alive():
+                if self.proc is not None:
+                    # Died on its own (crash/OOM): _terminate never ran, so
+                    # the health snapshot describes memory that was freed
+                    # with the process — it must not veto this respawn.
+                    self.proc = None
+                    self._last_health = {}
+                self._ready = False
                 ok, free_mb = self._check_hbm_available()
                 if not ok:
                     log.error("Not enough HBM to start worker: {}MB free, "
@@ -85,13 +93,13 @@ class WorkerSupervisor:
                     sys.executable, "-m", "qwen3_asr_tpu.serving.worker",
                     "--host", WORKER_HOST, "--port", str(WORKER_PORT),
                 ])
+            if not self._ready:
                 deadline = time.time() + int(
                     os.getenv("WORKER_STARTUP_TIMEOUT", "120"))
-                ready = False
-                while time.time() < deadline:
-                    await asyncio.sleep(1)
-                    try:
-                        async with aiohttp.ClientSession() as session:
+                async with aiohttp.ClientSession() as session:
+                    while time.time() < deadline:
+                        await asyncio.sleep(1)
+                        try:
                             async with session.get(
                                     f"http://{WORKER_HOST}:{WORKER_PORT}/health",
                                     timeout=aiohttp.ClientTimeout(total=3)
@@ -99,17 +107,23 @@ class WorkerSupervisor:
                                 if resp.status == 200:
                                     self._last_health = await resp.json()
                                     log.info("Worker process ready")
-                                    ready = True
+                                    self._ready = True
                                     break
-                    except Exception:
-                        continue
-                if not ready:
-                    # Don't leave a wedged-but-alive process behind: kill it
-                    # so the next request retries a clean spawn, and surface
-                    # the structured error contract instead of a raw
-                    # connection failure.
-                    log.error("Worker process failed to become ready "
-                              "within WORKER_STARTUP_TIMEOUT")
+                        except Exception:
+                            continue
+                if not self._ready:
+                    if self.alive():
+                        # Still starting — an eager load with cold compile
+                        # caches can take minutes. Leave it running: this
+                        # request fails with the structured error, the NEXT
+                        # request resumes waiting on the same process
+                        # instead of killing it mid-compile and thrashing.
+                        log.error("Worker not ready within "
+                                  "WORKER_STARTUP_TIMEOUT; still starting")
+                        raise WorkerStartupError(
+                            "worker still starting (model load/compile in "
+                            "progress) — retry shortly")
+                    log.error("Worker process exited before becoming ready")
                     await self._terminate()
                     raise WorkerStartupError("worker failed to become ready")
             self.last_used = time.time()
@@ -128,6 +142,10 @@ class WorkerSupervisor:
             await asyncio.to_thread(proc.wait, 10)
         except subprocess.TimeoutExpired:
             proc.kill()
+            try:
+                await asyncio.to_thread(proc.wait, 5)  # reap — no zombies
+            except subprocess.TimeoutExpired:
+                log.warning("worker PID {} unreaped after SIGKILL", proc.pid)
 
     async def kill(self):
         async with self._lock:
@@ -193,7 +211,10 @@ async def _forward_multipart(request: web.Request, sup: WorkerSupervisor,
         sup.inflight -= 1
         await session.close()
         raise
-    sup.inflight -= 1
+    # inflight stays held until the HANDLER finishes with the response —
+    # for /transcribe/stream the worker sends headers before any inference
+    # runs, so releasing here would let the idle watchdog kill the worker
+    # mid-stream during a long compile gap. Handlers decrement in finally.
     sup.last_used = time.time()
     return session, resp, url, fields
 
@@ -212,6 +233,8 @@ async def gw_transcribe(request: web.Request) -> web.Response:
                  time.time() - t0)
         return web.json_response(body)
     finally:
+        sup.inflight -= 1
+        sup.last_used = time.time()
         await session.close()
 
 
@@ -234,6 +257,8 @@ async def gw_translate(request: web.Request) -> web.Response:
                          'attachment; filename="translated_subtitles.srt"'})
         return web.json_response(await resp.json())
     finally:
+        sup.inflight -= 1
+        sup.last_used = time.time()
         await session.close()
 
 
@@ -254,6 +279,8 @@ async def gw_subtitles(request: web.Request) -> web.Response:
             headers={"Content-Disposition":
                      'attachment; filename="subtitles.srt"'})
     finally:
+        sup.inflight -= 1
+        sup.last_used = time.time()
         await session.close()
 
 
@@ -299,6 +326,8 @@ async def gw_transcribe_stream(request: web.Request) -> web.StreamResponse:
         await response.write_eof()
         return response
     finally:
+        sup.inflight -= 1
+        sup.last_used = time.time()
         await session.close()
 
 

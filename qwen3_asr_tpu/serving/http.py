@@ -43,13 +43,27 @@ async def request_id_middleware(request: web.Request,
         if "X-Request-ID" not in response.headers:
             response.headers["X-Request-ID"] = req_id
         return response
+    except web.HTTPException as e:
+        # Router-raised 404/405 etc. — real statuses, not server errors.
+        status = str(e.status)
+        raise
     finally:
         reset_request_id(token)
-        if request.path not in ("/metrics",):
-            metrics.inc("asr_requests_total", path=request.path,
+        # Label by the MATCHED route pattern, not the raw path: raw paths
+        # from scanners (/wp-admin, /.env?x=1, ...) would mint an unbounded
+        # set of counter+histogram label sets in the process-lifetime
+        # registry and bloat /metrics forever.
+        resource = None
+        if request.match_info is not None \
+                and request.match_info.route is not None:
+            resource = request.match_info.route.resource  # None for 404s
+        route = resource.canonical if resource is not None else "unmatched"
+        if route not in ("/metrics",):
+            metrics.inc("asr_requests_total", path=route,
                         method=request.method, status=status)
-            metrics.observe("asr_request_duration_seconds",
-                            _time.time() - t0, path=request.path)
+            if route != "unmatched":
+                metrics.observe("asr_request_duration_seconds",
+                                _time.time() - t0, path=route)
 
 
 async def read_upload(request: web.Request) -> tuple[dict, Optional[bytes], str]:

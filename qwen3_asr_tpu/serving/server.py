@@ -72,6 +72,20 @@ async def metrics_endpoint(request: web.Request) -> web.Response:
 _aligner_load_failed = False
 
 
+def merge_results(results) -> tuple:
+    """Join the engine's per-segment results into the single-result response
+    the public contract promises (the reference SDK returns one result for
+    the whole file; this engine's net-new 30 s silence-boundary segmentation
+    must be invisible to clients). Returns (text, language, timestamps)."""
+    text = " ".join(r.text for r in results if r.text)
+    language = next((r.language for r in results if r.language), "")
+    stamps: list = []
+    for r in results:
+        if r.timestamps:
+            stamps.extend(r.timestamps)
+    return text, language, (stamps or None)
+
+
 async def _decode_or_error(file_bytes, filename, endpoint):
     if file_bytes is None or len(file_bytes) == 0:
         return None, error_response("AUDIO_DECODE_FAILED",
@@ -141,14 +155,14 @@ async def transcribe(request: web.Request) -> web.Response:
                               504, elapsed=round(time.time() - t0, 2))
 
     if results:
-        text = detect_and_fix_repetitions(results[0].text)
-        language_code = results[0].language
+        text, language_code, stamps = merge_results(results)
+        text = detect_and_fix_repetitions(text)
     else:
-        text, language_code = "", (lang_code or language)
+        text, language_code, stamps = "", (lang_code or language), None
 
     body = {"text": text, "language": language_code}
-    if return_timestamps and results and results[0].timestamps:
-        body["timestamps"] = results[0].timestamps
+    if return_timestamps and stamps:
+        body["timestamps"] = stamps
     log.info("POST /v1/audio/transcriptions | completed in {:.2f}s "
              "text_len={} lang={}", time.time() - t0, len(text), language_code)
     return web.json_response(body)
@@ -211,7 +225,7 @@ async def translate_endpoint(request: web.Request) -> web.Response:
             headers={"Content-Disposition":
                      'attachment; filename="translated_subtitles.srt"'})
 
-    text = detect_and_fix_repetitions(results[0].text) if results else ""
+    text = detect_and_fix_repetitions(merge_results(results)[0]) if results else ""
     if text.strip():
         try:
             translated_text = await translate_text(text, target_lang)
@@ -253,7 +267,33 @@ async def generate_subtitles(request: web.Request) -> web.Response:
         return err
     audio, sr = decoded
     lang_code = None if language == "auto" else language
+    return await subtitle_core(mgr, audio, sr, lang_code, mode,
+                               max_line_chars, "POST /v1/audio/subtitles",
+                               t0, _subtitle_aligner_error)
 
+
+def _subtitle_aligner_error(e: Exception) -> web.Response:
+    """Standalone-server mapping of an aligner-load failure (the worker
+    always maps to WORKER_ERROR — the documented reference delta)."""
+    return error_response(
+        "SUBTITLE_TIMEOUT" if "timeout" in str(e).lower() else
+        "WORKER_ERROR", f"ForcedAligner unavailable: {e}", 503)
+
+
+def _srt_response(srt: str) -> web.Response:
+    return web.Response(
+        text=srt, content_type="text/plain", charset="utf-8",
+        headers={"Content-Disposition":
+                 'attachment; filename="subtitles.srt"'})
+
+
+async def subtitle_core(mgr, audio, sr, lang_code, mode: str,
+                        max_line_chars: int, endpoint: str, t0: float,
+                        aligner_error) -> web.Response:
+    """Shared subtitle flow (aligner load → transcribe → repetition fix →
+    SRT) behind both the standalone endpoint and the worker route; the
+    callers keep their own validation/status-code deltas
+    (reference worker.py:229 vs server.py:697)."""
     from ..runtime.queue import infer_executor
     from ..sidecars import subtitle as subtitle_mod
 
@@ -262,10 +302,8 @@ async def generate_subtitles(request: web.Request) -> web.Response:
             await asyncio.get_event_loop().run_in_executor(
                 infer_executor(), subtitle_mod.load_aligner)
         except Exception as e:
-            log.error("POST /v1/audio/subtitles | aligner load failed: {}", e)
-            return error_response(
-                "SUBTITLE_TIMEOUT" if "timeout" in str(e).lower() else
-                "WORKER_ERROR", f"ForcedAligner unavailable: {e}", 503)
+            log.error("{} | aligner load failed: {}", endpoint, e)
+            return aligner_error(e)
 
     try:
         results = await asyncio.wait_for(
@@ -274,17 +312,14 @@ async def generate_subtitles(request: web.Request) -> web.Response:
                 priority=1),
             timeout=mgr.request_timeout)
     except asyncio.TimeoutError:
-        log.warning("POST /v1/audio/subtitles | timed out after {:.2f}s",
+        log.warning("{} | timed out after {:.2f}s", endpoint,
                     time.time() - t0)
         return error_response("SUBTITLE_TIMEOUT",
                               "Subtitle generation timed out", 504,
                               elapsed=round(time.time() - t0, 2))
 
     if not results:
-        return web.Response(
-            text="", content_type="text/plain", charset="utf-8",
-            headers={"Content-Disposition":
-                     'attachment; filename="subtitles.srt"'})
+        return _srt_response("")
 
     for r in results:
         r.text = detect_and_fix_repetitions(r.text)
@@ -295,12 +330,9 @@ async def generate_subtitles(request: web.Request) -> web.Response:
             results=results, audio=audio, sr=sr, mode=mode,
             max_line_chars=max_line_chars))
 
-    log.info("POST /v1/audio/subtitles | completed in {:.2f}s mode={} srt_len={}",
+    log.info("{} | completed in {:.2f}s mode={} srt_len={}", endpoint,
              time.time() - t0, mode, len(srt_content))
-    return web.Response(
-        text=srt_content, content_type="text/plain", charset="utf-8",
-        headers={"Content-Disposition":
-                 'attachment; filename="subtitles.srt"'})
+    return _srt_response(srt_content)
 
 
 # ── SSE streaming (reference src/server.py:926-1050) ─────────────────────────
@@ -656,25 +688,38 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
 
 # ── profiling (additive observability; SURVEY.md §5 tracing) ─────────────────
 
+_trace_active = asyncio.Lock()
+
+
 async def debug_trace(request: web.Request) -> web.Response:
     """Capture a jax.profiler trace for N seconds (TensorBoard/Perfetto
     format). Additive to the request-ID tracing — the reference has no
-    profiler integration."""
+    profiler integration. Single-flight: the jax profiler is process-global
+    state, so a concurrent second request must not stop the first one's
+    trace (or surface a raw 500 from start_trace)."""
     try:
         seconds = min(float(request.query.get("seconds", "3")), 60.0)
     except ValueError:
         return error_response("INVALID_JSON", "seconds must be a number", 400)
+    if _trace_active.locked():
+        return error_response("WORKER_ERROR",
+                              "a profiler trace is already in progress", 409)
     trace_dir = os.getenv("ASR_TRACE_DIR", "/tmp/qwen3_asr_traces")
     os.makedirs(trace_dir, exist_ok=True)
     import jax
-    try:
-        jax.profiler.start_trace(trace_dir)
-        await asyncio.sleep(seconds)
-    finally:
+    async with _trace_active:
         try:
-            jax.profiler.stop_trace()
+            jax.profiler.start_trace(trace_dir)
         except Exception as e:
             return error_response("WORKER_ERROR", f"trace failed: {e}", 500)
+        try:
+            await asyncio.sleep(seconds)
+        finally:
+            try:
+                jax.profiler.stop_trace()
+            except Exception as e:
+                return error_response("WORKER_ERROR", f"trace failed: {e}",
+                                      500)
     log.info("Profiler trace captured | dir={} seconds={}", trace_dir, seconds)
     return web.json_response({"trace_dir": trace_dir, "seconds": seconds})
 

@@ -26,6 +26,8 @@ from ..utils.logging import log
 from .http import error_response, read_upload, request_id_middleware
 from .server import (
     _decode_or_error,
+    merge_results,
+    subtitle_core,
     transcribe as server_transcribe,
     transcribe_stream as server_transcribe_stream,
     websocket_transcribe as server_websocket_transcribe,
@@ -56,8 +58,6 @@ async def subtitles(request: web.Request) -> web.Response:
     if not file_bytes:
         return error_response("EMPTY_AUDIO", "Empty audio file", 400)
 
-    # Delegate to the shared implementation via a re-dispatch with the
-    # already-read body is awkward over aiohttp; inline the core instead.
     await mgr.ensure_loaded()
     language = fields.get("language", "auto")
     try:
@@ -74,44 +74,11 @@ async def subtitles(request: web.Request) -> web.Response:
         return err
     audio, sr = decoded
     lang_code = None if language == "auto" else language
-
-    from ..sidecars import subtitle as subtitle_mod
-    if mode == "accurate":
-        try:
-            await asyncio.get_event_loop().run_in_executor(
-                infer_executor(), subtitle_mod.load_aligner)
-        except Exception as e:
-            return error_response("WORKER_ERROR",
-                                  f"ForcedAligner unavailable: {e}", 503)
-    try:
-        results = await asyncio.wait_for(
-            mgr.queue.submit(
-                lambda: mgr.transcribe_sync(audio, sr, lang_code, False),
-                priority=1),
-            timeout=mgr.request_timeout)
-    except asyncio.TimeoutError:
-        return error_response("SUBTITLE_TIMEOUT",
-                              "Subtitle generation timed out", 504,
-                              elapsed=round(time.time() - t0, 2))
-
-    if not results:
-        return web.Response(text="", content_type="text/plain",
-                            charset="utf-8",
-                            headers={"Content-Disposition":
-                                     'attachment; filename="subtitles.srt"'})
-    for r in results:
-        r.text = detect_and_fix_repetitions(r.text)
-    srt_content = await asyncio.get_event_loop().run_in_executor(
-        infer_executor(),
-        lambda: subtitle_mod.generate_srt_from_results(
-            results=results, audio=audio, sr=sr, mode=mode,
-            max_line_chars=max_line_chars))
-    log.info("POST /subtitles | completed in {:.2f}s mode={} srt_len={}",
-             time.time() - t0, mode, len(srt_content))
-    return web.Response(text=srt_content, content_type="text/plain",
-                        charset="utf-8",
-                        headers={"Content-Disposition":
-                                 'attachment; filename="subtitles.srt"'})
+    # Shared core; worker delta: aligner failure is always WORKER_ERROR.
+    return await subtitle_core(
+        mgr, audio, sr, lang_code, mode, max_line_chars, "POST /subtitles",
+        t0, lambda e: error_response("WORKER_ERROR",
+                                     f"ForcedAligner unavailable: {e}", 503))
 
 
 async def translate(request: web.Request) -> web.Response:
@@ -174,7 +141,7 @@ async def translate(request: web.Request) -> web.Response:
         return web.Response(text=translated_srt, content_type="text/plain",
                             charset="utf-8")
 
-    text = detect_and_fix_repetitions(results[0].text) if results else ""
+    text = detect_and_fix_repetitions(merge_results(results)[0]) if results else ""
     if text.strip():
         try:
             translated_text = await translate_text(text, target_lang)

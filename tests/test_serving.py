@@ -397,3 +397,27 @@ def test_metrics_endpoint(client, loop):
         assert "asr_queue_depth" in text
         assert "asr_uptime_seconds" in text
     loop.run_until_complete(go())
+
+
+def test_merge_results_multisegment():
+    """>30 s audio yields multiple engine segments; the public response must
+    carry ALL of them (text joined, timestamps concatenated with their
+    absolute offsets), like the reference SDK's single whole-file result."""
+    from qwen3_asr_tpu.serving.server import merge_results
+    from qwen3_asr_tpu.runtime.engine import TranscriptionResult
+    r1 = TranscriptionResult(text="hello world", language="en",
+                             start_time=0.0, end_time=30.0,
+                             timestamps=[{"word": "hello", "start": 0.0,
+                                          "end": 0.5}])
+    r2 = TranscriptionResult(text="second segment", language="en",
+                             start_time=30.0, end_time=55.0,
+                             timestamps=[{"word": "second", "start": 30.1,
+                                          "end": 30.6}])
+    text, lang, stamps = merge_results([r1, r2])
+    assert text == "hello world second segment"
+    assert lang == "en"
+    assert [s["word"] for s in stamps] == ["hello", "second"]
+    assert stamps[1]["start"] == 30.1
+    # empty segments don't inject double spaces
+    r3 = TranscriptionResult(text="", language="")
+    assert merge_results([r1, r3, r2])[0] == "hello world second segment"
