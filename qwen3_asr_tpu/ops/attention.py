@@ -67,6 +67,12 @@ def attend_spec(q: jax.Array, k: jax.Array, v: jax.Array, spec: AttnSpec,
     backend = backend or os.getenv("ASR_ATTN_BACKEND", "auto")
     is_decode_step = (q.shape[-2] == 1 and not spec.causal
                       and spec.window_block == 0)
+    if backend in ("decode", "decode_interpret") and not is_decode_step:
+        # The decode-kernel opt-in only covers decode STEPS; prefill and
+        # encoder attention keep the auto (flash/XLA) dispatch — otherwise
+        # setting it would silently downgrade every other attention to a
+        # dense-mask XLA path.
+        backend = "auto"
     if backend == "auto":
         on_tpu = jax.default_backend() == "tpu"
         # A/B on v5e: for short caches (≤~512) XLA's fused einsum beats the

@@ -61,6 +61,11 @@ class MicroBatcher:
 
         engine = mgr.engine
         bucket = engine.bucket_frames(len(audio))
+        # Normalize the language BEFORE grouping/response: "en" and
+        # "English" are the same request (identical prompt) and must batch
+        # together and echo the same metadata the solo path returns.
+        from ..models.asr import normalize_language
+        language, _ = normalize_language(language)
         key = (bucket, language or "")
 
         loop = asyncio.get_event_loop()

@@ -97,23 +97,41 @@ class TranscriptionEngine:
         (see runtime/speculative.py); only latency changes."""
         assert draft_model.cfg.encoder.n_window == \
             self.model.cfg.encoder.n_window, "draft/verify chunking differs"
+        # The fused spec fn feeds ONE prefix-id tensor to both models, so
+        # their tokenizers must agree on prompt text → ids (true for the
+        # Qwen3-ASR family; catch divergence here rather than silently
+        # collapsing the acceptance rate).
+        probe = self.model.template.prefix_text("English", "probe context")
+        if draft_model.tokenizer.encode(probe) != \
+                self.model.tokenizer.encode(probe):
+            raise ValueError(
+                "draft/verify tokenizers produce different prompt ids; "
+                "token-level speculative decoding requires shared token ids")
         self.draft_model = draft_model
         self._spec_fns.clear()
 
     # -- bucketing ---------------------------------------------------------------
     def bucket_frames(self, n_samples: int) -> Tuple[int, float]:
-        """Smallest bucket (mel frames, seconds) covering n_samples."""
+        """Smallest bucket (mel frames, EFFECTIVE seconds) covering
+        n_samples. Frames round UP to the encoder chunk multiple, so a
+        bucket can physically hold more than its nominal label (at 200-frame
+        chunks the 1 s bucket holds 2 s). The returned seconds are the
+        rounded coverage (frames/100), NOT the label: the decode token
+        budget must match the audio the executable actually holds, or
+        near-boundary clips get silently truncated. Buckets whose rounded
+        frames coincide dedup naturally through the (frames, max_new)
+        executable key."""
         mel_frames = max(1, n_samples // HOP_LENGTH)
         for sec in AUDIO_BUCKETS_S:
             frames = int(sec * 100)
             frames = ((frames + self._chunk_frames - 1)
                       // self._chunk_frames) * self._chunk_frames
             if mel_frames <= frames:
-                return frames, sec
+                return frames, frames / 100.0
         frames = int(AUDIO_BUCKETS_S[-1] * 100)
         frames = ((frames + self._chunk_frames - 1)
                   // self._chunk_frames) * self._chunk_frames
-        return frames, AUDIO_BUCKETS_S[-1]
+        return frames, frames / 100.0
 
     def _fused_fn(self, bucket_frames: int, bucket_s: float):
         """ONE jitted executable per bucket: raw audio samples → generated
@@ -177,6 +195,10 @@ class TranscriptionEngine:
         both prompts → on-device draft/verify loop."""
         import os as _os
         gamma = int(_os.getenv("ASR_SPEC_GAMMA", "4"))
+        if gamma < 2:
+            log.warning("ASR_SPEC_GAMMA={} below the minimum; using 2 "
+                        "(the verify pass needs >=2 positions)", gamma)
+            gamma = 2
         max_new = max_new_tokens_for(bucket_s)
         key = (bucket_frames, max_new, gamma)
         fn = self._spec_fns.get(key)
@@ -192,8 +214,9 @@ class TranscriptionEngine:
         mel_fb = self.frontend.mel_fb
         n_mels = self.frontend.n_mels
         suffix_v = jnp.asarray(self._suffix_ids, jnp.int32)
-        suffix_d = jnp.asarray(
-            draft.tokenizer.encode(draft.template.suffix_text()), jnp.int32)
+        # attach_draft guarantees the tokenizers agree on prompt ids — both
+        # models consume the same prefix AND suffix ids.
+        suffix_d = suffix_v
         dtype = self.dtype
         cache_dtype = self.cache_dtype
 

@@ -73,7 +73,14 @@ def _load_engine_sync(model_id: str):
         params = jax.jit(lambda: jax.tree.map(
             lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
         byte_vocab = {c: i for i, c in enumerate(bytes_to_unicode().values())}
-        specials = {t: 151640 + i for i, t in enumerate(
+        # Special ids must live INSIDE the preset's vocab: small presets
+        # (tiny, vocab 512) would otherwise get an eos_id the model can
+        # never emit (argmax over 512 logits vs id 151642 → every request
+        # runs its full token budget) and prompt ids that jnp.take clamps
+        # to the last row. Big presets keep the real Qwen id block.
+        vocab = cfg.decoder.vocab_size
+        base = 151640 if vocab > 151646 else vocab - 6
+        specials = {t: base + i for i, t in enumerate(
             ["<|endoftext|>", "<|im_start|>", "<|im_end|>", "<|AUDIO|>",
              "<|audio_bos|>", "<|audio_eos|>"])}
         tokenizer = BpeTokenizer(byte_vocab, [], specials)
@@ -284,8 +291,14 @@ class ModelManager:
         resume_tokens enables the streaming self-draft fast path."""
         self._last_used = time.time()
         try:
+            # Result-level speculation serves batch FINALS only: a streaming
+            # tick (resume_tokens) or an explicit fast-engine request
+            # (use_fast, WS partials) must keep its own fast path — routing
+            # those through draft+verify would silently discard the resume
+            # self-draft and re-decode the whole window every 450 ms.
             use_spec = (os.getenv("USE_SPECULATIVE", "").lower() == "true"
                         and self.fast_engine is not None
+                        and resume_tokens is None and not use_fast
                         and os.getenv("ASR_SPECULATIVE_MODE",
                                       "token").lower() == "result")
             if use_spec:

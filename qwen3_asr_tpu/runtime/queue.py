@@ -49,6 +49,15 @@ class PriorityInferQueue:
         if self._worker_task:
             self._worker_task.cancel()
             self._worker_task = None
+        # Resolve queued jobs' futures — callers blocked in submit() would
+        # otherwise await forever (their job can no longer run).
+        while self._heap:
+            job = heapq.heappop(self._heap)
+            try:
+                if not job.future.done():
+                    job.future.cancel()
+            except RuntimeError:
+                pass  # future's loop already closed — nobody is waiting
 
     async def _worker(self):
         loop = asyncio.get_event_loop()

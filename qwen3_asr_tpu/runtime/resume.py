@@ -53,7 +53,9 @@ def resume_generate(params, cfg: DecoderConfig, inputs_embeds: jax.Array,
     """
     b, plen, _ = inputs_embeds.shape
     assert b == 1, "resume decoding is per-stream (batch 1)"
-    total = plen + max_new
+    # 128-aligned like greedy_generate: the stacked-cache decode kernel
+    # requires block-aligned S, and the valid-range masks keep padding inert.
+    total = -(-(plen + max_new) // 128) * 128
     cache = init_kv_cache(cfg, b, total, dtype=cache_dtype)
     m = prev_len[0]
 

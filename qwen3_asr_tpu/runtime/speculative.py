@@ -61,8 +61,10 @@ def speculative_generate(draft_params, verify_params,
     assert gamma >= 2, "gamma must be >= 2"
     plen_d, plen_v = embeds_d.shape[1], embeds_v.shape[1]
     buf_len = max_new + gamma  # slack so window writes never clamp-shift
-    total_d = plen_d + max_new + gamma + 2
-    total_v = plen_v + max_new + gamma + 2
+    # 128-aligned like greedy_generate (stacked-cache decode kernel needs
+    # block-aligned S; masks keep the padding inert on every backend).
+    total_d = -(-(plen_d + max_new + gamma + 2) // 128) * 128
+    total_v = -(-(plen_v + max_new + gamma + 2) // 128) * 128
 
     cache_d = init_kv_cache(draft_cfg, b, total_d, dtype=cache_dtype)
     cache_v = init_kv_cache(verify_cfg, b, total_v, dtype=cache_dtype)

@@ -167,3 +167,17 @@ def test_warmup_covers_resume_and_batches(engine, monkeypatch):
     keys = set(engine._generate_fns)
     assert any(isinstance(k[0], int) for k in keys)        # plain fn
     assert any(k[0] == "resume" for k in keys)             # resume fn
+
+
+def test_bucket_budget_matches_rounded_coverage(engine):
+    """Chunk-rounding can make a bucket physically larger than its nominal
+    label; the returned seconds (and thus the decode token budget) must
+    reflect the ROUNDED coverage, or clips near the boundary get silently
+    truncated mid-transcript."""
+    for dur in (0.5, 1.0, 2.0, 4.0, 9.5, 31.0):
+        frames, eff_s = engine.bucket_frames(int(dur * 16000))
+        assert eff_s == frames / 100.0
+        assert frames * 160 >= min(int(dur * 16000),
+                                   frames * 160)  # covers the clip
+        if dur <= 30.0:
+            assert int(dur * 100) <= frames
