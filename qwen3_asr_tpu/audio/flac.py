@@ -164,7 +164,10 @@ def _read_residual(br: _BitReader, blocksize: int, order: int) -> np.ndarray:
     if blocksize % n_parts:
         raise FlacError("partition order does not divide block size")
     part_samples = blocksize >> po
-    if part_samples <= order and n_parts == 1:
+    if part_samples < order or (part_samples == order and n_parts == 1):
+        # Partition 0 holds part_samples - order residuals; a negative
+        # count (or zero with nothing in later partitions) is malformed
+        # and would otherwise decode to shifted/uninitialized PCM.
         raise FlacError("invalid partition size")
     from . import native
     lib = native.get_lib()

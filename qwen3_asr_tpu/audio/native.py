@@ -33,14 +33,21 @@ def _build_lib() -> Optional[str]:
     so_path = os.path.join(cache_dir, f"libaudiodsp-{digest}.so")
     if os.path.exists(so_path):
         return so_path
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", so_path + ".tmp", _SRC]
+    # Per-process tmp name: gateway/worker splits build concurrently on a
+    # cold cache, and a shared tmp would interleave g++ outputs and publish
+    # a corrupt ELF under the digest-keyed name forever.
+    tmp = f"{so_path}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(so_path + ".tmp", so_path)
+        os.replace(tmp, so_path)  # atomic last-writer-wins, both identical
         return so_path
     except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
         log.warning("native audio DSP build failed ({}); using numpy paths", e)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 
@@ -54,7 +61,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
     so_path = _build_lib()
     if so_path is None:
         return None
-    lib = ctypes.CDLL(so_path)
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError as e:
+        # A corrupt cached .so must degrade to the numpy paths (and clear
+        # itself for the next run), not 500 the first audio decode.
+        log.warning("native audio DSP load failed ({}); rebuilding next "
+                    "run, numpy paths for now", e)
+        try:
+            os.unlink(so_path)
+        except OSError:
+            pass
+        return None
     i64, i32 = ctypes.c_int64, ctypes.c_int
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")

@@ -104,9 +104,8 @@ def speech_probability(audio_float32: np.ndarray) -> float:
     """Speech probability for a mono float32 clip at 16 kHz."""
     global _window
     if _window is None:
-        _window = jnp.asarray(
-            (0.5 - 0.5 * np.cos(2 * np.pi * np.arange(FRAME) / FRAME))
-            .astype(np.float32))
+        from .frontend import hann_window  # ONE periodic-Hann definition
+        _window = jnp.asarray(hann_window(FRAME))
     x = np.asarray(audio_float32, dtype=np.float32)
     if len(x) < FRAME:
         x = np.pad(x, (0, FRAME - len(x)))

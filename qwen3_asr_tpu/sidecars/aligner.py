@@ -75,10 +75,24 @@ class AlignerEngine:
         if not words or len(audio) == 0:
             return []
 
-        # Acoustic token embeddings (bucket-pad to the conv chunk).
+        # Acoustic token embeddings, padded to the ENGINE's bucket ladder:
+        # each distinct shape is one remote XLA compile of the jitted
+        # encoder, so arbitrary 2 s-granular lengths would compile per clip
+        # (the "static shapes everywhere" invariant). Above the largest
+        # bucket, round to 30 s steps (the subtitle layer chunks >5 min
+        # audio upstream, so the shape set stays small).
+        from ..runtime.engine import AUDIO_BUCKETS_S
         chunk = self.model.cfg.encoder.n_window * 2
-        mel_frames = max(chunk, len(audio) // 160)
-        mel_frames = ((mel_frames + chunk - 1) // chunk) * chunk
+        need = max(chunk, -(-len(audio) // 160))
+        mel_frames = None
+        for sec in AUDIO_BUCKETS_S:
+            frames = ((int(sec * 100) + chunk - 1) // chunk) * chunk
+            if need <= frames:
+                mel_frames = frames
+                break
+        if mel_frames is None:
+            mel_frames = ((need + 2999) // 3000) * 3000
+            mel_frames = ((mel_frames + chunk - 1) // chunk) * chunk
         padded = np.zeros(mel_frames * 160, dtype=np.float32)
         padded[:len(audio)] = audio[:len(padded)]
         mel, _ = self.frontend(padded)

@@ -332,7 +332,6 @@ def generate_srt_from_results(results: list, audio, sr: int,
     events = enforce_timing(segment_subtitles(words,
                                               max_line_chars=max_line_chars))
     srt = format_srt(events)
-    n = srt.count("\n\n") if srt.strip() else 0
     log.info("SRT generation complete | events={} srt_len={} elapsed={:.2f}s",
-             n, len(srt), time.time() - t0)
+             len(events), len(srt), time.time() - t0)
     return srt

@@ -45,20 +45,30 @@ def bytes_to_unicode() -> Dict[int, str]:
 class BpeTokenizer:
     def __init__(self, vocab: Dict[str, int], merges: List[Tuple[str, str]],
                  special_tokens: Optional[Dict[str, int]] = None,
-                 pattern: str = _QWEN_PATTERN):
+                 pattern: str = _QWEN_PATTERN,
+                 added_tokens: Optional[Dict[str, int]] = None):
+        """special_tokens: added tokens with HF ``special: true`` — matched
+        atomically on encode AND skipped by decode(skip_special=True).
+        added_tokens: ``special: false`` entries (<think>, <tool_call>, …) —
+        matched atomically on encode but ALWAYS emitted by decode, exactly
+        like the HF tokenizers runtime."""
         self.vocab = dict(vocab)
         self.special_tokens = dict(special_tokens or {})
+        self.added_tokens = dict(added_tokens or {})
         self.vocab.update(self.special_tokens)
+        self.vocab.update(self.added_tokens)
         self.id_to_token = {v: k for k, v in self.vocab.items()}
         self.merge_ranks = {tuple(m): i for i, m in enumerate(merges)}
         self.pattern = _re.compile(pattern)
         self._byte_enc = bytes_to_unicode()
         self._byte_dec = {v: k for k, v in self._byte_enc.items()}
         self._special_ids = set(self.special_tokens.values())
-        if self.special_tokens:
+        self._added_ids = set(self.added_tokens.values())
+        self._atomic = {**self.special_tokens, **self.added_tokens}
+        if self._atomic:
             self._special_re = _re.compile(
                 "(" + "|".join(_re.escape(t) for t in
-                               sorted(self.special_tokens, key=len,
+                               sorted(self._atomic, key=len,
                                       reverse=True)) + ")")
         else:
             self._special_re = None
@@ -72,7 +82,12 @@ class BpeTokenizer:
         model = blob["model"]
         merges = [tuple(m.split(" ", 1)) if isinstance(m, str) else tuple(m)
                   for m in model["merges"]]
-        special = {t["content"]: t["id"] for t in blob.get("added_tokens", [])}
+        special = {t["content"]: t["id"]
+                   for t in blob.get("added_tokens", [])
+                   if t.get("special", True)}
+        added = {t["content"]: t["id"]
+                 for t in blob.get("added_tokens", [])
+                 if not t.get("special", True)}
         pattern = _QWEN_PATTERN
         pre = blob.get("pre_tokenizer") or {}
         for sub in pre.get("pretokenizers", [pre]):
@@ -83,7 +98,8 @@ class BpeTokenizer:
             if sub.get("type") == "ByteLevel":
                 pattern = _GPT2_PATTERN
                 break
-        return BpeTokenizer(model["vocab"], merges, special, pattern)
+        return BpeTokenizer(model["vocab"], merges, special, pattern,
+                            added_tokens=added)
 
     # -- BPE core -------------------------------------------------------------
     def _bpe(self, token: str) -> List[str]:
@@ -130,8 +146,8 @@ class BpeTokenizer:
             for chunk in self._special_re.split(text):
                 if not chunk:
                     continue
-                if chunk in self.special_tokens:
-                    ids.append(self.special_tokens[chunk])
+                if chunk in self._atomic:
+                    ids.append(self._atomic[chunk])
                 else:
                     ids.extend(self._encode_ordinary(chunk))
             return ids
@@ -157,6 +173,9 @@ class BpeTokenizer:
                 flush()
                 if not skip_special:
                     out.append(tok)
+            elif int(i) in self._added_ids:
+                flush()
+                out.append(tok)  # non-special added tokens always survive
             else:
                 buf.append(tok)
         flush()

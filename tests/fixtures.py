@@ -32,6 +32,9 @@ def build_tokenizer_json(path: str, vocab_size: int = 480) -> None:
         vocab_size=vocab_size, special_tokens=SPECIALS,
         initial_alphabet=pre_tokenizers.ByteLevel.alphabet())
     tok.train_from_iterator(_CORPUS, trainer)
+    # Non-special added tokens (special: false), like Qwen3's <think> /
+    # <tool_call>: atomic on encode but NOT skipped by decode.
+    tok.add_tokens(["<think>", "</think>"])
     tok.save(path)
 
 

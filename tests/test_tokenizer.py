@@ -77,3 +77,23 @@ def test_bytes_to_unicode_reversible():
     m = bytes_to_unicode()
     assert len(m) == 256
     assert len(set(m.values())) == 256
+
+
+def test_non_special_added_tokens_survive_decode(tmp_path):
+    """HF semantics: added_tokens with special:false (<think>, <tool_call>)
+    are matched atomically on encode but are NOT dropped by
+    decode(skip_special_tokens=True)."""
+    from tokenizers import Tokenizer
+    from tests.fixtures import build_tokenizer_json
+    p = str(tmp_path / "tok.json")
+    build_tokenizer_json(p)
+    hf = Tokenizer.from_file(p)
+    ours = BpeTokenizer.from_file(p)
+    text = "a <think>plan</think> b"
+    hf_ids = hf.encode(text).ids
+    assert ours.encode(text) == hf_ids
+    assert ours.decode(hf_ids) == hf.decode(hf_ids, skip_special_tokens=True)
+    assert "<think>" in ours.decode(hf_ids)
+    # special tokens still skipped
+    im_end = ours.special_tokens["<|im_end|>"]
+    assert ours.decode(hf_ids + [im_end]) == ours.decode(hf_ids)
