@@ -88,6 +88,8 @@ def build_engine(preset_name: str, dtype, cache_dtype=None):
 
 
 def main():
+    from qwen3_asr_tpu.utils.platform import honor_platform_env
+    honor_platform_env()  # JAX_PLATFORMS=cpu must win over the site hook
     import jax
     import jax.numpy as jnp
     from qwen3_asr_tpu.runtime.engine import enable_compilation_cache

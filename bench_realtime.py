@@ -23,15 +23,13 @@ import numpy as np
 
 
 def _speech_like(duration_s: float, sr: int = 16000, seed: int = 0):
-    rng = np.random.default_rng(seed)
-    n = int(sr * duration_s)
-    t = np.linspace(0, duration_s, n, endpoint=False)
-    sig = 0.05 * rng.standard_normal(n)
-    for f in (150, 300, 600, 1200):
-        sig = sig + 0.1 * np.sin(2 * np.pi * f * t) * (
-            0.5 + 0.5 * np.sin(2 * np.pi * 5 * t))
-    sig = sig * (0.3 + 0.7 * np.abs(np.sin(2 * np.pi * 4 * t)))
-    return (sig / np.abs(sig).max() * 0.9).astype(np.float32)
+    """The tests' shared speech-like generator (ONE fixture definition —
+    the paced benchmark and the e2e gates must measure the same input)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from util_audio import speech_like
+    return speech_like(duration_s, sr=sr, seed=seed)
 
 
 async def run_benchmark(ws_connect, duration_s: float = 10.0,
@@ -62,7 +60,10 @@ async def run_benchmark(ws_connect, duration_s: float = 10.0,
                 if msg.get("is_partial"):
                     partials.append((now, msg))
                 elif msg.get("is_final"):
-                    partials.append((now, msg))
+                    # NOT counted as a partial: the final rides the flush
+                    # path, and folding it into the chunk-latency
+                    # percentiles would skew exactly the numbers this
+                    # benchmark exists to isolate.
                     final_holder["msg"] = msg
                     final_holder["time"] = now
                     final_event.set()
@@ -81,6 +82,10 @@ async def run_benchmark(ws_connect, duration_s: float = 10.0,
                 await asyncio.sleep(delay)
         sent_times.append(time.time())
         await ws.send_bytes(pcm[i:i + chunk_bytes])
+    # Overrun = how far the paced FEED fell behind real time, measured
+    # when the last chunk went out — flush/final latency is reported
+    # separately and must not leak into this number.
+    feed_wall = time.time() - t_start
 
     # flush + measure
     await asyncio.sleep(0.1)
@@ -122,7 +127,8 @@ async def run_benchmark(ws_connect, duration_s: float = 10.0,
         # Paced run: how far processing fell behind the real-time feed
         # (0.0 = kept up perfectly; reference fell ~21 s behind).
         "pacing_overrun_rtf": round(
-            max(0.0, (wall - duration_s if pace else wall) / duration_s), 3),
+            max(0.0, (feed_wall - duration_s if pace else feed_wall)
+                / duration_s), 3),
         "wall_s": round(wall, 2),
         "final_text_len": len(final_text),
     }

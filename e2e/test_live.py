@@ -354,8 +354,11 @@ def test_accuracy_wer_gate(ensure_server):
     health = _server_health()
     if not health.get("model_loaded"):
         # lazy server: one request loads the model so health reports size
+        first_wav = _accuracy_first_wav(data_dir)
+        if first_wav is None:
+            pytest.skip(f"no wav files under {data_dir}")
         _post_multipart(BASE_URL + "/v1/audio/transcriptions",
-                        _accuracy_first_wav(data_dir), {"language": "en"})
+                        first_wav, {"language": "en"})
         health = _server_health()
     model_id = health.get("model_id") or ""
     params_m = health.get("model_params_m")

@@ -28,11 +28,16 @@ class TrainState(NamedTuple):
 
 def asr_loss(params: dict, cfg: AsrConfig, mel: jax.Array,
              feature_lens: jax.Array, prompt_ids: jax.Array,
-             target_ids: jax.Array, target_mask: jax.Array) -> jax.Array:
+             target_ids: jax.Array, target_mask: jax.Array,
+             valid_from: jax.Array = None) -> jax.Array:
     """CE loss of target transcript tokens given audio.
 
     mel: [B, M, T_mel]; prompt_ids: [B, T_pre] text prefix (audio span is
-    appended after it); target_ids/mask: [B, T_tgt].
+    appended after it); target_ids/mask: [B, T_tgt] — include the prompt
+    SUFFIX tokens (mask 0) ahead of the transcript so training conditions
+    on the same [prefix, audio, suffix] layout inference decodes from;
+    valid_from: [B] first real prompt index for left-padded prefixes
+    (matches inference-time masking; None = attend everything).
     """
     dec = cfg.decoder
     audio_embeds, _ = encoder_forward(params["encoder"], cfg.encoder, mel,
@@ -45,7 +50,8 @@ def asr_loss(params: dict, cfg: AsrConfig, mel: jax.Array,
     positions = jnp.broadcast_to(jnp.arange(t), (b, t))
     cache = init_kv_cache(dec, b, t, dtype=inputs.dtype)
     hidden, _ = decoder_forward(params["decoder"], dec, inputs, positions,
-                                cache, jnp.int32(0), AttnSpec(causal=True))
+                                cache, jnp.int32(0),
+                                AttnSpec(causal=True, valid_from=valid_from))
 
     # Predict target token i from position (prefix+audio+i-1).
     tgt_start = t - target_ids.shape[1]
@@ -65,7 +71,8 @@ def make_train_step(cfg: AsrConfig, optimizer: optax.GradientTransformation
     def step(state: TrainState, batch: dict) -> Tuple[TrainState, jax.Array]:
         loss, grads = jax.value_and_grad(asr_loss)(
             state.params, cfg, batch["mel"], batch["feature_lens"],
-            batch["prompt_ids"], batch["target_ids"], batch["target_mask"])
+            batch["prompt_ids"], batch["target_ids"], batch["target_mask"],
+            batch.get("valid_from"))
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)

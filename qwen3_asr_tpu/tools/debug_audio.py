@@ -41,6 +41,8 @@ def describe(path: str, target_sr: int = None) -> dict:
 
 
 def main():
+    from ..utils.platform import honor_platform_env
+    honor_platform_env()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("file")
     parser.add_argument("--resample", type=int, default=None)

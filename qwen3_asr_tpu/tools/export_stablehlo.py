@@ -33,14 +33,19 @@ def export_encoder_stablehlo(model_id: str, bucket_s: float = 6.0,
     frames = int(bucket_s * 100)
     frames = ((frames + chunk - 1) // chunk) * chunk
 
-    def encoder_fn(mel, feature_lens):
-        return encoder_forward(model.params["encoder"], cfg, mel,
-                               feature_lens)
+    def encoder_fn(enc_params, mel, feature_lens):
+        return encoder_forward(enc_params, cfg, mel, feature_lens)
 
+    # Params are a lowering ARGUMENT: closing over them would bake every
+    # weight into the module as dense constants — a multi-GB text dump for
+    # the 1.7B encoder. As arguments they lower to module parameters.
+    params_spec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        model.params["encoder"])
     mel_spec = jax.ShapeDtypeStruct((batch, cfg.num_mel_bins, frames),
                                     jnp.float32)
     lens_spec = jax.ShapeDtypeStruct((batch,), jnp.int32)
-    lowered = jax.jit(encoder_fn).lower(mel_spec, lens_spec)
+    lowered = jax.jit(encoder_fn).lower(params_spec, mel_spec, lens_spec)
     stablehlo = lowered.compiler_ir(dialect="stablehlo")
 
     with open(output, "w") as f:
@@ -49,6 +54,8 @@ def export_encoder_stablehlo(model_id: str, bucket_s: float = 6.0,
 
 
 def main():
+    from ..utils.platform import honor_platform_env
+    honor_platform_env()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--model-id",
                         default=os.getenv("MODEL_ID", "preset:1.7b"))

@@ -28,8 +28,18 @@ def make_batch(engine, items, bucket_s: float = 6.0):
     frames = ((frames + chunk - 1) // chunk) * chunk
     n_samples = frames * HOP_LENGTH
 
-    mels, prompts, targets = [], [], []
-    max_tgt = 0
+    from ..runtime.engine import max_new_tokens_for
+
+    mels, prompts, targets, n_ctx = [], [], [], []
+    # Targets start with the prompt SUFFIX (mask 0): inference decodes
+    # after [prefix, audio, suffix], so training must condition the
+    # transcript on the same layout — a model tuned without the suffix
+    # would never see it until serving.
+    _, suffix_ids, _ = model.prompt_ids(0, None)
+    # STATIC shapes (CLAUDE.md invariant): prompts pad to PREFIX_BUDGET,
+    # targets to suffix + the bucket's decode budget — per-batch max
+    # lengths would recompile the jitted step almost every iteration.
+    tgt_budget = len(suffix_ids) + max_new_tokens_for(frames / 100.0)
     for item in items:
         with open(item["wav"], "rb") as f:
             audio, sr = decode_audio(f.read())
@@ -43,23 +53,25 @@ def make_batch(engine, items, bucket_s: float = 6.0):
         prefix, _, _ = model.prompt_ids(0, item.get("language"))
         prefix = prefix[-PREFIX_BUDGET:]
         prompts.append(prefix)
-        tgt = model.tokenizer.encode(item["text"]) + [model.eos_id]
+        text_ids = model.tokenizer.encode(item["text"]) + [model.eos_id]
+        tgt = (list(suffix_ids) + text_ids)[:tgt_budget]
         targets.append(tgt)
-        max_tgt = max(max_tgt, len(tgt))
+        n_ctx.append(min(len(suffix_ids), len(tgt)))
 
-    max_pre = max(len(p) for p in prompts)
     b = len(items)
     batch = {
         "mel": np.stack(mels).astype(np.float32),
         "feature_lens": np.full((b,), frames, np.int32),
-        "prompt_ids": np.full((b, max_pre), model.pad_id, np.int32),
-        "target_ids": np.full((b, max_tgt), model.pad_id, np.int32),
-        "target_mask": np.zeros((b, max_tgt), np.int32),
+        "prompt_ids": np.full((b, PREFIX_BUDGET), model.pad_id, np.int32),
+        "target_ids": np.full((b, tgt_budget), model.pad_id, np.int32),
+        "target_mask": np.zeros((b, tgt_budget), np.int32),
+        "valid_from": np.zeros((b,), np.int32),
     }
     for i, (p, t) in enumerate(zip(prompts, targets)):
         batch["prompt_ids"][i, -len(p):] = p
+        batch["valid_from"][i] = PREFIX_BUDGET - len(p)
         batch["target_ids"][i, :len(t)] = t
-        batch["target_mask"][i, :len(t)] = 1
+        batch["target_mask"][i, n_ctx[i]:len(t)] = 1  # suffix is context
     return batch
 
 
