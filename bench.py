@@ -32,7 +32,10 @@ Measured ladder at 20 s clips (steady-state / serial):
   + s16 input, conc 2, b32     435.6x / 377.5x
   b64                          485.9x / 436.6x   (weight reads amortize)
   b96                          545.2x / 443.3x   <- default
-  b96 re-run                   509.5x / 450.3x   (tunnel variance ~7%)
+  b96 re-run                   509.5x / 450.3x
+  (repeats observed 311-545x steady / 313-450x serial at b96: the
+   remote-tunnel host link's throughput varies across runs; device-side
+   compute is stable — see tools_perf/e2e_phases.py)
   b96 conc 3                   363.5x            (3 in-flight thrashes HBM)
   b112                         506.0x / 455.6x
   b128                         429.0x / 431.7x   (2 in-flight no longer fit)

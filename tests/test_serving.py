@@ -281,9 +281,10 @@ def test_ws_partials_cumulative(client, loop):
             except asyncio.TimeoutError:
                 pass
         await ws.send_json({"action": "reset"})
-        # drain until buffer_reset
+        # drain until buffer_reset (generous timeout: the first WS tick on
+        # a loaded CI machine can include a bucket compile)
         for _ in range(10):
-            msg = await asyncio.wait_for(ws.receive_json(), timeout=10)
+            msg = await asyncio.wait_for(ws.receive_json(), timeout=60)
             if msg.get("status") == "buffer_reset":
                 break
         else:
