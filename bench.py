@@ -103,7 +103,10 @@ def main():
     dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
     batch = int(os.getenv("BENCH_BATCH", "96" if backend == "tpu" else "16"))
     clip_s = float(os.getenv("BENCH_CLIP_S", "20"))
-    iters = int(os.getenv("BENCH_ITERS", "3"))
+    # 6 batches ≈ 12 s of steady-state wall: enough to average over the
+    # remote host link's throughput wobble (single-batch hiccups were
+    # swinging the 3-iter number by ±30%).
+    iters = int(os.getenv("BENCH_ITERS", "6"))
 
     kv_env = os.getenv("ASR_KV_CACHE_DTYPE",
                        "fp8" if backend == "tpu" else "").lower()
