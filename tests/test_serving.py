@@ -422,3 +422,44 @@ def test_merge_results_multisegment():
     # empty segments don't inject double spaces
     r3 = TranscriptionResult(text="", language="")
     assert merge_results([r1, r3, r2])[0] == "hello world second segment"
+
+
+def test_transcribe_endpoint_merges_segments(client, loop):
+    """The HTTP response must carry every engine segment — endpoint-level
+    guard for the >30 s merge path (unit coverage in
+    test_merge_results_multisegment; the engine split itself is covered by
+    tests/test_engine.py::test_long_audio_segmentation)."""
+    from qwen3_asr_tpu.runtime.engine import TranscriptionResult
+
+    async def go():
+        mgr = client.server.app["manager"]
+        await mgr.ensure_loaded()
+        orig = mgr.batcher.transcribe
+
+        async def two_segments(audio, sr, lang, ts):
+            return [
+                TranscriptionResult(text="first part", language="en",
+                                    start_time=0.0, end_time=30.0,
+                                    timestamps=[{"word": "first",
+                                                 "start": 0.1, "end": 0.4}]),
+                TranscriptionResult(text="second part", language="en",
+                                    start_time=30.0, end_time=35.0,
+                                    timestamps=[{"word": "second",
+                                                 "start": 30.2,
+                                                 "end": 30.7}]),
+            ]
+
+        mgr.batcher.transcribe = two_segments
+        try:
+            resp = await client.post(
+                "/v1/audio/transcriptions",
+                data=_wav_form(language="en", return_timestamps="true"))
+            assert resp.status == 200
+            body = await resp.json()
+            assert body["text"] == "first part second part"
+            assert [t["word"] for t in body["timestamps"]] == ["first",
+                                                               "second"]
+            assert body["timestamps"][1]["start"] == 30.2
+        finally:
+            mgr.batcher.transcribe = orig
+    loop.run_until_complete(go())
