@@ -463,3 +463,40 @@ def test_transcribe_endpoint_merges_segments(client, loop):
         finally:
             mgr.batcher.transcribe = orig
     loop.run_until_complete(go())
+
+
+def test_ws_vad_flush_debounce(client, loop, monkeypatch):
+    """A single misread silent tick mid-speech (the spectral VAD misreads
+    ~6% of real-speech ticks) must NOT flush a final; ASR_VAD_FLUSH_TICKS
+    consecutive silent ticks must."""
+    import qwen3_asr_tpu.serving.server as server_mod
+    #         1     2     3*única silence (flap)  4     5     6     7
+    script = [True, True, False,                  True, True, False, False]
+    it = iter(script)
+    monkeypatch.setattr(server_mod, "is_speech", lambda a: next(it))
+
+    async def fake_transcribe(mgr, audio, pad_silence, lang_code, use_vad,
+                              resume_tokens=None):
+        return "TEXT", None
+    monkeypatch.setattr(server_mod, "_transcribe_with_context",
+                        fake_transcribe)
+
+    async def go():
+        ws = await client.ws_connect("/ws/transcribe?use_server_vad=true")
+        await ws.receive_json()  # handshake
+        tick = server_mod.WS_BUFFER_SIZE
+        pcm = b"\x01\x00" * (tick // 2)
+        msgs = []
+        for _ in range(len(script)):
+            await ws.send_bytes(pcm)
+            msgs.append(await asyncio.wait_for(ws.receive_json(),
+                                               timeout=30))
+        await ws.close()
+        finals = [m for m in msgs if m.get("is_final")]
+        partials = [m for m in msgs if m.get("is_partial")]
+        # tick 3 is a one-tick flap: stays a partial; ticks 6+7 are a real
+        # pause: the SECOND consecutive silent tick flushes the final.
+        assert len(finals) == 1
+        assert msgs[-1].get("is_final")
+        assert len(partials) == len(script) - 1
+    loop.run_until_complete(go())
