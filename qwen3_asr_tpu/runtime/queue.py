@@ -1,98 +1,106 @@
-"""Priority inference scheduler.
+"""On-device dispatch scheduler.
 
-Behavioral parity with the reference PriorityInferQueue
-(src/server.py:51-107): a single-worker min-heap queue where WebSocket jobs
-(priority 0) preempt HTTP uploads (priority 1), tie-broken by submit time.
-Jobs execute on a dedicated 1-thread executor — device dispatch is
-synchronous, and a single in-flight XLA call per chip is the correct
-occupancy model (the batching happens INSIDE a job via the engine).
+A TPU chip admits one in-flight dispatch at a time — batching happens
+*inside* a job, in the engine — so scheduling reduces to one question:
+which waiting job gets the device next?  Two FIFO lanes answer it: an
+express lane for latency-sensitive streaming work and a standard lane for
+batch HTTP uploads.  Express always goes first; within a lane, arrival
+order holds.  This keeps the reference scheduler's contract (WS jobs
+preempt queued HTTP jobs, FIFO tiebreak — src/server.py:51-107) with a
+lane-queue formulation: no timestamps, no heap, and no lock, because every
+queue mutation happens on the event-loop thread.
+
+Device work itself runs on one dedicated thread so dispatch stays
+serialized even when jobs block in native code.
 """
 from __future__ import annotations
 
 import asyncio
+import collections
 import concurrent.futures
-import dataclasses
-import heapq
-import time
-from typing import Callable, List, Optional
+from typing import Callable, Deque, Optional, Tuple
 
-_infer_executor = concurrent.futures.ThreadPoolExecutor(
-    max_workers=1, thread_name_prefix="qwen3-asr-infer")
+EXPRESS = 0   # streaming partials / finals (WebSocket)
+STANDARD = 1  # batch HTTP work
 
+_device_thread = concurrent.futures.ThreadPoolExecutor(
+    max_workers=1, thread_name_prefix="tpu-dispatch")
 
-@dataclasses.dataclass(order=True)
-class _InferJob:
-    priority: int          # lower = higher priority (0=WS, 1=HTTP)
-    submit_time: float     # tiebreaker
-    future: asyncio.Future = dataclasses.field(compare=False)
-    fn: Callable = dataclasses.field(compare=False)
-
-
-class PriorityInferQueue:
-    def __init__(self):
-        self._heap: List[_InferJob] = []
-        self._lock = asyncio.Lock()
-        self._has_work = asyncio.Event()
-        self._worker_task: Optional[asyncio.Task] = None
-
-    def start(self):
-        # Bind (or re-bind) the loop primitives to the CURRENT event loop —
-        # a queue may be restarted on a fresh loop (process managers, tests);
-        # asyncio.Event/Lock attach to the loop they are first awaited on.
-        self._lock = asyncio.Lock()
-        self._has_work = asyncio.Event()
-        if self._heap:
-            self._has_work.set()
-        self._worker_task = asyncio.create_task(self._worker())
-
-    def stop(self):
-        if self._worker_task:
-            self._worker_task.cancel()
-            self._worker_task = None
-        # Resolve queued jobs' futures — callers blocked in submit() would
-        # otherwise await forever (their job can no longer run).
-        while self._heap:
-            job = heapq.heappop(self._heap)
-            try:
-                if not job.future.done():
-                    job.future.cancel()
-            except RuntimeError:
-                pass  # future's loop already closed — nobody is waiting
-
-    async def _worker(self):
-        loop = asyncio.get_event_loop()
-        while True:
-            await self._has_work.wait()
-            async with self._lock:
-                if not self._heap:
-                    self._has_work.clear()
-                    continue
-                job = heapq.heappop(self._heap)
-                if not self._heap:
-                    self._has_work.clear()
-            try:
-                result = await loop.run_in_executor(_infer_executor, job.fn)
-                if not job.future.done():
-                    job.future.set_result(result)
-            except Exception as e:
-                if not job.future.done():
-                    job.future.set_exception(e)
-
-    async def submit(self, fn: Callable, priority: int = 1):
-        """Submit an inference job; returns its result when complete."""
-        loop = asyncio.get_event_loop()
-        future = loop.create_future()
-        job = _InferJob(priority=priority, submit_time=time.time(),
-                        future=future, fn=fn)
-        async with self._lock:
-            heapq.heappush(self._heap, job)
-            self._has_work.set()
-        return await future
-
-    @property
-    def depth(self) -> int:
-        return len(self._heap)
+_Entry = Tuple[Callable, asyncio.Future]
 
 
 def infer_executor() -> concurrent.futures.ThreadPoolExecutor:
-    return _infer_executor
+    """The single device-dispatch thread (shared by load/unload/align)."""
+    return _device_thread
+
+
+class PriorityInferQueue:
+    """Two-lane scheduler feeding the device-dispatch thread."""
+
+    def __init__(self):
+        self._lanes: Tuple[Deque[_Entry], Deque[_Entry]] = (
+            collections.deque(), collections.deque())
+        self._wakeup: Optional[asyncio.Event] = None
+        self._dispatcher: Optional[asyncio.Task] = None
+
+    def start(self):
+        # The wakeup event is (re)created here so a queue restarted on a
+        # fresh event loop (process managers, tests) binds to that loop.
+        self._wakeup = asyncio.Event()
+        if any(self._lanes):
+            self._wakeup.set()
+        self._dispatcher = asyncio.create_task(self._dispatch_loop())
+
+    def stop(self):
+        if self._dispatcher is not None:
+            self._dispatcher.cancel()
+            self._dispatcher = None
+        # Whatever is still queued can never run — wake its submitters.
+        for lane in self._lanes:
+            while lane:
+                _, reply = lane.popleft()
+                try:
+                    if not reply.done():
+                        reply.cancel()
+                except RuntimeError:
+                    pass  # submitter's loop already closed; nobody waits
+
+    def _take_next(self) -> Optional[_Entry]:
+        for lane in self._lanes:
+            if lane:
+                return lane.popleft()
+        return None
+
+    async def _dispatch_loop(self):
+        loop = asyncio.get_running_loop()
+        while True:
+            entry = self._take_next()
+            if entry is None:
+                # No await between the empty check and clear(), so a
+                # concurrent submit cannot slip through unnoticed.
+                self._wakeup.clear()
+                await self._wakeup.wait()
+                continue
+            fn, reply = entry
+            try:
+                outcome = await loop.run_in_executor(_device_thread, fn)
+            except Exception as exc:
+                if not reply.done():
+                    reply.set_exception(exc)
+            else:
+                if not reply.done():
+                    reply.set_result(outcome)
+
+    async def submit(self, fn: Callable, priority: int = STANDARD):
+        """Queue a job for the device; resolves to the job's return value."""
+        reply = asyncio.get_running_loop().create_future()
+        lane = self._lanes[EXPRESS] if priority <= EXPRESS else \
+            self._lanes[STANDARD]
+        lane.append((fn, reply))
+        if self._wakeup is not None:
+            self._wakeup.set()
+        return await reply
+
+    @property
+    def depth(self) -> int:
+        return sum(len(lane) for lane in self._lanes)

@@ -66,16 +66,17 @@ def format_srt(events: List[SubtitleEvent]) -> str:
 _CJK_ANY = re.compile(
     r"[一-鿿぀-ゟ゠-ヿ　-〿＀-￯]")
 
+# Character classes that time/segment per-character (Han incl. ext-A,
+# kana, hangul). One regex does the whole scan: alternative 1 captures a
+# single such character, alternative 2 a maximal run of anything else
+# that isn't whitespace — which is exactly "split embedded Latin on
+# whitespace" without an accumulator loop.
+_PER_CHAR = r"一-鿿㐀-䶿぀-ヿ가-힯"
+_TOKEN_SCAN = re.compile(f"[{_PER_CHAR}]|[^\\s{_PER_CHAR}]+")
+
 
 def _is_cjk(text: str) -> bool:
     return bool(_CJK_ANY.search(text))
-
-
-def _is_cjk_char(ch: str) -> bool:
-    cp = ord(ch)
-    return (0x4E00 <= cp <= 0x9FFF or 0x3040 <= cp <= 0x309F
-            or 0x30A0 <= cp <= 0x30FF or 0xAC00 <= cp <= 0xD7AF
-            or 0x3400 <= cp <= 0x4DBF)
 
 
 def _tokenize(text: str) -> List[str]:
@@ -84,19 +85,7 @@ def _tokenize(text: str) -> List[str]:
         return []
     if not _is_cjk(text):
         return text.split()
-    tokens: List[str] = []
-    pending: List[str] = []
-    for ch in text:
-        if _is_cjk_char(ch):
-            if pending:
-                tokens.extend("".join(pending).split())
-                pending = []
-            tokens.append(ch)
-        else:
-            pending.append(ch)
-    if pending:
-        tokens.extend("".join(pending).split())
-    return tokens
+    return _TOKEN_SCAN.findall(text)
 
 
 # --- segmentation ----------------------------------------------------------------
@@ -111,38 +100,42 @@ _BREAK_BEFORE = frozenset({
 })
 
 
+def _gap_score(words: List[str], gap: int, top_w: int, bottom_w: int) -> int:
+    """Quality of breaking between words[gap-1] and words[gap]: clause
+    punctuation before the break +3, conjunction/preposition after it +2,
+    bottom-heavy layout +1 (the reference's scoring contract)."""
+    return (3 * (words[gap - 1][-1] in _CLAUSE_BREAKS)
+            + 2 * (words[gap].lower().rstrip(".,!?;:") in _BREAK_BEFORE)
+            + (top_w <= bottom_w))
+
+
 def _two_line_layout(text: str, max_line_chars: int) -> str:
     """Break an over-long caption into two lines at the best-scoring word gap."""
     if len(text) <= max_line_chars:
         return text
     words = text.split()
-    if len(words) <= 1:
+    if len(words) < 2:
         return text
 
-    best_idx, best_score = len(words) // 2, -1
-    for i in range(1, len(words)):
-        top = " ".join(words[:i])
-        bottom = " ".join(words[i:])
-        if len(top) > max_line_chars or len(bottom) > max_line_chars:
-            continue
-        score = 0
-        if words[i - 1][-1] in _CLAUSE_BREAKS:
-            score += 3
-        if words[i].lower().rstrip(".,!?;:") in _BREAK_BEFORE:
-            score += 2
-        if len(top) <= len(bottom):
-            score += 1
-        if score > best_score:
-            best_score, best_idx = score, i
+    # Cumulative widths: span[g] = chars in words[:g] joined by spaces, so
+    # every candidate line length is O(1) instead of re-joining strings.
+    span = [0]
+    for w in words:
+        span.append(span[-1] + len(w) + 1)
+    full = span[-1] - 1
 
-    if best_score == -1:
-        # No split fits both lines — a single overflowing line beats a broken
-        # layout.
-        top = " ".join(words[:best_idx])
-        bottom = " ".join(words[best_idx:])
-        if len(top) > max_line_chars or len(bottom) > max_line_chars:
-            return text
-    return " ".join(words[:best_idx]) + "\n" + " ".join(words[best_idx:])
+    fitting = []
+    for gap in range(1, len(words)):
+        top_w, bottom_w = span[gap] - 1, full - span[gap]
+        if top_w <= max_line_chars and bottom_w <= max_line_chars:
+            fitting.append((_gap_score(words, gap, top_w, bottom_w), gap))
+
+    if not fitting:
+        # A single overflowing line beats a broken layout.
+        return text
+    # max() keeps the earliest gap among score ties, matching first-wins.
+    _, cut = max(fitting, key=lambda sg: sg[0])
+    return " ".join(words[:cut]) + "\n" + " ".join(words[cut:])
 
 
 def segment_subtitles(words: List[WordTimestamp], max_line_chars: int = 42,

@@ -59,8 +59,8 @@ async def translate_text(text: str, target_lang: str) -> str:
         return text
     lang = _lang_name(target_lang)
     model = os.getenv("TRANSLATE_MODEL", "gpt-3.5-turbo")
-    log.info("Translation request | model={} target={} text_len={}",
-             model, lang, len(text))
+    log.info("translate_text start | {} chars -> {} via {}",
+             len(text), lang, model)
     prompt = (
         f"Translate the following spoken audio transcription into {lang}. "
         f"Preserve the original meaning and tone. Output ONLY the translated "
@@ -72,9 +72,8 @@ async def translate_text(text: str, target_lang: str) -> str:
           "content": "You are a professional and highly accurate translator."},
          {"role": "user", "content": prompt}],
         TRANSLATE_TEMPERATURE)
-    log.info("Translation complete | model={} target={} in_len={} out_len={} "
-             "elapsed={:.2f}s", model, lang, len(text), len(result),
-             time.time() - t0)
+    log.info("translate_text done in {:.2f}s | {} -> {} chars",
+             time.time() - t0, len(text), len(result))
     return result
 
 
@@ -84,8 +83,8 @@ async def translate_srt(srt_content: str, target_lang: str) -> str:
         return srt_content
     lang = _lang_name(target_lang)
     model = os.getenv("TRANSLATE_MODEL", "gpt-3.5-turbo")
-    log.info("SRT translation request | model={} target={} srt_len={}",
-             model, lang, len(srt_content))
+    log.info("translate_srt start | {} chars -> {} via {}",
+             len(srt_content), lang, model)
     prompt = (
         f"Translate the following subtitle (SRT) content into {lang}. "
         f"Preserve the original SRT format and timing tags perfectly. "
@@ -103,7 +102,7 @@ async def translate_srt(srt_content: str, target_lang: str) -> str:
 
     # Strip a markdown fence if the model ignored instructions.
     if result.startswith("```"):
-        log.debug("Stripped markdown wrapper from SRT translation output")
+        log.debug("removing markdown fence from SRT translation")
         lines = result.split("\n")
         if lines and lines[0].startswith("```"):
             lines.pop(0)
@@ -111,7 +110,6 @@ async def translate_srt(srt_content: str, target_lang: str) -> str:
             lines.pop(-1)
         result = "\n".join(lines).strip()
 
-    log.info("SRT translation complete | model={} target={} in_len={} "
-             "out_len={} elapsed={:.2f}s", model, lang, len(srt_content),
-             len(result), time.time() - t0)
+    log.info("translate_srt done in {:.2f}s | {} -> {} chars",
+             time.time() - t0, len(srt_content), len(result))
     return result
