@@ -25,9 +25,16 @@ _PREFIX_LANG = {
 }
 
 
+VENDORED = Path(__file__).parent / "data" / "real"
+
+
 def materialize_fleurs_fixtures(dst_dir: str) -> Optional[str]:
     """Copy reference FLEURS wav/txt pairs into ``dst_dir`` in ASR_E2E_DATA
-    form. Returns the dir path, or None when the reference data is absent."""
+    form. Prefers the repo's vendored e2e/data/real fixtures (already in
+    that layout); falls back to the reference mount. Returns the dir path,
+    or None when neither source is present."""
+    if any(VENDORED.glob("*.wav")):
+        return str(VENDORED)
     wav_dir = REFERENCE_DATA / "audio" / "real"
     txt_dir = REFERENCE_DATA / "expected"
     if not wav_dir.is_dir() or not txt_dir.is_dir():

@@ -142,6 +142,107 @@ def convert_encoder_state_dict(sd: Dict[str, Array], cfg: AudioEncoderConfig,
     return params
 
 
+def config_to_dict(cfg: AsrConfig) -> dict:
+    """AsrConfig → HF-style config.json dict (AsrConfig.from_dict inverse)."""
+    import dataclasses
+    return {
+        "model_type": "qwen3_asr",
+        "audio_config": dataclasses.asdict(cfg.encoder),
+        "text_config": dataclasses.asdict(cfg.decoder),
+        "audio_token_id": cfg.audio_token_id,
+        "bos_token_id": cfg.bos_token_id,
+        "eos_token_id": cfg.eos_token_id,
+        "pad_token_id": cfg.pad_token_id,
+    }
+
+
+def save_asr_checkpoint(path: str, cfg: AsrConfig, params: dict) -> str:
+    """Inverse of :func:`load_asr_checkpoint`: write the stacked-layer
+    pytree back out as an HF-layout checkpoint directory (config.json +
+    model.safetensors with per-layer torch-convention tensors).
+
+    This closes the train→serve loop: ``runtime/train.py`` produces updated
+    stacked params, this writes them as a directory that ``MODEL_ID`` can
+    point at. Quantized pytrees are not supported (save before quantizing).
+    """
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    host = jax.tree.map(
+        lambda x: np.asarray(jax.device_get(x), dtype=np.float32), params)
+    dec, enc = host["decoder"], host["encoder"]
+    sd: Dict[str, np.ndarray] = {}
+
+    p = "model."
+    sd[p + "embed_tokens.weight"] = dec["embed"]
+    sd[p + "norm.weight"] = dec["final_norm"]
+    if "lm_head" in dec:
+        sd["lm_head.weight"] = dec["lm_head"].T
+    lyr = dec["layers"]
+    unstack = [  # (pytree leaf, HF name, transpose back to [out, in])
+        ("ln1", "input_layernorm.weight", False),
+        ("ln2", "post_attention_layernorm.weight", False),
+        ("wq", "self_attn.q_proj.weight", True),
+        ("wk", "self_attn.k_proj.weight", True),
+        ("wv", "self_attn.v_proj.weight", True),
+        ("wo", "self_attn.o_proj.weight", True),
+        ("q_norm", "self_attn.q_norm.weight", False),
+        ("k_norm", "self_attn.k_norm.weight", False),
+        ("w_gate", "mlp.gate_proj.weight", True),
+        ("w_up", "mlp.up_proj.weight", True),
+        ("w_down", "mlp.down_proj.weight", True),
+    ]
+    for i in range(cfg.decoder.num_hidden_layers):
+        for leaf, name, t in unstack:
+            a = lyr[leaf][i]
+            sd[f"{p}layers.{i}.{name}"] = a.T if t else a
+
+    p = "audio_tower."
+    for n in (1, 2, 3):
+        sd[p + f"conv2d{n}.weight"] = enc[f"conv{n}_w"]
+        sd[p + f"conv2d{n}.bias"] = enc[f"conv{n}_b"]
+    sd[p + "conv_out.weight"] = enc["conv_out_w"].T
+    sd[p + "ln_post.weight"] = enc["ln_post_w"]
+    sd[p + "ln_post.bias"] = enc["ln_post_b"]
+    sd[p + "proj1.weight"] = enc["proj1_w"].T
+    sd[p + "proj1.bias"] = enc["proj1_b"]
+    sd[p + "proj2.weight"] = enc["proj2_w"].T
+    sd[p + "proj2.bias"] = enc["proj2_b"]
+    lyr = enc["layers"]
+    enc_unstack = [
+        ("ln1_w", "self_attn_layer_norm.weight", False),
+        ("ln1_b", "self_attn_layer_norm.bias", False),
+        ("wq", "self_attn.q_proj.weight", True),
+        ("bq", "self_attn.q_proj.bias", False),
+        ("wk", "self_attn.k_proj.weight", True),
+        ("bk", "self_attn.k_proj.bias", False),
+        ("wv", "self_attn.v_proj.weight", True),
+        ("bv", "self_attn.v_proj.bias", False),
+        ("wo", "self_attn.out_proj.weight", True),
+        ("bo", "self_attn.out_proj.bias", False),
+        ("ln2_w", "final_layer_norm.weight", False),
+        ("ln2_b", "final_layer_norm.bias", False),
+        ("fc1_w", "fc1.weight", True),
+        ("fc1_b", "fc1.bias", False),
+        ("fc2_w", "fc2.weight", True),
+        ("fc2_b", "fc2.bias", False),
+    ]
+    for i in range(cfg.encoder.encoder_layers):
+        for leaf, name, t in enc_unstack:
+            a = lyr[leaf][i]
+            sd[p + f"layers.{i}.{name}"] = a.T if t else a
+
+    from safetensors.numpy import save_file
+    # safetensors serializes the raw buffer: a transposed VIEW would write
+    # the base layout under the transposed shape — force contiguity.
+    sd = {k: np.ascontiguousarray(v) for k, v in sd.items()}
+    save_file(sd, os.path.join(path, "model.safetensors"))
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(config_to_dict(cfg), f, indent=1)
+    log.info("Checkpoint saved to {} ({} tensors)", path, len(sd))
+    return path
+
+
 def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
     """Read all *.safetensors shards in a checkpoint directory into numpy."""
     from safetensors.numpy import load_file

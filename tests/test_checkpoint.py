@@ -150,3 +150,30 @@ def test_real_1p7b_shapes_convert(tmp_path):
     assert params["decoder"]["layers"]["wq"].shape == (L_DEC, 2048, 2048)
     assert params["encoder"]["layers"]["fc1_w"].shape == (L_ENC, 1280, 5120)
     assert params["encoder"]["conv_out_w"].shape == (480 * 16, 1280)
+
+
+def test_save_checkpoint_roundtrip(tmp_path):
+    """save_asr_checkpoint is a true inverse of load_asr_checkpoint: the
+    train→serve loop (train on stacked pytrees, serve from the HF dir)."""
+    import jax
+    from qwen3_asr_tpu.runtime.checkpoint import save_asr_checkpoint
+
+    src = tmp_path / "src"
+    write_tiny_checkpoint(str(src), seed=3)
+    cfg, params = load_asr_checkpoint(str(src), dtype=jnp.float32,
+                                      cache=False)
+    out = tmp_path / "saved"
+    save_asr_checkpoint(str(out), cfg, params)
+    cfg2, params2 = load_asr_checkpoint(str(out), dtype=jnp.float32,
+                                        cache=False)
+
+    assert cfg2.decoder.vocab_size == cfg.decoder.vocab_size
+    assert cfg2.encoder.n_window == cfg.encoder.n_window
+    assert cfg2.eos_token_id == cfg.eos_token_id
+    flat1 = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat2 = dict(jax.tree_util.tree_flatten_with_path(params2)[0])
+    assert len(flat1) == len(flat2)
+    for path, leaf in flat1:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat2[path]),
+                                      err_msg=str(path))

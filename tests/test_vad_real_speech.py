@@ -5,8 +5,9 @@ calibrated on synthetic fixtures only. These tests evaluate it against the
 reference suite's 12 real FLEURS clips (6 languages): every clip is real
 speech and must gate True, both as a whole and on a sliding 1 s window over
 its loudest region (the WS auto-flush path evaluates short windows).
-Synthetic silence/noise must stay False. Skips when the reference data
-tree is not mounted.
+Synthetic silence/noise must stay False. The clips are vendored in
+e2e/data/real/ (CC-BY FLEURS, see its README.md) so this runs in any
+deployment.
 
 Measured on this machine (2026-08): 12/12 clips whole-file True; sliding
 1 s speech windows ≥ 90% True per clip; silence/noise 0% false-positives.
@@ -20,11 +21,12 @@ import pytest
 
 from qwen3_asr_tpu.audio.vad import is_speech, speech_probability
 
-REAL_DIR = Path(os.getenv("ASR_REFERENCE_E2E_DATA",
-                          "/root/reference/E2Etest/data")) / "audio" / "real"
+REAL_DIR = Path(os.getenv(
+    "ASR_REAL_SPEECH_DIR",
+    str(Path(__file__).parent.parent / "e2e" / "data" / "real")))
 
 pytestmark = pytest.mark.skipif(
-    not REAL_DIR.is_dir(), reason="reference FLEURS fixtures not mounted")
+    not REAL_DIR.is_dir(), reason="real-speech fixtures not present")
 
 
 def _load_wav(path: Path) -> np.ndarray:
