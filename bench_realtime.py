@@ -34,10 +34,19 @@ def _speech_like(duration_s: float, sr: int = 16000, seed: int = 0):
 
 async def run_benchmark(ws_connect, duration_s: float = 10.0,
                         chunk_ms: float = 450.0, language: str = "en",
-                        pace: bool = True) -> dict:
-    """ws_connect: coroutine factory returning a connected aiohttp WS."""
+                        pace: bool = True, audio: np.ndarray = None,
+                        expected: str = None) -> dict:
+    """ws_connect: coroutine factory returning a connected aiohttp WS.
+
+    audio: optional real float32 waveform (16 kHz) to stream instead of the
+    synthetic fixture; expected: its reference transcript — when given, the
+    result includes streaming WER/CER of the final text against it
+    (reference E2Etest/test_realtime_accuracy.py:57-144 methodology)."""
     sr = 16000
-    audio = _speech_like(duration_s)
+    if audio is None:
+        audio = _speech_like(duration_s)
+    else:
+        duration_s = len(audio) / sr
     pcm = np.clip(audio * 32767, -32768, 32767).astype("<i2").tobytes()
     chunk_bytes = int(sr * 2 * chunk_ms / 1000)
 
@@ -116,8 +125,8 @@ async def run_benchmark(ws_connect, duration_s: float = 10.0,
     def pct(p):
         return round(lat[min(len(lat) - 1, int(p * len(lat)))], 1) if lat else None
 
-    return {
-        "audio_s": duration_s,
+    result = {
+        "audio_s": round(duration_s, 2),
         "chunk_ms": chunk_ms,
         "partials": len(partials),
         "chunk_latency_ms_p50": pct(0.50),
@@ -132,6 +141,16 @@ async def run_benchmark(ws_connect, duration_s: float = 10.0,
         "wall_s": round(wall, 2),
         "final_text_len": len(final_text),
     }
+    if expected is not None:
+        # Streaming accuracy: final flush text vs the reference transcript
+        # (like the reference, the empty-flush fallback is the last partial).
+        if not final_text and partials:
+            final_text = partials[-1][1].get("text", "")
+        from qwen3_asr_tpu.utils.metrics import cer, wer
+        result["final_text"] = final_text
+        result["wer"] = round(wer(expected, final_text), 4)
+        result["cer"] = round(cer(expected, final_text), 4)
+    return result
 
 
 async def _inproc_client():
@@ -158,6 +177,23 @@ async def _inproc_client():
     return client, lambda: client.ws_connect("/ws/transcribe")
 
 
+def _load_fixture(wav_path: str):
+    """(audio_f32, expected_text, lang) from <name>.wav/.txt/.lang."""
+    from pathlib import Path
+    from qwen3_asr_tpu.audio.codec import decode_audio
+    from qwen3_asr_tpu.audio.resample import resample
+    p = Path(wav_path)
+    with open(p, "rb") as f:
+        audio, sr = decode_audio(f.read())
+    if sr != 16000:
+        audio = resample(audio, sr, 16000)
+    txt = p.with_suffix(".txt")
+    lang_f = p.with_suffix(".lang")
+    expected = txt.read_text().strip() if txt.exists() else None
+    lang = lang_f.read_text().strip() if lang_f.exists() else "en"
+    return audio, expected, lang
+
+
 async def amain(args):
     if args.inproc:
         client, connect = await _inproc_client()
@@ -165,12 +201,20 @@ async def amain(args):
         import aiohttp
         session = aiohttp.ClientSession()
         connect = lambda: session.ws_connect(args.url)  # noqa: E731
+    audio = expected = None
+    language = args.language
+    if args.wav:
+        audio, expected, language = _load_fixture(args.wav)
     result = await run_benchmark(connect, duration_s=args.duration,
-                                 language=args.language, pace=not args.no_pace)
-    print(json.dumps(result))
+                                 language=language, pace=not args.no_pace,
+                                 audio=audio, expected=expected)
+    print(json.dumps(result, ensure_ascii=False))
+    if args.gate_wer is not None and result.get("wer") is not None:
+        assert result["wer"] <= args.gate_wer, (
+            f"streaming WER {result['wer']:.1%} > gate {args.gate_wer:.0%}")
     os.makedirs("reports", exist_ok=True)
     with open("reports/realtime_latest.json", "w") as f:
-        json.dump(result, f, indent=1)
+        json.dump(result, f, indent=1, ensure_ascii=False)
 
 
 def main():
@@ -180,6 +224,11 @@ def main():
     parser.add_argument("--duration", type=float, default=10.0)
     parser.add_argument("--language", default="en")
     parser.add_argument("--no-pace", action="store_true")
+    parser.add_argument("--wav", default=None,
+                        help="real fixture to stream (<name>.wav with "
+                             "sibling .txt transcript → reports WER/CER)")
+    parser.add_argument("--gate-wer", type=float, default=None,
+                        help="fail when streaming WER exceeds this fraction")
     args = parser.parse_args()
     from qwen3_asr_tpu.utils.platform import honor_platform_env
     honor_platform_env()

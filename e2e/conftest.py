@@ -40,6 +40,8 @@ DURATION_SLAS = {
     "test_ws_recovery_after_error": 30,
     "test_http_recovery_after_error": 60,
     "test_idle_unload_and_lazy_reload": 180,
+    "test_realtime_streaming_accuracy": 90,
+    "test_accuracy_wer_gate": 300,
 }
 
 _results = []

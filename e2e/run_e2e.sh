@@ -3,10 +3,14 @@
 #
 #   ./e2e/run_e2e.sh                       # against ASR_E2E_URL (default :8100)
 #   ./e2e/run_e2e.sh --with-server         # boot a disposable CPU server first
+#   ./e2e/run_e2e.sh --with-trained-server # serve the overfit-trained ckpt:
+#                                          # the WER/CER accuracy gate EXECUTES
+#   ./e2e/run_e2e.sh --with-gateway        # full gateway/worker process split
 #
 # --with-server uses a tiny random checkpoint (generated on the fly) so the
 # full serving stack E2Es on any machine — the reference's fake-backend tier
-# (SURVEY.md §4.3).
+# (SURVEY.md §4.3). --with-trained-server swaps in e2e/data/trained_ckpt
+# (tools/overfit.py, real text on the vendored FLEURS clips).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -24,13 +28,31 @@ MODE="server"
 if [ "${1:-}" = "--with-gateway" ]; then
   MODE="gateway"; set -- "--with-server" "${@:2}"
 fi
+if [ "${1:-}" = "--with-trained-server" ]; then
+  # Serve the overfit-trained checkpoint (real text) and point the
+  # accuracy tiers at the vendored real-speech fixtures, so the WER gate
+  # EXECUTES (tools/overfit.py trains it if absent; ~minutes on CPU).
+  TRAINED_CKPT="e2e/data/trained_ckpt"
+  if [ ! -f "$TRAINED_CKPT/overfit_manifest.json" ]; then
+    echo "training e2e checkpoint (first run only)..."
+    JAX_PLATFORMS=cpu python -m qwen3_asr_tpu.tools.overfit \
+      --data-dir e2e/data/real --output "$TRAINED_CKPT"
+  fi
+  export ASR_E2E_DATA="$(pwd)/e2e/data/real"
+  set -- "--with-server" "${@:2}"
+  CKPT_OVERRIDE="$TRAINED_CKPT"
+fi
 if [ "${1:-}" = "--with-server" ]; then
   shift
+  if [ -n "${CKPT_OVERRIDE:-}" ]; then
+    CKPT_DIR="$CKPT_OVERRIDE"
+  else
   CKPT_DIR="$(mktemp -d)/ckpt"
   PYTHONPATH=".:tests" python -c "
 from fixtures import write_tiny_checkpoint
 write_tiny_checkpoint('$CKPT_DIR')
 print('checkpoint at $CKPT_DIR')"
+  fi
   if [ "$MODE" = "gateway" ]; then
     # Gateway on :PORT spawning a real worker on :WORKER_PORT — the full
     # process split (reference compose default GATEWAY_MODE=true).

@@ -6,6 +6,7 @@ contracts mean it runs unchanged against standalone OR gateway mode.
 """
 import asyncio
 import json
+import os
 import time
 import urllib.request
 
@@ -338,6 +339,29 @@ def _server_health():
         return {}
 
 
+def _skip_unless_real_text(health):
+    """Skip accuracy tiers when the server runs synthetic weights — zero/
+    random weights produce no real text, so gating them is meaningless. A
+    checkpoint carrying an overfit manifest (tools/overfit.py) is small but
+    TRAINED: it produces real text, so the tiers run."""
+    model_id = health.get("model_id") or ""
+    params_m = health.get("model_params_m")
+    trained = (os.path.isdir(model_id) and os.path.exists(
+        os.path.join(model_id, "overfit_manifest.json")))
+    synthetic = not trained and (
+        "preset:" in model_id or "tiny" in model_id.lower()
+        or not model_id
+        or (params_m is not None and params_m < 400))
+    if synthetic:
+        pytest.skip(
+            f"ACCURACY GATE SKIPPED — server runs synthetic weights "
+            f"(model_id={model_id!r}, params={params_m}M; real Qwen3-ASR is "
+            f"≥600M). Mount a real checkpoint and set MODEL_ID to its "
+            f"directory to activate the WER/CER gate, or train the e2e "
+            f"checkpoint with tools/overfit.py (run_e2e.sh --with-trained-"
+            f"server).")
+
+
 def test_accuracy_wer_gate(ensure_server):
     """Accuracy gate (reference E2Etest/test_accuracy.py:283-335).
 
@@ -360,17 +384,7 @@ def test_accuracy_wer_gate(ensure_server):
         _post_multipart(BASE_URL + "/v1/audio/transcriptions",
                         first_wav, {"language": "en"})
         health = _server_health()
-    model_id = health.get("model_id") or ""
-    params_m = health.get("model_params_m")
-    synthetic = ("preset:" in model_id or "tiny" in model_id.lower()
-                 or not model_id
-                 or (params_m is not None and params_m < 400))
-    if synthetic:
-        pytest.skip(
-            f"ACCURACY GATE SKIPPED — server runs synthetic weights "
-            f"(model_id={model_id!r}, params={params_m}M; real Qwen3-ASR is "
-            f"≥600M). Mount a real checkpoint and set MODEL_ID to its "
-            f"directory to activate the WER/CER gate.")
+    _skip_unless_real_text(health)
     import sys
     sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
     from qwen3_asr_tpu.utils.metrics import cer, wer
@@ -409,3 +423,60 @@ def test_accuracy_wer_gate(ensure_server):
     _cf.record_accuracy(results)  # per-language table in the e2e report
     assert results, f"no wav/txt pairs found in {data_dir}"
     assert not failures, "\n".join(failures)
+
+
+@pytest.mark.parametrize("clip,metric,gate", [
+    ("english_01", "wer", 0.55),
+    ("chinese_01", "cer", 0.45),
+])
+def test_realtime_streaming_accuracy(ensure_server, clip, metric, gate):
+    """Streaming (paced) accuracy tier: stream a known FLEURS clip at
+    real-time rate over the WebSocket and gate WER/CER of the final flush
+    text (reference E2Etest/test_realtime_accuracy.py:57-144; gates :284,
+    :330 — WER≤55% en / CER≤45% zh, median chunk latency <30 s).
+
+    Runs whenever the accuracy fixtures are present AND the server produces
+    real text (real weights or the tools/overfit.py e2e checkpoint)."""
+    import pathlib
+    import sys
+    data_dir = _accuracy_data_dir()
+    if not data_dir:
+        pytest.skip("no accuracy fixtures")
+    wav = pathlib.Path(data_dir) / f"{clip}.wav"
+    txt = wav.with_suffix(".txt")
+    if not wav.exists() or not txt.exists():
+        pytest.skip(f"fixture {clip} not present in {data_dir}")
+    health = _server_health()
+    if not health.get("model_loaded"):
+        _post_multipart(BASE_URL + "/v1/audio/transcriptions", str(wav),
+                        {"language": "en"})
+        health = _server_health()
+    _skip_unless_real_text(health)
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    import aiohttp
+    from bench_realtime import _load_fixture, run_benchmark
+
+    audio, expected, lang = _load_fixture(str(wav))
+    assert expected, f"missing transcript for {clip}"
+
+    async def go():
+        session = aiohttp.ClientSession()
+        try:
+            return await run_benchmark(
+                lambda: session.ws_connect(WS_URL), language=lang,
+                audio=audio, expected=expected)
+        finally:
+            await session.close()
+
+    result = asyncio.run(go())
+    reports = pathlib.Path(__file__).parent / "reports"
+    reports.mkdir(exist_ok=True)
+    (reports / f"realtime_accuracy_{clip}.json").write_text(
+        json.dumps(result, indent=1, ensure_ascii=False))
+    assert result["final_text_len"] > 0 or result.get("final_text"), result
+    assert result[metric] <= gate, (
+        f"{clip}: streaming {metric.upper()} {result[metric]:.1%} > "
+        f"{gate:.0%}\n  expected: {expected}\n  got: {result.get('final_text')}")
+    if result["chunk_latency_ms_p50"] is not None:
+        assert result["chunk_latency_ms_p50"] < 30_000

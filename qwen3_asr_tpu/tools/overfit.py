@@ -1,0 +1,281 @@
+"""Overfit a small in-framework checkpoint on a handful of real clips.
+
+Purpose: produce a NON-degenerate checkpoint that emits real transcripts
+through the full serving stack, so the live accuracy tiers (WER gate,
+paced streaming WER — reference E2Etest/test_accuracy.py:283-335 and
+test_realtime_accuracy.py:57-144) can execute end-to-end in environments
+where the released Qwen3-ASR weights cannot be downloaded. The model is
+tiny and memorizes the given clips; the point is validating
+tokenizer → prompt → decode → detokenize → serving as a text-producing
+system, not generalization.
+
+    JAX_PLATFORMS=cpu python -m qwen3_asr_tpu.tools.overfit \
+        --data-dir e2e/data/real --output /tmp/trained_ckpt
+
+Data layout: <name>.wav + <name>.txt (+ <name>.lang) — the ASR_E2E_DATA
+fixture format. The output directory is a complete HF-layout checkpoint
+(config.json, model.safetensors, tokenizer.json) that MODEL_ID can point
+at, plus an ``overfit_manifest.json`` recording the training clips — the
+marker the e2e accuracy gate uses to distinguish "tiny but trained"
+from "synthetic random weights".
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from pathlib import Path
+
+SPECIALS = ["<|endoftext|>", "<|im_start|>", "<|im_end|>",
+            "<|AUDIO|>", "<|audio_bos|>", "<|audio_eos|>"]
+
+
+def collect_clips(data_dir: str):
+    """[(wav_path, text, lang_code)] from an ASR_E2E_DATA-layout dir."""
+    rows = []
+    for wav in sorted(Path(data_dir).glob("*.wav")):
+        txt = wav.with_suffix(".txt")
+        if not txt.exists():
+            continue
+        lang_f = wav.with_suffix(".lang")
+        lang = lang_f.read_text().strip() if lang_f.exists() else "en"
+        rows.append((str(wav), txt.read_text().strip(), lang))
+    return rows
+
+
+def build_tokenizer(texts, out_path: str, vocab_size: int = 2048) -> None:
+    """Byte-level BPE trained on the target transcripts (+ prompt text).
+
+    The corpus is tiny, so the trainer effectively memorizes long
+    substrings — exactly what keeps dense CJK/Thai transcripts inside each
+    bucket's decode-token budget."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+    from ..models.asr import LANGUAGE_NAMES
+
+    corpus = list(texts) * 20
+    corpus += [f"Language: {name}\n" for name in LANGUAGE_NAMES.values()] * 5
+    corpus += ["You are a speech recognition model.",
+               "system", "user", "assistant"] * 5
+    tok = Tokenizer(models.BPE())
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=vocab_size, special_tokens=SPECIALS,
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet())
+    tok.train_from_iterator(corpus, trainer)
+    tok.save(out_path)
+
+
+def build_config(vocab_size: int, specials: dict):
+    """Small-but-capable architecture: ~8 M params, enough to memorize a
+    dozen clips while training in minutes on CPU."""
+    from ..models.config import AsrConfig, AudioEncoderConfig, DecoderConfig
+    hidden = 192
+    return AsrConfig(
+        encoder=AudioEncoderConfig(
+            num_mel_bins=32, d_model=96, encoder_layers=3,
+            encoder_attention_heads=4, encoder_ffn_dim=256,
+            output_dim=hidden, downsample_hidden_size=16,
+            n_window=50, n_window_infer=200, conv_chunksize=500,
+            max_source_positions=1500),
+        decoder=DecoderConfig(
+            vocab_size=vocab_size, hidden_size=hidden,
+            intermediate_size=512, num_hidden_layers=4,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=48,
+            rms_norm_eps=1e-6, rope_theta=1_000_000.0,
+            tie_word_embeddings=True),
+        audio_token_id=specials["<|AUDIO|>"],
+        bos_token_id=specials["<|endoftext|>"],
+        eos_token_id=specials["<|im_end|>"],
+        pad_token_id=specials["<|endoftext|>"],
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--data-dir", default="e2e/data/real")
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--max-steps", type=int, default=1500)
+    parser.add_argument("--lr", type=float, default=2e-3)
+    parser.add_argument("--eval-every", type=int, default=50)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--force", action="store_true",
+                        help="retrain even if the output already exists")
+    args = parser.parse_args()
+
+    manifest_path = os.path.join(args.output, "overfit_manifest.json")
+    if os.path.exists(manifest_path) and not args.force:
+        print(f"checkpoint already trained at {args.output} "
+              "(use --force to retrain)")
+        return
+
+    from ..utils.platform import honor_platform_env
+    honor_platform_env()
+    import jax
+    import numpy as np
+    import optax
+
+    from ..models.asr import AsrModel, PromptTemplate
+    from ..models.decoder import init_decoder_params
+    from ..models.encoder import init_encoder_params
+    from ..runtime.checkpoint import save_asr_checkpoint
+    from ..runtime.engine import TranscriptionEngine, max_new_tokens_for
+    from ..runtime.train import init_train_state, make_train_step
+    from ..text.tokenizer import BpeTokenizer
+    from ..tools.finetune import make_batch
+    from ..utils.logging import log
+    from ..utils.metrics import cer
+    import jax.numpy as jnp
+
+    rows = collect_clips(args.data_dir)
+    if not rows:
+        raise SystemExit(f"no wav/txt pairs under {args.data_dir}")
+    log.info("Overfitting on {} clips from {}", len(rows), args.data_dir)
+
+    os.makedirs(args.output, exist_ok=True)
+    tok_path = os.path.join(args.output, "tokenizer.json")
+    build_tokenizer([t for _, t, _ in rows], tok_path)
+    tokenizer = BpeTokenizer.from_file(tok_path)
+    with open(tok_path) as f:
+        specials = {t["content"]: t["id"]
+                    for t in json.load(f)["added_tokens"]}
+    cfg = build_config(max(2048, tokenizer.vocab_size), specials)
+
+    key = jax.random.PRNGKey(args.seed)
+    k_enc, k_dec = jax.random.split(key)
+    params = {
+        "encoder": init_encoder_params(cfg.encoder, k_enc, jnp.float32),
+        "decoder": init_decoder_params(cfg.decoder, k_dec, jnp.float32),
+    }
+    model = AsrModel(cfg, params, tokenizer, template=PromptTemplate())
+    engine = TranscriptionEngine(model, dtype=jnp.float32)
+
+    # Group clips by their SERVE-time bucket so training sees exactly the
+    # zero-padded mel the fused serving executable will compute. Each clip
+    # contributes TWO rows:
+    #   1. the clean full clip (the HTTP batch path), and
+    #   2. its WS flush shape — the serving WebSocket engine transcribes
+    #      the bandpassed last-WINDOW seconds plus the flush silence pad
+    #      (serving/server.py _transcribe_with_context), so the streaming
+    #      accuracy tier needs the model to map THAT signal to the
+    #      transcript as well.
+    import tempfile
+    from ..audio.codec import decode_audio, encode_wav
+    from ..audio.frontend import fir_bandpass_kernel
+    from ..audio import native
+    from ..serving.server import WS_FLUSH_SILENCE_MS, WS_WINDOW_MAX_S
+
+    crop_dir = tempfile.mkdtemp(prefix="overfit_ws_")
+    bp_kernel = fir_bandpass_kernel()
+    items, by_bucket = [], {}
+
+    def add_item(wav_path, text, lang, n_samples):
+        frames, bucket_s = engine.bucket_frames(n_samples)
+        budget = max_new_tokens_for(bucket_s)
+        ids = tokenizer.encode(text)
+        expected = text
+        strict = True
+        if len(ids) + 1 > budget:
+            # The bucket's decode budget can't hold the full transcript —
+            # the achievable serve-time output is the truncated prefix.
+            # Evaluated best-effort, excluded from the early-stop criterion.
+            expected = tokenizer.decode(ids[:budget - 1]).strip()
+            strict = False
+            log.warning("{}: transcript needs {} tokens > bucket budget {}; "
+                        "evaluating against the achievable prefix",
+                        wav_path, len(ids) + 1, budget)
+        item = {"wav": wav_path, "text": text, "language": lang}
+        items.append((item, expected, lang, strict))
+        by_bucket.setdefault(bucket_s, []).append(item)
+
+    for wav, text, lang in rows:
+        with open(wav, "rb") as f:
+            audio, sr = decode_audio(f.read())
+        add_item(wav, text, lang, int(len(audio) * 16000 / sr))
+
+        if sr != 16000:
+            from ..audio.resample import resample
+            audio = resample(audio, sr, 16000)
+        window = audio[-int(WS_WINDOW_MAX_S * 16000):].astype(np.float32)
+        padded = np.concatenate(
+            [window,
+             np.zeros(int(WS_FLUSH_SILENCE_MS / 1000 * 16000), np.float32)])
+        ws_shape = native.fir_same(padded, bp_kernel)
+        crop_path = os.path.join(
+            crop_dir, "ws_" + os.path.basename(wav))
+        with open(crop_path, "wb") as f:
+            f.write(encode_wav(ws_shape, 16000))
+        add_item(crop_path, text, lang, len(ws_shape))
+
+    log.info("Bucket groups: {}", {k: len(v) for k, v in by_bucket.items()})
+    batches = [(bucket_s, make_batch(engine, group, bucket_s))
+               for bucket_s, group in sorted(by_bucket.items())]
+
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0),
+                            optax.adamw(args.lr))
+    state = init_train_state(params, optimizer)
+    step_fn = jax.jit(make_train_step(cfg, optimizer), donate_argnums=(0,))
+
+    n_strict = sum(1 for _, _, _, strict in items if strict)
+
+    def eval_exact() -> tuple:
+        """Greedy-decode every clip through the real engine.
+
+        Returns (n_exact_strict, worst (name, cer)); budget-truncated rows
+        score against their achievable prefix and never count toward the
+        strict total (they can't be exact at serve time by construction)."""
+        model.params = state.params
+        n_ok, worst = 0, ("", 0.0)
+        for item, expected, lang, strict in items:
+            with open(item["wav"], "rb") as f:
+                audio, sr = decode_audio(f.read())
+            res = engine.transcribe(audio, sr, language=lang)
+            got = " ".join(r.text for r in res).strip()
+            c = cer(expected, got)
+            if strict and got == expected:
+                n_ok += 1
+            if c >= worst[1]:
+                worst = (os.path.basename(item["wav"]), c)
+        return n_ok, worst
+
+    t_start = time.time()
+    done_reason = "max_steps"
+    for step in range(1, args.max_steps + 1):
+        losses = []
+        for bucket_s, batch in batches:
+            state, loss = step_fn(state, batch)
+            losses.append(float(loss))
+        if step % 10 == 0:
+            log.info("step {} | loss {} | {:.0f}s", step,
+                     " ".join(f"{l:.4f}" for l in losses),
+                     time.time() - t_start)
+        if step % args.eval_every == 0 or max(losses) < 5e-3:
+            n_ok, worst = eval_exact()
+            log.info("eval @ step {}: {}/{} exact (worst {} CER {:.1%})",
+                     step, n_ok, n_strict, worst[0], worst[1])
+            if n_ok == n_strict:
+                done_reason = f"all {n_ok} strict-exact at step {step}"
+                break
+
+    model.params = state.params
+    save_asr_checkpoint(args.output, cfg, state.params)
+    final_ok, final_worst = eval_exact()
+    with open(manifest_path, "w") as f:
+        json.dump({
+            "purpose": "e2e real-text checkpoint (memorizes the listed "
+                       "clips; NOT a general ASR model)",
+            "data_dir": os.path.abspath(args.data_dir),
+            "clips": [os.path.basename(i["wav"]) for i, _, _, _ in items],
+            "exact": final_ok, "total_strict": n_strict,
+            "total": len(items),
+            "worst_cer": round(final_worst[1], 4),
+            "steps_reason": done_reason,
+            "train_seconds": round(time.time() - t_start, 1),
+        }, f, indent=1)
+    log.info("Saved trained checkpoint to {} ({}; {}/{} exact)",
+             args.output, done_reason, final_ok, len(items))
+
+
+if __name__ == "__main__":
+    main()
