@@ -39,6 +39,12 @@ Measured ladder at 20 s clips (steady-state / serial):
   b96 conc 3                   363.5x            (3 in-flight thrashes HBM)
   b112                         506.0x / 455.6x
   b128                         429.0x / 431.7x   (2 in-flight no longer fit)
+  bf16 no-quant bf16-KV b96    434.9x / 351.6x   (round 3: the ACCURACY-SAFE
+                                configuration — no quantization anywhere —
+                                still clears the >=150x north-star ~2.9x/chip.
+                                int8+fp8KV stays the tuned default pending
+                                WER validation on real weights; flip with
+                                QUANTIZE= ASR_KV_CACHE_DTYPE=bf16.)
 Override with QUANTIZE / BENCH_BATCH / BENCH_CONCURRENCY /
 ASR_KV_CACHE_DTYPE / ASR_DECODER_UNROLL.
 """
