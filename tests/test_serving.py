@@ -466,10 +466,11 @@ def test_transcribe_endpoint_merges_segments(client, loop):
 
 
 def test_ws_vad_flush_debounce(client, loop, monkeypatch):
-    """A single misread silent tick mid-speech (the spectral VAD misreads
-    ~6% of real-speech ticks) must NOT flush a final; ASR_VAD_FLUSH_TICKS
-    consecutive silent ticks must."""
+    """With a 2-tick debounce (the spectral-VAD default — it misreads ~6%
+    of real-speech ticks) a single silent tick mid-speech must NOT flush
+    a final; two consecutive silent ticks must."""
     import qwen3_asr_tpu.serving.server as server_mod
+    monkeypatch.setattr(server_mod, "ASR_VAD_FLUSH_TICKS", 2)
     #         1     2     3*única silence (flap)  4     5     6     7
     script = [True, True, False,                  True, True, False, False]
     it = iter(script)
@@ -499,4 +500,36 @@ def test_ws_vad_flush_debounce(client, loop, monkeypatch):
         assert len(finals) == 1
         assert msgs[-1].get("is_final")
         assert len(partials) == len(script) - 1
+    loop.run_until_complete(go())
+
+
+def test_ws_vad_flush_single_tick(client, loop, monkeypatch):
+    """With the learned VAD (<1% measured flap rate) the default debounce
+    is ONE silent tick — the reference's exact flush trigger
+    (src/server.py:1216-1243)."""
+    import qwen3_asr_tpu.serving.server as server_mod
+    monkeypatch.setattr(server_mod, "ASR_VAD_FLUSH_TICKS", 1)
+    script = [True, True, False, True]
+    it = iter(script)
+    monkeypatch.setattr(server_mod, "is_speech", lambda a: next(it))
+
+    async def fake_transcribe(mgr, audio, pad_silence, lang_code, use_vad,
+                              resume_tokens=None):
+        return "TEXT", None
+    monkeypatch.setattr(server_mod, "_transcribe_with_context",
+                        fake_transcribe)
+
+    async def go():
+        ws = await client.ws_connect("/ws/transcribe?use_server_vad=true")
+        await ws.receive_json()
+        pcm = b"\x01\x00" * (server_mod.WS_BUFFER_SIZE // 2)
+        msgs = []
+        for _ in range(len(script)):
+            await ws.send_bytes(pcm)
+            msgs.append(await asyncio.wait_for(ws.receive_json(),
+                                               timeout=30))
+        await ws.close()
+        finals = [m for m in msgs if m.get("is_final")]
+        assert len(finals) == 1       # the FIRST silent tick flushed
+        assert msgs[2].get("is_final")
     loop.run_until_complete(go())
