@@ -205,9 +205,35 @@ async def amain(args):
     language = args.language
     if args.wav:
         audio, expected, language = _load_fixture(args.wav)
-    result = await run_benchmark(connect, duration_s=args.duration,
-                                 language=language, pace=not args.no_pace,
-                                 audio=audio, expected=expected)
+    if args.sessions > 1:
+        # Aggregate throughput under concurrent paced sessions — the
+        # continuous-batching success metric: partials/s must scale past
+        # the single-session number (docs/ROADMAP.md).
+        t0 = time.time()
+        per = await asyncio.gather(*[
+            run_benchmark(connect, duration_s=args.duration,
+                          language=language, pace=not args.no_pace,
+                          audio=audio, expected=expected)
+            for _ in range(args.sessions)])
+        wall = time.time() - t0
+        total_partials = sum(r["partials"] for r in per)
+        p50s = [r["chunk_latency_ms_p50"] for r in per
+                if r["chunk_latency_ms_p50"] is not None]
+        result = {
+            "sessions": args.sessions,
+            "aggregate_partials": total_partials,
+            "aggregate_partials_per_s": round(total_partials / wall, 2),
+            "worst_session_p50_ms": max(p50s) if p50s else None,
+            "worst_overrun_rtf": max(r["pacing_overrun_rtf"] for r in per),
+            "finals_nonempty": sum(1 for r in per if r["final_text_len"]),
+            "wall_s": round(wall, 2),
+            "per_session": per,
+        }
+    else:
+        result = await run_benchmark(connect, duration_s=args.duration,
+                                     language=language,
+                                     pace=not args.no_pace,
+                                     audio=audio, expected=expected)
     print(json.dumps(result, ensure_ascii=False))
     if args.gate_wer is not None and result.get("wer") is not None:
         assert result["wer"] <= args.gate_wer, (
@@ -229,6 +255,9 @@ def main():
                              "sibling .txt transcript → reports WER/CER)")
     parser.add_argument("--gate-wer", type=float, default=None,
                         help="fail when streaming WER exceeds this fraction")
+    parser.add_argument("--sessions", type=int, default=1,
+                        help="concurrent paced sessions (aggregate "
+                             "throughput mode)")
     args = parser.parse_args()
     from qwen3_asr_tpu.utils.platform import honor_platform_env
     honor_platform_env()

@@ -39,6 +39,12 @@ if [ "${1:-}" = "--with-trained-server" ]; then
       --data-dir e2e/data/real --output "$TRAINED_CKPT"
   fi
   export ASR_E2E_DATA="$(pwd)/e2e/data/real"
+  # The trained model's full-bucket warmup sweep takes many minutes on CPU
+  # and would hold the request queue past the suite's 300 s timeouts —
+  # warm only the small buckets and let the persistent compile cache make
+  # on-demand bucket compiles cheap across runs.
+  export USE_CUDA_GRAPHS=false
+  export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$HOME/.cache/qwen3_asr_tpu_xla}"
   set -- "--with-server" "${@:2}"
   CKPT_OVERRIDE="$TRAINED_CKPT"
 fi
@@ -57,11 +63,11 @@ print('checkpoint at $CKPT_DIR')"
     # Gateway on :PORT spawning a real worker on :WORKER_PORT — the full
     # process split (reference compose default GATEWAY_MODE=true).
     JAX_PLATFORMS=cpu MODEL_ID="$CKPT_DIR" GATEWAY_MODE=true \
-      WORKER_PORT="${WORKER_PORT:-18801}" USE_CUDA_GRAPHS=true \
+      WORKER_PORT="${WORKER_PORT:-18801}" USE_CUDA_GRAPHS="${USE_CUDA_GRAPHS:-true}" \
       IDLE_TIMEOUT=0 \
       python -m qwen3_asr_tpu.serving.gateway --port "$PORT" &
   else
-    JAX_PLATFORMS=cpu MODEL_ID="$CKPT_DIR" USE_CUDA_GRAPHS=true \
+    JAX_PLATFORMS=cpu MODEL_ID="$CKPT_DIR" USE_CUDA_GRAPHS="${USE_CUDA_GRAPHS:-true}" \
       python -m qwen3_asr_tpu.serving.server --port "$PORT" &
   fi
   SERVER_PID=$!

@@ -174,11 +174,22 @@ def _layer(cfg: DecoderConfig, hidden: jax.Array, lp: dict,
     k = apply_rope(k, cos, sin)
 
     # Write this segment into the stacked cache at (layer_idx, write_pos) —
-    # only the T new tokens touch HBM.
-    k_all = jax.lax.dynamic_update_slice(
-        k_all, k.astype(k_all.dtype)[None], (layer_idx, 0, 0, write_pos, 0))
-    v_all = jax.lax.dynamic_update_slice(
-        v_all, v.astype(v_all.dtype)[None], (layer_idx, 0, 0, write_pos, 0))
+    # only the T new tokens touch HBM. A per-row write_pos ([B], decode
+    # steps only) scatters each row at its own offset — the continuous-
+    # batching form where pooled requests sit at different positions.
+    if write_pos.ndim == 1:
+        rows = jnp.arange(b)
+        k_all = k_all.at[layer_idx, rows, :, write_pos].set(
+            k[:, :, 0].astype(k_all.dtype))
+        v_all = v_all.at[layer_idx, rows, :, write_pos].set(
+            v[:, :, 0].astype(v_all.dtype))
+    else:
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k.astype(k_all.dtype)[None],
+            (layer_idx, 0, 0, write_pos, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v.astype(v_all.dtype)[None],
+            (layer_idx, 0, 0, write_pos, 0))
 
     s = k_all.shape[3]
     if _use_stacked_decode(t, s, d, attn_spec):
@@ -215,12 +226,15 @@ def decoder_forward(params: dict, cfg: DecoderConfig,
                     cache: KVCache, write_pos: jax.Array,
                     attn_spec: AttnSpec) -> Tuple[jax.Array, KVCache]:
     """Run all layers. inputs_embeds: [B,T,H]; positions: [B,T];
-    cache: KVCache [L,B,n_kv,S,D]; write_pos: scalar int32 (segment offset in
-    cache); attn_spec: structured mask descriptor (ops.attention.AttnSpec).
+    cache: KVCache [L,B,n_kv,S,D]; write_pos: scalar int32 (segment offset
+    in cache) or int32 [B] (per-row offsets — continuous-batching decode
+    steps, T must be 1); attn_spec: structured mask descriptor
+    (ops.attention.AttnSpec).
 
     Returns (final_hidden [B,T,H], updated cache). The cache travels through
     the layer scan as CARRY state (not xs/ys) so updates stay in-place.
     """
+    write_pos = jnp.asarray(write_pos)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
     n_layers = cfg.num_hidden_layers
 

@@ -50,6 +50,10 @@ class MicroBatcher:
         can't batch (timestamps, resampling, long audio)."""
         from ..runtime.engine import MAX_SEGMENT_S, TARGET_SR
         mgr = self.manager
+        if mgr.pool_eligible(audio, sr, return_timestamps):
+            # Continuous batching: the pool coalesces at the decode-step
+            # level (stronger than this window-based collector).
+            return await mgr.transcribe_pooled(audio, sr, language)
         if (return_timestamps or sr != TARGET_SR
                 or audio.ndim > 1
                 or len(audio) > MAX_SEGMENT_S * TARGET_SR

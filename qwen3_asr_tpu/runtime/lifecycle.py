@@ -134,6 +134,7 @@ class ModelManager:
     def __init__(self):
         self.engine = None
         self.fast_engine = None
+        self.pool = None  # continuous-batching decode pool (opt-in)
         self.loaded_model_id: Optional[str] = None
         self.queue = PriorityInferQueue()
         from .batcher import MicroBatcher
@@ -151,6 +152,9 @@ class ModelManager:
 
     def stop(self):
         self.queue.stop()
+        if self.pool is not None:
+            self.pool.stop()
+            self.pool = None
         if self._watchdog_task:
             self._watchdog_task.cancel()
             self._watchdog_task = None
@@ -221,6 +225,13 @@ class ModelManager:
             if self.fast_engine is not None:
                 self.fast_engine.warmup(buckets)
 
+        # Continuous batching (docs/ROADMAP.md): pooled decode slots share
+        # every weight read across concurrent requests; opt-in because the
+        # fused per-request path has better single-stream latency.
+        if os.getenv("ASR_CONTINUOUS_BATCHING", "").lower() == "true":
+            from .pool import DecodePool
+            self.pool = DecodePool(self.engine)
+
         self._last_used = time.time()
         log.info("Model loaded in {:.1f}s", time.time() - t0)
 
@@ -249,6 +260,9 @@ class ModelManager:
         log.info("Unloading model (idle timeout)...")
         from ..sidecars import subtitle
         subtitle.unload_aligner()
+        if self.pool is not None:
+            self.pool.stop()
+            self.pool = None
         # Clear the id BEFORE the engine: /health reads these from another
         # thread and must never see model_loaded=false with a model_id.
         self.loaded_model_id = None
@@ -321,6 +335,54 @@ class ModelManager:
             # watchdog unloads an engine that was busy the whole time.
             self._last_used = time.time()
 
+    def pool_eligible(self, audio, sr: int, return_timestamps: bool,
+                      resume_tokens=None) -> bool:
+        """Requests the decode pool can serve: plain mono transcription up
+        to one segment; everything else keeps the fused path."""
+        from ..runtime.engine import MAX_SEGMENT_S, TARGET_SR
+        import numpy as np
+        return (self.pool is not None and not return_timestamps
+                and sr == TARGET_SR
+                and np.asarray(audio).ndim == 1
+                and len(audio) <= MAX_SEGMENT_S * TARGET_SR)
+
+    async def transcribe_pooled(self, audio, sr: int,
+                                language) -> list:
+        """Continuous-batching route: the request shares decode dispatches
+        with every other in-flight request (runtime/pool.py). Output is
+        greedy-identical to the fused path."""
+        import asyncio as _aio
+
+        from ..models.asr import normalize_language
+        from ..runtime.engine import (TARGET_SR, TranscriptionResult,
+                                      _prep_audio, _response_language)
+
+        self._last_used = time.time()
+        audio = _prep_audio(audio, sr)
+        if len(audio) == 0:
+            return []
+        loop = _aio.get_event_loop()
+        fut = loop.create_future()
+        lang_code, _ = normalize_language(language)
+        end_t = len(audio) / TARGET_SR
+
+        def ok(text, ids):
+            res = [TranscriptionResult(
+                text=text, language=_response_language(text, lang_code),
+                start_time=0.0, end_time=end_t, token_ids=ids)]
+            loop.call_soon_threadsafe(
+                lambda: fut.done() or fut.set_result(res))
+
+        def err(e):
+            loop.call_soon_threadsafe(
+                lambda: fut.done() or fut.set_exception(e))
+
+        self.pool.submit(audio, language, ok, err)
+        try:
+            return await _aio.wait_for(fut, timeout=self.request_timeout)
+        finally:
+            self._last_used = time.time()
+
     # -- health ---------------------------------------------------------------------
     def health_info(self) -> dict:
         info = {
@@ -328,6 +390,9 @@ class ModelManager:
             "model_loaded": self.engine is not None,
             "model_id": self.loaded_model_id,
         }
+        if self.pool is not None:
+            info["continuous_batching"] = {"slots": self.pool.slots,
+                                           "depth": self.pool.depth}
         if self.engine is not None:
             try:
                 import jax as _jax

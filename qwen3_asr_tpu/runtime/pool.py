@@ -1,0 +1,346 @@
+"""Continuous batching: a shared decode pool with per-request slots.
+
+The fused per-request executable (runtime/engine.py) is optimal for a
+single request, but concurrent sessions each pay a full decode pass. This
+pool gives decode the vLLM/JetStream serving shape, TPU-style:
+
+* a persistent KV cache with SLOTS rows (``[L, SLOTS, n_kv, S, D]``),
+* per-bucket PREFILL executables that build one request's cache segment
+  and first token (one dispatch), inserted into a free slot,
+* one shared DECODE-SEGMENT executable advancing ALL active slots K
+  tokens per dispatch, with per-row cache write offsets
+  (models/decoder.py ``write_pos[B]``) and per-row attention windows
+  (AttnSpec valid_from/valid_to) — requests at different positions and
+  different phases share every weight read.
+
+Segment-synchronous rather than step-synchronous: new requests join at
+K-token boundaries, so the host drives one dispatch per K tokens instead
+of per token — essential over high-latency host links and cheap anywhere.
+Greedy output is IDENTICAL to the fused path (same argmax recurrence);
+only scheduling changes.
+
+Stale cache content needs no zeroing: a slot's key at position p only
+becomes attendable once the occupying request's own write reaches p
+(valid_to = pos+1, and the write lands before the attend in the same
+step), by which point it has been overwritten.
+
+Enable with ASR_CONTINUOUS_BATCHING=true (ASR_POOL_SLOTS / ASR_POOL_SEGMENT
+tune shape). Requests that can't pool (timestamps, >30 s audio, resume
+ticks, speculative) keep the fused path.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import threading
+import time
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.decoder import (KVCache, decoder_forward, embed_tokens,
+                              init_kv_cache, lm_logits)
+from ..models.encoder import encoder_forward
+from ..ops.attention import AttnSpec
+from ..utils.logging import log
+
+
+class _Request(NamedTuple):
+    audio: np.ndarray          # f32/s16 mono 16 kHz, <= largest bucket
+    language: Optional[str]
+    set_result: callable       # called with (text, token_ids) off-thread
+    set_error: callable
+
+
+class DecodePool:
+    def __init__(self, engine, slots: int = None, segment: int = None):
+        from .engine import AUDIO_BUCKETS_S, HOP_LENGTH, max_new_tokens_for
+
+        self.engine = engine
+        self.model = engine.model
+        self.slots = slots or int(os.getenv("ASR_POOL_SLOTS", "8"))
+        self.segment = segment or int(os.getenv("ASR_POOL_SEGMENT", "16"))
+        self._hop = HOP_LENGTH
+
+        cfg = self.model.cfg
+        chunk = cfg.encoder.n_window * 2
+        self._suffix = list(engine._suffix_ids)
+
+        # Pool cache must hold the largest bucket's prompt + token budget.
+        longest = 0
+        for sec in AUDIO_BUCKETS_S:
+            frames = ((int(sec * 100) + chunk - 1) // chunk) * chunk
+            p = self._prompt_len(frames)
+            longest = max(longest, p + max_new_tokens_for(frames / 100.0))
+        self.s_pool = -(-longest // 128) * 128
+
+        self._cache = init_kv_cache(cfg.decoder, self.slots, self.s_pool,
+                                    dtype=engine.cache_dtype)
+        self._prefill_fns = {}
+        self._insert_fns = {}
+        self._decode_fn = None
+
+        # host-side slot state
+        self._last = np.zeros(self.slots, np.int32)
+        self._pos = np.zeros(self.slots, np.int32)
+        self._valid_from = np.zeros(self.slots, np.int32)
+        self._active = np.zeros(self.slots, bool)
+        self._limit = np.zeros(self.slots, np.int32)
+        self._tokens: List[List[int]] = [[] for _ in range(self.slots)]
+        self._owner: List[Optional[_Request]] = [None] * self.slots
+
+        self._pending: List[_Request] = []
+        self._cv = threading.Condition()
+        self._running = True
+        self._thread = threading.Thread(target=self._drive, daemon=True,
+                                        name="decode-pool")
+        self._thread.start()
+        log.info("DecodePool: {} slots x S={} cache, segment {} tokens",
+                 self.slots, self.s_pool, self.segment)
+
+    # -- shapes ---------------------------------------------------------------
+    def _prompt_len(self, bucket_frames: int) -> int:
+        from .engine import PREFIX_BUDGET
+        n_audio = self.model.audio_token_count(bucket_frames)
+        return PREFIX_BUDGET + n_audio + len(self._suffix)
+
+    # -- public API -----------------------------------------------------------
+    def submit(self, audio: np.ndarray, language: Optional[str],
+               set_result, set_error) -> None:
+        """Queue one clip; set_result(text, token_ids) fires off-thread."""
+        with self._cv:
+            self._pending.append(_Request(audio, language, set_result,
+                                          set_error))
+            self._cv.notify()
+
+    def stop(self):
+        self._running = False
+        with self._cv:
+            self._cv.notify()
+        self._thread.join(timeout=10)
+
+    @property
+    def depth(self) -> int:
+        with self._cv:
+            return len(self._pending) + int(self._active.sum())
+
+    # -- executables ----------------------------------------------------------
+    def _prefill_fn(self, bucket_frames: int):
+        fn = self._prefill_fns.get(bucket_frames)
+        if fn is not None:
+            return fn
+        from ..audio.frontend import _log_mel_impl
+        from .engine import PREFIX_BUDGET
+
+        cfg = self.model.cfg
+        n_samples = bucket_frames * self._hop
+        window = self.engine.frontend.window
+        mel_fb = self.engine.frontend.mel_fb
+        n_mels = self.engine.frontend.n_mels
+        suffix = jnp.asarray(self._suffix, jnp.int32)
+        dtype = self.engine.dtype
+        cache_dtype = self.engine.cache_dtype
+        prompt_len = self._prompt_len(bucket_frames)
+        s_pad = -(-prompt_len // 128) * 128
+
+        @jax.jit
+        def run(params, audio, prefix_ids, valid_from):
+            if audio.dtype == jnp.int16:
+                audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
+            mel, _ = _log_mel_impl(audio[0], jnp.int32(n_samples), window,
+                                   mel_fb, n_mels)
+            flens = jnp.full((1,), bucket_frames, jnp.int32)
+            audio_embeds, _ = encoder_forward(params["encoder"], cfg.encoder,
+                                              mel[None].astype(dtype), flens)
+            pre = embed_tokens(params["decoder"], cfg.decoder, prefix_ids)
+            suf = embed_tokens(params["decoder"], cfg.decoder,
+                               suffix[None, :])
+            inputs = jnp.concatenate(
+                [pre.astype(dtype), audio_embeds.astype(dtype),
+                 suf.astype(dtype)], axis=1)
+            cache = init_kv_cache(cfg.decoder, 1, s_pad, dtype=cache_dtype)
+            positions = jnp.broadcast_to(jnp.arange(prompt_len),
+                                         (1, prompt_len))
+            spec = AttnSpec(causal=True, q_offset=0, valid_from=valid_from)
+            hidden, cache = decoder_forward(params["decoder"], cfg.decoder,
+                                            inputs, positions, cache,
+                                            jnp.int32(0), spec)
+            first = jnp.argmax(lm_logits(params["decoder"], cfg.decoder,
+                                         hidden[:, -1]), axis=-1)
+            return cache.k, cache.v, first.astype(jnp.int32)
+
+        self._prefill_fns[bucket_frames] = (run, prompt_len, s_pad)
+        return self._prefill_fns[bucket_frames]
+
+    def _insert_fn(self, s_pad: int):
+        fn = self._insert_fns.get(s_pad)
+        if fn is not None:
+            return fn
+
+        # Donated pool buffers: inserts update the cache in place instead of
+        # copying the multi-GB pool per admission.
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def run(pool_k, pool_v, k_seg, v_seg, slot):
+            pool_k = jax.lax.dynamic_update_slice(
+                pool_k, k_seg.astype(pool_k.dtype), (0, slot, 0, 0, 0))
+            pool_v = jax.lax.dynamic_update_slice(
+                pool_v, v_seg.astype(pool_v.dtype), (0, slot, 0, 0, 0))
+            return pool_k, pool_v
+
+        self._insert_fns[s_pad] = run
+        return run
+
+    def _decode_segment_fn(self):
+        if self._decode_fn is not None:
+            return self._decode_fn
+        cfg = self.model.cfg.decoder
+        eos_id = self.model.eos_id
+        pad_id = self.model.pad_id
+        k_steps = self.segment
+        b = self.slots
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def run(params, pool_k, pool_v, last, pos, valid_from, active, limit):
+            tokens0 = jnp.full((b, k_steps), pad_id, jnp.int32)
+
+            def body(i, carry):
+                pool_k, pool_v, last, pos, active, tokens = carry
+                hidden = embed_tokens(params["decoder"], cfg, last[:, None])
+                positions = pos[:, None]
+                spec = AttnSpec(valid_from=valid_from, valid_to=pos + 1)
+                hidden, cache = decoder_forward(
+                    params["decoder"], cfg, hidden, positions,
+                    KVCache(pool_k, pool_v), pos, spec)
+                nxt = jnp.argmax(
+                    lm_logits(params["decoder"], cfg, hidden[:, -1]),
+                    axis=-1).astype(jnp.int32)
+                nxt = jnp.where(active, nxt, pad_id)
+                tokens = jax.lax.dynamic_update_slice(
+                    tokens, nxt[:, None], (0, i))
+                pos = jnp.where(active, pos + 1, pos)
+                active = active & (nxt != eos_id) & (pos < limit)
+                last = jnp.where(nxt == pad_id, last, nxt)
+                return cache.k, cache.v, last, pos, active, tokens
+
+            pool_k, pool_v, last, pos, active, tokens = jax.lax.fori_loop(
+                0, k_steps, body,
+                (pool_k, pool_v, last, pos, active, tokens0))
+            return pool_k, pool_v, last, pos, active, tokens
+
+        self._decode_fn = run
+        return run
+
+    # -- driver ----------------------------------------------------------------
+    def _admit(self, req: _Request, slot: int) -> None:
+        from .engine import PREFIX_BUDGET, max_new_tokens_for
+
+        audio = req.audio
+        bucket_frames, bucket_s = self.engine.bucket_frames(len(audio))
+        n_samples = bucket_frames * self._hop
+        in_dtype = audio.dtype if audio.dtype == np.int16 else np.float32
+        buf = np.zeros((1, n_samples), dtype=in_dtype)
+        buf[0, :min(len(audio), n_samples)] = audio[:n_samples]
+
+        prefix_ids, _, _ = self.model.prompt_ids(0, req.language)
+        prefix_ids = prefix_ids[-PREFIX_BUDGET:]
+        pad_count = PREFIX_BUDGET - len(prefix_ids)
+        prefix = np.full((1, PREFIX_BUDGET), self.model.pad_id, np.int32)
+        prefix[0, pad_count:] = prefix_ids
+
+        run, prompt_len, s_pad = self._prefill_fn(bucket_frames)
+        k_seg, v_seg, first = run(self.model.params, jnp.asarray(buf),
+                                  jnp.asarray(prefix),
+                                  jnp.asarray([pad_count], jnp.int32))
+        insert = self._insert_fn(s_pad)
+        k, v = insert(self._cache.k, self._cache.v, k_seg, v_seg,
+                      jnp.int32(slot))
+        self._cache = KVCache(k, v)
+
+        first_tok = int(first[0])
+        self._owner[slot] = req
+        self._tokens[slot] = [first_tok]
+        self._last[slot] = first_tok
+        self._pos[slot] = prompt_len
+        self._valid_from[slot] = pad_count
+        self._limit[slot] = prompt_len + max_new_tokens_for(bucket_s) - 1
+        self._active[slot] = first_tok != self.model.eos_id
+        if not self._active[slot]:
+            self._retire(slot)
+
+    def _retire(self, slot: int) -> None:
+        req = self._owner[slot]
+        self._owner[slot] = None
+        self._active[slot] = False
+        if req is None:
+            return
+        ids = []
+        for t in self._tokens[slot]:
+            if t == self.model.eos_id:
+                break
+            ids.append(t)
+        text = self.model.tokenizer.decode(ids).strip()
+        try:
+            req.set_result(text, ids)
+        except Exception:  # pragma: no cover - callback errors stay local
+            log.exception("decode-pool result callback failed")
+
+    def _drive(self) -> None:
+        while self._running:
+            with self._cv:
+                while (self._running and not self._pending
+                       and not self._active.any()):
+                    self._cv.wait(timeout=1.0)
+                if not self._running:
+                    break
+                pending, self._pending = self._pending, []
+
+            try:
+                for i, req in enumerate(pending):
+                    free = [s for s in range(self.slots)
+                            if self._owner[s] is None]
+                    if not free:
+                        with self._cv:  # pool full — requeue, decode first
+                            self._pending[:0] = pending[i:]
+                        break
+                    try:
+                        self._admit(req, free[0])
+                    except Exception as e:
+                        log.exception("decode-pool admit failed: {}", e)
+                        req.set_error(e)
+
+                if not self._active.any():
+                    continue
+
+                run = self._decode_segment_fn()
+                k, v, last, pos, active, tokens = run(
+                    self.model.params, self._cache.k, self._cache.v,
+                    jnp.asarray(self._last), jnp.asarray(self._pos),
+                    jnp.asarray(self._valid_from),
+                    jnp.asarray(self._active), jnp.asarray(self._limit))
+                self._cache = KVCache(k, v)
+                # np.array (copy): device arrays view as read-only numpy.
+                tokens, self._last, self._pos, self._active = (
+                    np.array(tokens), np.array(last), np.array(pos),
+                    np.array(active))
+                self.engine.last_used = time.time()
+
+                for s in range(self.slots):
+                    if self._owner[s] is None:
+                        continue
+                    row = [int(t) for t in tokens[s]
+                           if t != self.model.pad_id]
+                    self._tokens[s].extend(row)
+                    if not self._active[s]:
+                        self._retire(s)
+            except Exception as e:  # fail every in-flight request, not the thread
+                log.exception("decode-pool segment failed: {}", e)
+                for s in range(self.slots):
+                    if self._owner[s] is not None:
+                        req = self._owner[s]
+                        self._owner[s] = None
+                        self._active[s] = False
+                        req.set_error(e)
+                for req in pending:
+                    req.set_error(e)

@@ -476,13 +476,21 @@ async def _transcribe_with_context(mgr: ModelManager, audio_bytes: bytes,
             log.info("_transcribe_with_context | VAD: silence, skipping inference")
             return "", resume_tokens
 
-        results = await asyncio.wait_for(
-            mgr.queue.submit(
-                lambda: mgr.transcribe_sync(audio, TARGET_SR, lang_code, False,
-                                            use_fast=not pad_silence,
-                                            resume_tokens=resume_tokens),
-                priority=0),
-            timeout=mgr.request_timeout)
+        if mgr.pool_eligible(audio, TARGET_SR, False):
+            # Continuous batching: WS ticks share decode dispatches with
+            # every other in-flight request (resume self-draft does not
+            # apply — the pool decodes the window outright).
+            results = await mgr.transcribe_pooled(audio, TARGET_SR,
+                                                  lang_code)
+        else:
+            results = await asyncio.wait_for(
+                mgr.queue.submit(
+                    lambda: mgr.transcribe_sync(audio, TARGET_SR, lang_code,
+                                                False,
+                                                use_fast=not pad_silence,
+                                                resume_tokens=resume_tokens),
+                    priority=0),
+                timeout=mgr.request_timeout)
         if results:
             text = detect_and_fix_repetitions(results[0].text)
             log.info("_transcribe_with_context | done elapsed={:.2f}s "

@@ -212,8 +212,23 @@ def main():
     batches = [(bucket_s, make_batch(engine, group, bucket_s))
                for bucket_s, group in sorted(by_bucket.items())]
 
+    # Upweight the first transcript tokens: free-running greedy decode
+    # picks its "branch" (which memorized transcript) at the first token,
+    # where teacher forcing gives no exposure — a small residual loss
+    # there diverges the whole output while the mean CE looks converged.
+    for _, batch in batches:
+        w = batch["target_mask"].astype(np.float32)
+        for r in range(w.shape[0]):
+            nz = np.nonzero(w[r])[0]
+            if len(nz):
+                w[r, nz[0]:nz[0] + 4] *= 8.0
+        batch["target_mask"] = w
+
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=args.lr, warmup_steps=30,
+        decay_steps=args.max_steps * len(batches), end_value=1e-5)
     optimizer = optax.chain(optax.clip_by_global_norm(1.0),
-                            optax.adamw(args.lr))
+                            optax.adamw(schedule))
     state = init_train_state(params, optimizer)
     step_fn = jax.jit(make_train_step(cfg, optimizer), donate_argnums=(0,))
 

@@ -1,0 +1,192 @@
+"""Continuous-batching decode pool: identical output to the fused path.
+
+The pool only changes SCHEDULING (shared decode dispatches, per-row cache
+offsets); the greedy recurrence is the same, so texts must match
+engine.transcribe exactly for any mix of buckets/languages, including
+requests that join while others are mid-decode.
+"""
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from tests.fixtures import write_tiny_checkpoint, load_tiny_model
+from tests.util_audio import speech_like, tone
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    import jax.numpy as jnp
+    from qwen3_asr_tpu.runtime.engine import TranscriptionEngine
+    path = str(tmp_path_factory.mktemp("ckpt") / "tiny")
+    write_tiny_checkpoint(path)
+    return TranscriptionEngine(load_tiny_model(path), dtype=jnp.float32)
+
+
+def _collect(pool, clips):
+    done = threading.Event()
+    results = {}
+
+    def make_cb(i):
+        def ok(text, ids):
+            results[i] = ("ok", text, ids)
+            if len(results) == len(clips):
+                done.set()
+
+        def err(e):
+            results[i] = ("err", e, None)
+            if len(results) == len(clips):
+                done.set()
+        return ok, err
+
+    for i, (audio, lang) in enumerate(clips):
+        ok, err = make_cb(i)
+        pool.submit(audio, lang, ok, err)
+    assert done.wait(timeout=300), f"pool timed out: {results.keys()}"
+    for i, r in results.items():
+        assert r[0] == "ok", f"request {i}: {r[1]}"
+    return results
+
+
+def test_pool_matches_fused_engine(engine):
+    from qwen3_asr_tpu.runtime.pool import DecodePool
+    clips = [
+        (speech_like(0.8, seed=1), "en"),
+        (speech_like(2.5, seed=2), "en"),
+        (speech_like(1.2, seed=3), "zh"),
+        ((np.clip(speech_like(0.9, seed=4) * 32767, -32768, 32767)
+          .astype(np.int16)), "en"),        # wire-format s16 clip
+        (tone(1.5, 440.0), None),            # language auto
+    ]
+    expected = []
+    for audio, lang in clips:
+        res = engine.transcribe(audio, 16000, language=lang)
+        expected.append((res[0].text, res[0].token_ids))
+
+    pool = DecodePool(engine, slots=4, segment=6)
+    try:
+        results = _collect(pool, clips)
+    finally:
+        pool.stop()
+    for i, (text, ids) in enumerate(expected):
+        assert results[i][1] == text, (
+            f"clip {i}: pool={results[i][1]!r} fused={text!r}")
+        assert results[i][2] == ids
+
+
+def test_pool_mid_flight_join(engine):
+    """A request arriving while another decodes joins at the next segment
+    boundary and both finish correctly (slots > requests, no eviction)."""
+    from qwen3_asr_tpu.runtime.pool import DecodePool
+    a = speech_like(3.0, seed=7)
+    b = speech_like(0.7, seed=8)
+    exp_a = engine.transcribe(a, 16000, language="en")[0].text
+    exp_b = engine.transcribe(b, 16000, language="en")[0].text
+
+    pool = DecodePool(engine, slots=2, segment=4)
+    out = {}
+    done = threading.Event()
+
+    def cb(name):
+        def ok(text, ids):
+            out[name] = text
+            if len(out) == 2:
+                done.set()
+        return ok, lambda e: (out.setdefault(name, e), done.set())
+
+    try:
+        ok_a, err_a = cb("a")
+        pool.submit(a, "en", ok_a, err_a)
+        time.sleep(0.3)  # a is (likely) mid-decode now
+        ok_b, err_b = cb("b")
+        pool.submit(b, "en", ok_b, err_b)
+        assert done.wait(timeout=300)
+    finally:
+        pool.stop()
+    assert out["a"] == exp_a
+    assert out["b"] == exp_b
+
+
+def test_pool_more_requests_than_slots(engine):
+    """Requests beyond the slot count queue and run as slots free."""
+    from qwen3_asr_tpu.runtime.pool import DecodePool
+    clips = [(speech_like(0.6 + 0.2 * i, seed=10 + i), "en")
+             for i in range(5)]
+    expected = [engine.transcribe(a, 16000, language=l)[0].text
+                for a, l in clips]
+    pool = DecodePool(engine, slots=2, segment=5)
+    try:
+        results = _collect(pool, clips)
+    finally:
+        pool.stop()
+    for i, text in enumerate(expected):
+        assert results[i][1] == text
+
+
+def test_pool_serving_integration(tmp_path, monkeypatch):
+    """Full app with ASR_CONTINUOUS_BATCHING=true: concurrent HTTP uploads
+    and a WS flush all route through the pool and produce the same text
+    the fused path gives."""
+    import asyncio
+    import aiohttp
+    from aiohttp.test_utils import TestClient, TestServer
+    from qwen3_asr_tpu.audio.codec import encode_wav
+
+    ckpt = str(tmp_path / "ckpt")
+    write_tiny_checkpoint(ckpt)
+    monkeypatch.setenv("MODEL_ID", ckpt)
+    monkeypatch.setenv("SKIP_WARMUP", "true")
+    monkeypatch.setenv("ASR_CONTINUOUS_BATCHING", "true")
+    monkeypatch.setenv("ASR_POOL_SLOTS", "4")
+    from qwen3_asr_tpu.serving.server import build_app
+
+    async def go():
+        client = TestClient(TestServer(build_app()))
+        await client.start_server()
+        try:
+            async def post(seed):
+                form = aiohttp.FormData()
+                form.add_field("file",
+                               encode_wav(speech_like(1.0, seed=seed), 16000),
+                               filename="a.wav", content_type="audio/wav")
+                form.add_field("language", "en")
+                resp = await client.post("/v1/audio/transcriptions",
+                                         data=form)
+                assert resp.status == 200, await resp.text()
+                return await resp.json()
+
+            bodies = await asyncio.gather(*[post(s) for s in range(3)])
+            for b in bodies:
+                assert set(b) >= {"text", "language"}
+
+            mgr = client.app["manager"]
+            assert mgr.pool is not None
+            # fused-path reference for one clip (the endpoint applies the
+            # repetition collapse on top of the raw engine text)
+            from qwen3_asr_tpu.text.repetition import detect_and_fix_repetitions
+            expected = detect_and_fix_repetitions(mgr.engine.transcribe(
+                speech_like(1.0, seed=0), 16000, language="en")[0].text)
+            assert bodies[0]["text"] == expected
+
+            # health advertises the pool
+            health = await (await client.get("/health")).json()
+            assert health["continuous_batching"]["slots"] == 4
+
+            # WS session: partial + flush through the pool
+            ws = await client.ws_connect("/ws/transcribe?use_server_vad=false")
+            await ws.receive_json()
+            pcm = (np.clip(speech_like(0.9, seed=5) * 32767, -32768, 32767)
+                   .astype("<i2").tobytes())
+            await ws.send_bytes(pcm)
+            partial = await asyncio.wait_for(ws.receive_json(), timeout=120)
+            assert partial.get("is_partial")
+            await ws.send_json({"action": "flush"})
+            final = await asyncio.wait_for(ws.receive_json(), timeout=120)
+            while not final.get("is_final"):
+                final = await asyncio.wait_for(ws.receive_json(), timeout=120)
+            assert "text" in final
+            await ws.close()
+        finally:
+            await client.close()
+    asyncio.new_event_loop().run_until_complete(go())
