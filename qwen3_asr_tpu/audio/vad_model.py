@@ -127,7 +127,12 @@ _BUCKETS = (50, 100, 200, 400, 600, 1000, 3000)  # frames (0.5 s .. 30 s)
 
 
 def load_params(path: str = None) -> Optional[dict]:
-    """Load (and cache) the packaged weights; None when absent."""
+    """Load (and cache) the packaged weights; None when absent.
+
+    Kept as NUMPY arrays: this is called from module-import paths (the
+    serving flush-ticks default) and materializing jax arrays here would
+    initialize the backend before entrypoints run honor_platform_env().
+    jit converts them at first use."""
     global _params, _loaded_from
     path = path or os.getenv("ASR_VAD_WEIGHTS", WEIGHTS_PATH)
     if _params is not None and _loaded_from == path:
@@ -135,7 +140,7 @@ def load_params(path: str = None) -> Optional[dict]:
     if not os.path.isfile(path):
         return None
     blob = np.load(path)
-    _params = {k: jnp.asarray(blob[k]) for k in blob.files}
+    _params = {k: np.asarray(blob[k]) for k in blob.files}
     _loaded_from = path
     return _params
 
