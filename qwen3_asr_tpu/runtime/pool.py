@@ -286,56 +286,84 @@ class DecodePool:
         except Exception:  # pragma: no cover - callback errors stay local
             log.exception("decode-pool result callback failed")
 
+    def _drain(self, handles) -> None:
+        """Fetch one finished segment's results and retire finished rows."""
+        last, pos, active, tokens = handles
+        # np.array (copy): device arrays view as read-only numpy.
+        tokens, self._last, self._pos, self._active = (
+            np.array(tokens), np.array(last), np.array(pos),
+            np.array(active))
+        for s in range(self.slots):
+            if self._owner[s] is None:
+                continue
+            row = [int(t) for t in tokens[s] if t != self.model.pad_id]
+            self._tokens[s].extend(row)
+            if not self._active[s]:
+                self._retire(s)
+
     def _drive(self) -> None:
+        """Pipelined segment loop: segment n+1 is DISPATCHED (on segment
+        n's output device arrays — no host sync) before segment n's tokens
+        are fetched, so the host↔device round-trip overlaps device compute.
+        Admissions and retirements happen one segment late (a finished row
+        decodes ≤1 extra segment into its own slot — masked, wasted, and
+        harmless); admission itself is a sync point."""
+        inflight = None    # (state-handles, token-handles) of the running seg
+        state = None       # device (last, pos, active) feeding the next seg
+
         while self._running:
             with self._cv:
                 while (self._running and not self._pending
-                       and not self._active.any()):
+                       and not self._active.any() and inflight is None):
                     self._cv.wait(timeout=1.0)
                 if not self._running:
                     break
                 pending, self._pending = self._pending, []
 
             try:
-                for i, req in enumerate(pending):
-                    free = [s for s in range(self.slots)
-                            if self._owner[s] is None]
-                    if not free:
-                        with self._cv:  # pool full — requeue, decode first
-                            self._pending[:0] = pending[i:]
-                        break
-                    try:
-                        self._admit(req, free[0])
-                    except Exception as e:
-                        log.exception("decode-pool admit failed: {}", e)
-                        req.set_error(e)
+                if pending:
+                    if inflight is not None:   # sync before touching state
+                        self._drain(inflight)
+                        inflight, state = None, None
+                    for i, req in enumerate(pending):
+                        free = [s for s in range(self.slots)
+                                if self._owner[s] is None]
+                        if not free:
+                            with self._cv:  # pool full — decode first
+                                self._pending[:0] = pending[i:]
+                            break
+                        try:
+                            self._admit(req, free[0])
+                        except Exception as e:
+                            log.exception("decode-pool admit failed: {}", e)
+                            req.set_error(e)
 
-                if not self._active.any():
+                if not self._active.any() and inflight is None:
                     continue
 
-                run = self._decode_segment_fn()
-                k, v, last, pos, active, tokens = run(
-                    self.model.params, self._cache.k, self._cache.v,
-                    jnp.asarray(self._last), jnp.asarray(self._pos),
-                    jnp.asarray(self._valid_from),
-                    jnp.asarray(self._active), jnp.asarray(self._limit))
-                self._cache = KVCache(k, v)
-                # np.array (copy): device arrays view as read-only numpy.
-                tokens, self._last, self._pos, self._active = (
-                    np.array(tokens), np.array(last), np.array(pos),
-                    np.array(active))
-                self.engine.last_used = time.time()
-
-                for s in range(self.slots):
-                    if self._owner[s] is None:
-                        continue
-                    row = [int(t) for t in tokens[s]
-                           if t != self.model.pad_id]
-                    self._tokens[s].extend(row)
-                    if not self._active[s]:
-                        self._retire(s)
-            except Exception as e:  # fail every in-flight request, not the thread
+                if self._active.any() or inflight is not None:
+                    if state is None:
+                        state = (jnp.asarray(self._last),
+                                 jnp.asarray(self._pos),
+                                 jnp.asarray(self._active))
+                    run = self._decode_segment_fn()
+                    k, v, last, pos, active, tokens = run(
+                        self.model.params, self._cache.k, self._cache.v,
+                        state[0], state[1], jnp.asarray(self._valid_from),
+                        state[2], jnp.asarray(self._limit))
+                    self._cache = KVCache(k, v)
+                    prev, inflight = inflight, (last, pos, active, tokens)
+                    state = (last, pos, active)
+                    if prev is not None:
+                        self._drain(prev)   # overlaps the running segment
+                    if not self._active.any() and not self._pending:
+                        # nothing (known to be) active: finish the tail
+                        self._drain(inflight)
+                        inflight, state = None, None
+                    self.engine.last_used = time.time()
+            except Exception as e:  # fail in-flight requests, not the thread
                 log.exception("decode-pool segment failed: {}", e)
+                inflight, state = None, None
                 for s in range(self.slots):
                     if self._owner[s] is not None:
                         req = self._owner[s]

@@ -476,10 +476,13 @@ async def _transcribe_with_context(mgr: ModelManager, audio_bytes: bytes,
             log.info("_transcribe_with_context | VAD: silence, skipping inference")
             return "", resume_tokens
 
-        if mgr.pool_eligible(audio, TARGET_SR, False):
-            # Continuous batching: WS ticks share decode dispatches with
-            # every other in-flight request (resume self-draft does not
-            # apply — the pool decodes the window outright).
+        # WS ticks default to the fused resume path even in pool mode:
+        # measured on-chip (CHANGELOG r3), resume self-drafting holds
+        # 16.1 aggregate partials/s over 8 paced sessions vs the pool's
+        # 10.6 — re-decoding the window every tick costs more than the
+        # pool's dispatch sharing saves. ASR_POOL_WS=true opts in.
+        pool_ws = os.getenv("ASR_POOL_WS", "").lower() == "true"
+        if pool_ws and mgr.pool_eligible(audio, TARGET_SR, False):
             results = await mgr.transcribe_pooled(audio, TARGET_SR,
                                                   lang_code)
         else:

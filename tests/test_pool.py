@@ -139,6 +139,7 @@ def test_pool_serving_integration(tmp_path, monkeypatch):
     monkeypatch.setenv("SKIP_WARMUP", "true")
     monkeypatch.setenv("ASR_CONTINUOUS_BATCHING", "true")
     monkeypatch.setenv("ASR_POOL_SLOTS", "4")
+    monkeypatch.setenv("ASR_POOL_WS", "true")  # WS defaults to resume path
     from qwen3_asr_tpu.serving.server import build_app
 
     async def go():
