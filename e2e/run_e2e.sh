@@ -39,6 +39,9 @@ if [ "${1:-}" = "--with-trained-server" ]; then
       --data-dir e2e/data/real --output "$TRAINED_CKPT"
   fi
   export ASR_E2E_DATA="$(pwd)/e2e/data/real"
+  # Accurate-subtitle tier: the trained checkpoint doubles as the aligner
+  # (encoder-similarity alignment works on any ASR-format checkpoint).
+  export FORCED_ALIGNER_ID="$(pwd)/e2e/data/trained_ckpt"
   # The trained model's full-bucket warmup sweep takes many minutes on CPU
   # and would hold the request queue past the suite's 300 s timeouts —
   # warm only the small buckets and let the persistent compile cache make

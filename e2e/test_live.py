@@ -480,3 +480,61 @@ def test_realtime_streaming_accuracy(ensure_server, clip, metric, gate):
         f"{gate:.0%}\n  expected: {expected}\n  got: {result.get('final_text')}")
     if result["chunk_latency_ms_p50"] is not None:
         assert result["chunk_latency_ms_p50"] < 30_000
+
+
+def test_subtitles_accurate_real_speech(ensure_server):
+    """Aligner-backed (accurate-mode) SRT on real speech: the trained
+    checkpoint doubles as the forced aligner (encoder-similarity
+    alignment works on any ASR-format checkpoint). Gates SRT structure,
+    transcript fidelity, and monotonic in-range timing — the accurate
+    tier of reference E2Etest/test_subtitle.py."""
+    import pathlib
+    import re
+    data_dir = _accuracy_data_dir()
+    if not data_dir:
+        pytest.skip("no accuracy fixtures")
+    wav = pathlib.Path(data_dir) / "english_01.wav"
+    txt = wav.with_suffix(".txt")
+    if not wav.exists():
+        pytest.skip("english_01 fixture not present")
+    health = _server_health()
+    if not health.get("model_loaded"):
+        _post_multipart(BASE_URL + "/v1/audio/transcriptions", str(wav),
+                        {"language": "en"})
+        health = _server_health()
+    _skip_unless_real_text(health)
+    if not os.getenv("FORCED_ALIGNER_ID"):
+        pytest.skip("no FORCED_ALIGNER_ID configured for the server")
+
+    status, body, _ = _post_multipart(
+        BASE_URL + "/v1/audio/subtitles", str(wav),
+        {"language": "en", "mode": "accurate"})
+    assert status == 200, body
+    srt = body.decode("utf-8")
+    blocks = re.findall(
+        r"(\d+)\n(\d{2}:\d{2}:\d{2},\d{3}) --> (\d{2}:\d{2}:\d{2},\d{3})\n",
+        srt)
+    assert blocks, f"no SRT blocks in:\n{srt[:400]}"
+    assert [int(b[0]) for b in blocks] == list(range(1, len(blocks) + 1))
+
+    def _t(s):
+        h, m, rest = s.split(":")
+        sec, ms = rest.split(",")
+        return int(h) * 3600 + int(m) * 60 + int(sec) + int(ms) / 1000
+    last_end = 0.0
+    for _, start, end in blocks:
+        assert _t(start) >= last_end - 1e-3
+        assert _t(end) > _t(start)
+        last_end = _t(start)
+    assert _t(blocks[-1][2]) <= 12.0  # clip is ~10.6 s
+
+    # every transcript word appears in the SRT caption TEXT (the model is
+    # exact here). Caption lines = everything that isn't an index line or
+    # a timestamp line.
+    text_lines = [ln for ln in srt.splitlines()
+                  if ln.strip() and "-->" not in ln
+                  and not re.fullmatch(r"\d+", ln.strip())]
+    srt_words = set(" ".join(text_lines).lower().split())
+    expected_words = set(txt.read_text().strip().lower().split())
+    missing = expected_words - srt_words
+    assert not missing, f"words missing from SRT: {missing}"

@@ -67,22 +67,27 @@ def build_tokenizer(texts, out_path: str, vocab_size: int = 2048) -> None:
     tok.save(out_path)
 
 
-def build_config(vocab_size: int, specials: dict):
+def build_config(vocab_size: int, specials: dict, draft: bool = False):
     """Small-but-capable architecture: ~8 M params, enough to memorize a
-    dozen clips while training in minutes on CPU."""
+    dozen clips while training in minutes on CPU. ``draft=True`` halves
+    width/depth — a companion checkpoint for speculative decoding."""
     from ..models.config import AsrConfig, AudioEncoderConfig, DecoderConfig
-    hidden = 192
+    hidden = 96 if draft else 192
     return AsrConfig(
         encoder=AudioEncoderConfig(
-            num_mel_bins=32, d_model=96, encoder_layers=3,
-            encoder_attention_heads=4, encoder_ffn_dim=256,
+            num_mel_bins=32, d_model=64 if draft else 96,
+            encoder_layers=2 if draft else 3,
+            encoder_attention_heads=4,
+            encoder_ffn_dim=128 if draft else 256,
             output_dim=hidden, downsample_hidden_size=16,
             n_window=50, n_window_infer=200, conv_chunksize=500,
             max_source_positions=1500),
         decoder=DecoderConfig(
             vocab_size=vocab_size, hidden_size=hidden,
-            intermediate_size=512, num_hidden_layers=4,
-            num_attention_heads=4, num_key_value_heads=2, head_dim=48,
+            intermediate_size=256 if draft else 512,
+            num_hidden_layers=2 if draft else 4,
+            num_attention_heads=4, num_key_value_heads=2,
+            head_dim=24 if draft else 48,
             rms_norm_eps=1e-6, rope_theta=1_000_000.0,
             tie_word_embeddings=True),
         audio_token_id=specials["<|AUDIO|>"],
@@ -102,6 +107,12 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--force", action="store_true",
                         help="retrain even if the output already exists")
+    parser.add_argument("--draft", action="store_true",
+                        help="half-size architecture (speculative draft)")
+    parser.add_argument("--tokenizer", default=None,
+                        help="reuse an existing tokenizer.json (REQUIRED "
+                             "for a draft paired with a main checkpoint: "
+                             "token-level speculation needs shared ids)")
     args = parser.parse_args()
 
     manifest_path = os.path.join(args.output, "overfit_manifest.json")
@@ -135,12 +146,17 @@ def main():
 
     os.makedirs(args.output, exist_ok=True)
     tok_path = os.path.join(args.output, "tokenizer.json")
-    build_tokenizer([t for _, t, _ in rows], tok_path)
+    if args.tokenizer:
+        import shutil
+        shutil.copyfile(args.tokenizer, tok_path)
+    else:
+        build_tokenizer([t for _, t, _ in rows], tok_path)
     tokenizer = BpeTokenizer.from_file(tok_path)
     with open(tok_path) as f:
         specials = {t["content"]: t["id"]
                     for t in json.load(f)["added_tokens"]}
-    cfg = build_config(max(2048, tokenizer.vocab_size), specials)
+    cfg = build_config(max(2048, tokenizer.vocab_size), specials,
+                       draft=args.draft)
 
     key = jax.random.PRNGKey(args.seed)
     k_enc, k_dec = jax.random.split(key)

@@ -1,0 +1,113 @@
+"""Token-level speculative decoding measured with REAL text.
+
+Round-2 left the speculative machinery correctness-proven but
+unmeasurable ("acceptance rate needs real token statistics"). The
+overfit-trained main + draft checkpoints (tools/overfit.py [--draft])
+provide exactly that: both emit real transcripts, so this measures
+acceptance rate, rounds, and wall latency per clip — and asserts the
+speculative output matches plain greedy EXACTLY.
+
+    JAX_PLATFORMS=cpu python tools_perf/speculative_eval.py \
+        [--main e2e/data/trained_ckpt] [--draft e2e/data/trained_draft]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--main", default="e2e/data/trained_ckpt")
+    parser.add_argument("--draft", default="e2e/data/trained_draft")
+    parser.add_argument("--data-dir", default="e2e/data/real")
+    parser.add_argument("--gamma", type=int, default=4)
+    args = parser.parse_args()
+
+    os.environ["ASR_SPEC_GAMMA"] = str(args.gamma)
+    from qwen3_asr_tpu.utils.platform import honor_platform_env
+    honor_platform_env()
+    import numpy as np
+    from pathlib import Path
+
+    from qwen3_asr_tpu.audio.codec import decode_audio
+    from qwen3_asr_tpu.runtime.engine import PREFIX_BUDGET
+    from qwen3_asr_tpu.runtime.lifecycle import _load_engine_sync
+
+    engine = _load_engine_sync(os.path.abspath(args.main))
+    draft_engine = _load_engine_sync(os.path.abspath(args.draft))
+
+    clips = []
+    for wav in sorted(Path(args.data_dir).glob("*.wav")):
+        lang_f = wav.with_suffix(".lang")
+        lang = lang_f.read_text().strip() if lang_f.exists() else "en"
+        with open(wav, "rb") as f:
+            audio, sr = decode_audio(f.read())
+        clips.append((wav.stem, audio, sr, lang))
+
+    # Baseline greedy (no draft attached).
+    base = {}
+    for name, audio, sr, lang in clips:
+        engine.transcribe(audio, sr, language=lang)        # warm
+        t0 = time.time()
+        res = engine.transcribe(audio, sr, language=lang)
+        base[name] = (res[0].text, time.time() - t0, len(res[0].token_ids))
+
+    engine.attach_draft(draft_engine.model)
+    import jax.numpy as jnp
+
+    rows, mism = [], 0
+    for name, audio, sr, lang in clips:
+        engine.transcribe(audio, sr, language=lang)        # warm/compile
+        t0 = time.time()
+        res = engine.transcribe(audio, sr, language=lang)
+        spec_s = time.time() - t0
+        text, ids = res[0].text, res[0].token_ids
+        b_text, b_s, n_tok = base[name]
+        if text != b_text:
+            mism += 1
+
+        # rounds/acceptance straight from the fused spec executable
+        bf, bs = engine.bucket_frames(len(audio))
+        n_samples = bf * 160
+        buf = np.zeros((1, n_samples), np.float32)
+        buf[0, :min(len(audio), n_samples)] = audio[:n_samples]
+        prefix_ids, _, _ = engine.model.prompt_ids(0, lang)
+        prefix_ids = prefix_ids[-PREFIX_BUDGET:]
+        pad = PREFIX_BUDGET - len(prefix_ids)
+        prefix = np.full((1, PREFIX_BUDGET), engine.model.pad_id, np.int32)
+        prefix[0, pad:] = prefix_ids
+        fn = engine._fused_spec_fn(bf, bs)
+        result = fn(engine.model.params, engine.draft_model.params,
+                    jnp.asarray(buf), jnp.asarray(prefix),
+                    jnp.asarray([pad], np.int32))
+        rounds = int(result.steps)
+        length = int(result.lengths[0])
+        rows.append({
+            "clip": name, "tokens": length, "rounds": rounds,
+            "accepted_per_round": round(length / max(rounds, 1), 2),
+            "greedy_s": round(b_s, 3), "spec_s": round(spec_s, 3),
+            "speedup": round(b_s / max(spec_s, 1e-9), 2),
+            "match": text == b_text,
+        })
+
+    total_tok = sum(r["tokens"] for r in rows)
+    total_rounds = sum(r["rounds"] for r in rows)
+    print(json.dumps({
+        "gamma": args.gamma,
+        "clips": len(rows),
+        "text_mismatches": mism,
+        "mean_accepted_per_round": round(total_tok / max(total_rounds, 1), 2),
+        "acceptance_vs_gamma": round(
+            total_tok / max(total_rounds, 1) / args.gamma, 2),
+        "mean_speedup": round(
+            sum(r["speedup"] for r in rows) / len(rows), 2),
+        "rows": rows,
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()
