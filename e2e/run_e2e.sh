@@ -24,6 +24,12 @@ cleanup() {
 }
 trap cleanup EXIT
 
+# Translation tier: the suite starts a local OpenAI-compatible fake LLM on
+# this port; the server reads OPENAI_BASE_URL per request, so exporting it
+# here (before server boot) wires /v1/audio/translations end-to-end.
+export OPENAI_BASE_URL="${OPENAI_BASE_URL:-http://localhost:18999/v1}"
+export ASR_E2E_FAKE_LLM_PORT="${ASR_E2E_FAKE_LLM_PORT:-18999}"
+
 MODE="server"
 if [ "${1:-}" = "--with-gateway" ]; then
   MODE="gateway"; set -- "--with-server" "${@:2}"

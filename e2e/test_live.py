@@ -538,3 +538,62 @@ def test_subtitles_accurate_real_speech(ensure_server):
     expected_words = set(txt.read_text().strip().lower().split())
     missing = expected_words - srt_words
     assert not missing, f"words missing from SRT: {missing}"
+
+
+def test_translations_json_and_srt(ensure_server, audio_fixtures):
+    """/v1/audio/translations end-to-end against a local OpenAI-compatible
+    fake LLM (reference src/server.py:647-742 + translator contract): json
+    mode returns original+translated text; srt mode returns translated
+    SRT. The fake echoes a marker so the response provably flowed through
+    the LLM call."""
+    port = os.getenv("ASR_E2E_FAKE_LLM_PORT")
+    if not port:
+        pytest.skip("no fake-LLM port configured (run via run_e2e.sh)")
+
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class FakeLLM(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(n))
+            user = payload["messages"][-1]["content"]
+            if "SRT Content:" in user:
+                content = user.split("SRT Content:\n", 1)[1]
+                content = content.replace("\n\n", "\nTRANSLATED\n\n", 1) \
+                    if "\n\n" in content else content + "\nTRANSLATED"
+            else:
+                content = "TRANSLATED: " + user.split("Text: ", 1)[-1][:60]
+            body = json.dumps({"choices": [{"message": {
+                "content": content}}]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", int(port)), FakeLLM)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, body, _ = _post_multipart(
+            BASE_URL + "/v1/audio/translations",
+            audio_fixtures["speech_2s"],
+            {"language": "en", "response_format": "json"})
+        assert status == 200, body
+        data = json.loads(body)
+        assert "TRANSLATED" in data.get("text", ""), data
+        assert data.get("language") == "en"
+
+        status, body, _ = _post_multipart(
+            BASE_URL + "/v1/audio/translations",
+            audio_fixtures["speech_2s"],
+            {"language": "en", "response_format": "srt"})
+        assert status == 200, body
+        assert b"TRANSLATED" in body
+    finally:
+        srv.shutdown()
+        srv.server_close()
