@@ -191,3 +191,54 @@ def test_pool_serving_integration(tmp_path, monkeypatch):
         finally:
             await client.close()
     asyncio.new_event_loop().run_until_complete(go())
+
+
+def test_pool_churn_stress(engine):
+    """Heavy oversubscription with mixed sizes: 12 requests through 3
+    slots at a tiny segment — constant admission/retirement churn through
+    the pipelined driver must stay exact."""
+    from qwen3_asr_tpu.runtime.pool import DecodePool
+    rng = np.random.default_rng(0)
+    clips = [(speech_like(float(rng.uniform(0.4, 2.5)), seed=20 + i),
+              "en" if i % 2 else "zh") for i in range(12)]
+    expected = [engine.transcribe(a, 16000, language=l)[0].text
+                for a, l in clips]
+    pool = DecodePool(engine, slots=3, segment=3)
+    try:
+        results = _collect(pool, clips)
+    finally:
+        pool.stop()
+    for i, text in enumerate(expected):
+        assert results[i][1] == text, f"clip {i}"
+
+
+def test_pool_under_mesh(tmp_path, monkeypatch):
+    """ASR_CONTINUOUS_BATCHING composes with ASR_MESH_DP/TP: the pool's
+    executables run against dp/tp-sharded params on a virtual 8-device
+    mesh and still match the unsharded fused engine."""
+    import jax
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    from qwen3_asr_tpu.runtime.lifecycle import _load_engine_sync
+    from qwen3_asr_tpu.runtime.pool import DecodePool
+
+    ckpt = str(tmp_path / "ckpt")
+    write_tiny_checkpoint(ckpt)
+    monkeypatch.setenv("SKIP_WARMUP", "true")
+    plain = _load_engine_sync(ckpt)
+    clips = [(speech_like(0.8, seed=31), "en"),
+             (speech_like(1.4, seed=32), "en")]
+    expected = [plain.transcribe(a, 16000, language=l)[0].text
+                for a, l in clips]
+
+    monkeypatch.setenv("ASR_MESH_DP", "4")
+    monkeypatch.setenv("ASR_MESH_TP", "2")
+    sharded = _load_engine_sync(ckpt)
+    assert sharded.mesh is not None
+    pool = DecodePool(sharded, slots=2, segment=4)
+    try:
+        results = _collect(pool, clips)
+    finally:
+        pool.stop()
+    for i, text in enumerate(expected):
+        assert results[i][1] == text
