@@ -254,8 +254,9 @@ class ModelManager:
         # IDLE_TIMEOUT — unloading now would rip the engine out from under a
         # request already past ensure_loaded().
         if (time.time() - self._last_activity() <= self.idle_timeout
-                or self.queue.depth > 0):
-            log.info("Skipping idle unload: engine used or queue non-empty")
+                or self.queue.depth > 0
+                or (self.pool is not None and self.pool.depth > 0)):
+            log.info("Skipping idle unload: engine used or work in flight")
             return
         log.info("Unloading model (idle timeout)...")
         from ..sidecars import subtitle

@@ -120,6 +120,18 @@ class DecodePool:
         with self._cv:
             self._cv.notify()
         self._thread.join(timeout=10)
+        # Anything still queued or occupying a slot can never finish —
+        # fail it rather than leaving callers to hit their timeouts.
+        err = RuntimeError("decode pool stopped")
+        with self._cv:
+            pending, self._pending = self._pending, []
+        for req in pending:
+            req.set_error(err)
+        for s in range(self.slots):
+            req, self._owner[s] = self._owner[s], None
+            self._active[s] = False
+            if req is not None:
+                req.set_error(err)
 
     @property
     def depth(self) -> int:
