@@ -70,8 +70,11 @@ print('checkpoint at $CKPT_DIR')"
   fi
   if [ "$MODE" = "gateway" ]; then
     # Gateway on :PORT spawning a real worker on :WORKER_PORT — the full
-    # process split (reference compose default GATEWAY_MODE=true).
+    # process split (reference compose default GATEWAY_MODE=true). The
+    # worker's /translate?format=srt uses ACCURATE subtitles (reference
+    # worker.py:229 delta), so it needs an aligner checkpoint.
     JAX_PLATFORMS=cpu MODEL_ID="$CKPT_DIR" GATEWAY_MODE=true \
+      FORCED_ALIGNER_ID="${FORCED_ALIGNER_ID:-$CKPT_DIR}" \
       WORKER_PORT="${WORKER_PORT:-18801}" USE_CUDA_GRAPHS="${USE_CUDA_GRAPHS:-true}" \
       IDLE_TIMEOUT=0 \
       python -m qwen3_asr_tpu.serving.gateway --port "$PORT" &
