@@ -174,15 +174,23 @@ def _layer(cfg: DecoderConfig, hidden: jax.Array, lp: dict,
     k = apply_rope(k, cos, sin)
 
     # Write this segment into the stacked cache at (layer_idx, write_pos) —
-    # only the T new tokens touch HBM. A per-row write_pos ([B], decode
-    # steps only) scatters each row at its own offset — the continuous-
-    # batching form where pooled requests sit at different positions.
+    # only the T new tokens touch HBM. A per-row write_pos ([B]) scatters
+    # each row's segment at its own offset — continuous batching (pooled
+    # requests at different positions, T=1) and batched speculative verify
+    # windows (per-row accept counts, T=γ).
     if write_pos.ndim == 1:
         rows = jnp.arange(b)
-        k_all = k_all.at[layer_idx, rows, :, write_pos].set(
-            k[:, :, 0].astype(k_all.dtype))
-        v_all = v_all.at[layer_idx, rows, :, write_pos].set(
-            v[:, :, 0].astype(v_all.dtype))
+        if t == 1:
+            k_all = k_all.at[layer_idx, rows, :, write_pos].set(
+                k[:, :, 0].astype(k_all.dtype))
+            v_all = v_all.at[layer_idx, rows, :, write_pos].set(
+                v[:, :, 0].astype(v_all.dtype))
+        else:
+            offs = write_pos[:, None] + jnp.arange(t)[None, :]   # [B, T]
+            k_all = k_all.at[layer_idx, rows[:, None], :, offs].set(
+                k.transpose(0, 2, 1, 3).astype(k_all.dtype))
+            v_all = v_all.at[layer_idx, rows[:, None], :, offs].set(
+                v.transpose(0, 2, 1, 3).astype(v_all.dtype))
     else:
         k_all = jax.lax.dynamic_update_slice(
             k_all, k.astype(k_all.dtype)[None],

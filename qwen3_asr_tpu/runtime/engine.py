@@ -191,8 +191,9 @@ class TranscriptionEngine:
         return run
 
     def _fused_spec_fn(self, bucket_frames: int, bucket_s: float):
-        """Fused speculative executable (batch 1): frontend → BOTH encoders →
-        both prompts → on-device draft/verify loop."""
+        """Fused speculative executable (any batch): frontend → BOTH
+        encoders → both prompts → on-device draft/verify loop with per-row
+        accept frontiers (runtime/speculative.py)."""
         import os as _os
         gamma = int(_os.getenv("ASR_SPEC_GAMMA", "4"))
         if gamma < 2:
@@ -221,10 +222,12 @@ class TranscriptionEngine:
         cache_dtype = self.cache_dtype
 
         def build_prompt(model, params, audio_embeds, prefix_ids, suffix):
+            bb = audio_embeds.shape[0]
             pre = embed_tokens(params["decoder"], model.cfg.decoder,
                                prefix_ids)
             suf = embed_tokens(params["decoder"], model.cfg.decoder,
-                               suffix[None, :])
+                               jnp.broadcast_to(suffix[None, :],
+                                                (bb, suffix.shape[0])))
             return jnp.concatenate(
                 [pre.astype(dtype), audio_embeds.astype(dtype),
                  suf.astype(dtype)], axis=1)
@@ -239,7 +242,7 @@ class TranscriptionEngine:
                                      n_mels)
                 return m
             mel = jax.vmap(mel_one)(audio).astype(dtype)
-            flens = jnp.full((1,), bucket_frames, jnp.int32)
+            flens = jnp.full((audio.shape[0],), bucket_frames, jnp.int32)
 
             emb_v, _ = enc_fwd(verify_params["encoder"], verify.cfg.encoder,
                                mel, flens)
@@ -362,7 +365,9 @@ class TranscriptionEngine:
                         jnp.asarray(prefix), jnp.asarray(valid_from),
                         jnp.asarray(prev),
                         jnp.asarray([len(usable)], jnp.int32))
-        elif self.draft_model is not None and batch == 1:
+        elif self.draft_model is not None:
+            # Any batch: per-row accept frontiers diverge on-device
+            # (per-row cache offsets + per-row causal q_offset).
             fn = self._fused_spec_fn(bucket_frames, bucket_s)
             result = fn(self.model.params, self.draft_model.params,
                         jnp.asarray(audio), jnp.asarray(prefix),

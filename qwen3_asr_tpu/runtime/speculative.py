@@ -1,4 +1,4 @@
-"""Token-level speculative decoding — entirely on-device.
+"""Token-level speculative decoding — entirely on-device, any batch size.
 
 Upgrade over the reference's RESULT-level speculative heuristic (draft the
 whole clip with 0.6B, re-run 1.7B if the text "looks complex",
@@ -9,14 +9,18 @@ decoding, with up to γ× fewer verifier steps. The whole loop — both models'
 decode steps, acceptance logic, EOS tracking — runs inside one
 ``lax.while_loop`` executable (single dispatch per request).
 
+Batched rows accept DIFFERENT prefix lengths per round, so their text
+frontiers diverge: per-row cache write offsets (models/decoder.py
+``write_pos[B]``, including the T=γ verify window) and per-row causal
+``q_offset`` keep every row's cache and masks consistent. Rows that
+finish (EOS / budget) freeze — their writes land at frozen positions
+outside their attendable range.
+
 Cache bookkeeping uses the no-bonus invariant: at each round start, both
 models' caches hold K/V through text position ``text_len-2`` and ``last``
 is the (unprocessed) token at ``text_len-1``. Rejected draft K/V entries
 are never rolled back — causal masking hides them and future writes at the
 same positions overwrite them.
-
-Restriction: batch 1 (per-row accept counts would need per-row cache write
-offsets). Serving requests are per-clip, so this is the hot case.
 """
 from __future__ import annotations
 
@@ -40,10 +44,10 @@ from .generate import GenerateResult
 class _Carry(NamedTuple):
     cache_d: KVCache
     cache_v: KVCache
-    last: jax.Array       # [1] current frontier token (unprocessed)
-    text_len: jax.Array   # scalar: tokens emitted incl. frontier
-    tokens: jax.Array     # [1, max_new]
-    done: jax.Array       # [1]
+    last: jax.Array       # [B] current frontier token (unprocessed)
+    text_len: jax.Array   # [B] tokens emitted incl. frontier
+    tokens: jax.Array     # [B, buf_len]
+    done: jax.Array       # [B]
     rounds: jax.Array     # scalar: verifier forward count (telemetry)
 
 
@@ -54,10 +58,9 @@ def speculative_generate(draft_params, verify_params,
                          *, gamma: int, max_new: int, eos_id: int,
                          pad_id: int, cache_dtype=jnp.bfloat16
                          ) -> GenerateResult:
-    """embeds_d/v: [1, prompt_len_*, H_*] — each model's own prompt embeds
+    """embeds_d/v: [B, prompt_len_*, H_*] — each model's own prompt embeds
     (own encoder output spliced in). Returns the verifier-greedy sequence."""
     b = embeds_d.shape[0]
-    assert b == 1, "speculative decoding is per-request (batch 1)"
     assert gamma >= 2, "gamma must be >= 2"
     plen_d, plen_v = embeds_d.shape[1], embeds_v.shape[1]
     buf_len = max_new + gamma  # slack so window writes never clamp-shift
@@ -87,28 +90,29 @@ def speculative_generate(draft_params, verify_params,
     done0 = first == eos_id
 
     def decode_step(params, cfg, cache, valid_from, token, pos):
-        """Single-token step at absolute position pos → (cache, next_logits)."""
+        """Single-token step at per-row positions pos [B] → (cache, logits)."""
         hidden = embed_tokens(params, cfg, token[:, None])
-        positions = jnp.full((b, 1), pos, jnp.int32)
-        spec = AttnSpec(valid_from=valid_from,
-                        valid_to=jnp.full((b,), pos + 1, jnp.int32))
+        positions = pos[:, None]
+        spec = AttnSpec(valid_from=valid_from, valid_to=pos + 1)
         hidden, cache = decoder_forward(params, cfg, hidden, positions,
-                                        cache, pos.astype(jnp.int32), spec)
+                                        cache, pos, spec)
         return cache, lm_logits(params, cfg, hidden[:, -1])
 
+    rows = jnp.arange(b)
+    slot = jnp.arange(gamma)
+
     def cond(c: _Carry):
-        return (c.text_len < max_new) & ~jnp.all(c.done)
+        return ~jnp.all(c.done | (c.text_len >= max_new))
 
     def body(c: _Carry):
-        frontier_pos_d = plen_d + c.text_len - 1   # draft-space position
-        frontier_pos_v = plen_v + c.text_len - 1
+        frontier_d = plen_d + c.text_len - 1       # [B] draft-space pos
+        frontier_v = plen_v + c.text_len - 1       # [B]
 
         # ---- 1) draft γ tokens -------------------------------------------------
         def draft_step(i, st):
             cache_d, x, drafts = st
             cache_d, logits = decode_step(draft_params, draft_cfg, cache_d,
-                                          valid_from_d, x,
-                                          frontier_pos_d + i)
+                                          valid_from_d, x, frontier_d + i)
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             drafts = drafts.at[:, i].set(nxt)
             return cache_d, nxt, drafts
@@ -118,54 +122,56 @@ def speculative_generate(draft_params, verify_params,
             0, gamma, draft_step, (c.cache_d, c.last, drafts0))
 
         # ---- 2) verify in one forward ------------------------------------------
-        # inputs: [last, d_0..d_{γ-2}] at positions frontier_v..frontier_v+γ-1
+        # inputs: [last, d_0..d_{γ-2}] at per-row positions frontier_v+i
         verify_ids = jnp.concatenate([c.last[:, None], drafts[:, :gamma - 1]],
-                                     axis=1)                       # [1, γ]
+                                     axis=1)                       # [B, γ]
         hidden = embed_tokens(verify_params, verify_cfg, verify_ids)
-        positions = (frontier_pos_v
-                     + jnp.broadcast_to(jnp.arange(gamma), (b, gamma)))
-        spec = AttnSpec(causal=True, q_offset=frontier_pos_v,
+        positions = frontier_v[:, None] + slot[None, :]
+        spec = AttnSpec(causal=True, q_offset=frontier_v,
                         valid_from=valid_from_v)
         hidden, cache_v = decoder_forward(
             verify_params, verify_cfg, hidden, positions, c.cache_v,
-            frontier_pos_v.astype(jnp.int32), spec)
+            frontier_v, spec)
         preds = jnp.argmax(lm_logits(verify_params, verify_cfg, hidden),
-                           axis=-1).astype(jnp.int32)              # [1, γ]
+                           axis=-1).astype(jnp.int32)              # [B, γ]
 
-        # ---- 3) accept matching prefix ------------------------------------------
-        matches = (preds == drafts)[0]                               # [γ]
-        # n = length of the matching prefix (0..γ)
+        # ---- 3) accept matching prefix, per row ---------------------------------
+        matches = preds == drafts                                   # [B, γ]
+        # n_s[r] = length of row r's matching prefix (0..γ)
         n_s = jnp.argmin(jnp.concatenate(
-            [matches, jnp.zeros((1,), bool)]).astype(jnp.int32))
-
-        slot = jnp.arange(gamma)
+            [matches, jnp.zeros((b, 1), bool)], axis=1).astype(jnp.int32),
+            axis=1)                                                 # [B]
+        correction = jnp.take_along_axis(
+            preds, jnp.minimum(n_s, gamma - 1)[:, None], axis=1)    # [B, 1]
         # slot i: draft_i for i<n; verifier correction at i==n (when n<γ)
-        accepted = jnp.where(slot < n_s, drafts[0],
-                             jnp.where(slot == n_s, preds[0, n_s], pad_id))
-        n_accept = jnp.where(n_s == gamma, gamma, n_s + 1)
+        accepted = jnp.where(slot[None, :] < n_s[:, None], drafts,
+                             jnp.where(slot[None, :] == n_s[:, None],
+                                       correction, pad_id))         # [B, γ]
+        n_accept = jnp.where(n_s == gamma, gamma, n_s + 1)          # [B]
 
-        # EOS truncation inside the window
-        hit_eos = (accepted == eos_id) & (slot < n_accept)
-        any_eos = jnp.any(hit_eos)
-        first_eos = jnp.argmax(hit_eos)  # valid only when any_eos
+        # EOS truncation inside each row's window
+        hit_eos = (accepted == eos_id) & (slot[None, :] < n_accept[:, None])
+        any_eos = jnp.any(hit_eos, axis=1)                          # [B]
+        first_eos = jnp.argmax(hit_eos, axis=1)                     # [B]
         n_eff = jnp.where(any_eos, first_eos + 1, n_accept)
-        n_eff = jnp.where(c.done[0], 0, n_eff)
+        n_eff = jnp.where(c.done, 0, n_eff)                         # [B]
 
-        window = jnp.where(slot < n_eff, accepted, pad_id)[None, :]
-        old = jax.lax.dynamic_slice(c.tokens, (0, c.text_len), (1, gamma))
-        window = jnp.where(slot[None, :] < n_eff, window, old)
-        tokens = jax.lax.dynamic_update_slice(c.tokens, window,
-                                              (0, c.text_len))
+        # per-row window write at per-row offsets (buf_len has γ slack)
+        offs = c.text_len[:, None] + slot[None, :]                  # [B, γ]
+        old = c.tokens[rows[:, None], offs]
+        window = jnp.where(slot[None, :] < n_eff[:, None], accepted, old)
+        tokens = c.tokens.at[rows[:, None], offs].set(window)
 
         done = c.done | any_eos
-        last = jnp.where(n_eff > 0, accepted[jnp.maximum(n_eff - 1, 0)],
-                         c.last[0])[None]
+        last_new = jnp.take_along_axis(
+            accepted, jnp.maximum(n_eff - 1, 0)[:, None], axis=1)[:, 0]
+        last = jnp.where(n_eff > 0, last_new, c.last)
         text_len = jnp.minimum(c.text_len + n_eff, max_new)
         return _Carry(cache_d, cache_v, last, text_len, tokens, done,
                       c.rounds + 1)
 
-    init = _Carry(cache_d, cache_v, first, jnp.int32(1), tokens0, done0,
-                  jnp.int32(0))
+    init = _Carry(cache_d, cache_v, first, jnp.full((b,), 1, jnp.int32),
+                  tokens0, done0, jnp.int32(0))
     final = jax.lax.while_loop(cond, body, init)
 
     tokens = final.tokens[:, :max_new]
