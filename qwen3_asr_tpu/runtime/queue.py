@@ -82,6 +82,11 @@ class PriorityInferQueue:
                 await self._wakeup.wait()
                 continue
             fn, reply = entry
+            if reply.done():
+                # Submitter cancelled while queued (client disconnect
+                # cancels the awaiting handler, which cancels this future)
+                # — skip the device work entirely.
+                continue
             try:
                 outcome = await loop.run_in_executor(_device_thread, fn)
             except Exception as exc:

@@ -196,3 +196,38 @@ def test_dual_model_fast_for_partials(monkeypatch):
                                use_fast=True)[0].text == "fast"
     assert mgr.transcribe_sync(None, 16000, "en", False,
                                use_fast=False)[0].text == "full"
+
+
+def test_queue_cancelled_job_skips_device_work():
+    """A job whose submitter was cancelled while queued (client
+    disconnect) must never dispatch — docs/ROADMAP.md serving item."""
+    async def go():
+        q = PriorityInferQueue()
+        q.start()
+        ran = []
+        gate = threading.Event()
+        started = threading.Event()
+
+        def first():
+            started.set()
+            gate.wait(timeout=10)
+            ran.append("first")
+
+        t_first = asyncio.create_task(q.submit(first, priority=1))
+        while not started.is_set():
+            await asyncio.sleep(0.001)
+        t_doomed = asyncio.create_task(
+            q.submit(lambda: ran.append("doomed"), priority=1))
+        t_kept = asyncio.create_task(
+            q.submit(lambda: ran.append("kept"), priority=1))
+        while q.depth < 2:
+            await asyncio.sleep(0.001)
+        t_doomed.cancel()          # client went away while queued
+        gate.set()
+        await t_first
+        await t_kept
+        with pytest.raises(asyncio.CancelledError):
+            await t_doomed
+        q.stop()
+        assert ran == ["first", "kept"]   # doomed never ran
+    _run(go())
