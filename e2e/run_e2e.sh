@@ -6,6 +6,7 @@
 #   ./e2e/run_e2e.sh --with-trained-server # serve the overfit-trained ckpt:
 #                                          # the WER/CER accuracy gate EXECUTES
 #   ./e2e/run_e2e.sh --with-gateway        # full gateway/worker process split
+#   ./e2e/run_e2e.sh --with-trained-gateway # accuracy gates through the split
 #
 # --with-server uses a tiny random checkpoint (generated on the fly) so the
 # full serving stack E2Es on any machine — the reference's fake-backend tier
@@ -33,6 +34,10 @@ export ASR_E2E_FAKE_LLM_PORT="${ASR_E2E_FAKE_LLM_PORT:-18999}"
 MODE="server"
 if [ "${1:-}" = "--with-gateway" ]; then
   MODE="gateway"; set -- "--with-server" "${@:2}"
+fi
+if [ "${1:-}" = "--with-trained-gateway" ]; then
+  # Accuracy gates through the FULL gateway/worker process split.
+  MODE="gateway"; set -- "--with-trained-server" "${@:2}"
 fi
 if [ "${1:-}" = "--with-trained-server" ]; then
   # Serve the overfit-trained checkpoint (real text) and point the
