@@ -24,7 +24,7 @@ converter stacks per-layer tensors (runtime/checkpoint.py).
 from __future__ import annotations
 
 import os
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,24 +34,54 @@ from ..ops.quant import qdot
 from .config import DecoderConfig
 
 
-def _use_stacked_decode(t: int, s: int, d: int, spec: AttnSpec) -> bool:
-    """Trace-time choice: route single-token decode attention through the
-    stacked-cache Pallas kernel (ops/decode_attention.py). EXPLICIT opt-in
-    only (ASR_ATTN_BACKEND=decode|decode_interpret): measured on v5e at
-    B32/S512 the (B·n_kv)-instance grid serializes 32 KB DMAs and loses to
-    the unrolled-XLA path (16.1 vs ~4.6 ms/step) — it may still win for
-    few-instance/long-cache shapes. Requires a block-aligned cache and the
-    decode-step mask shape (valid_from/to, no causal/window)."""
+def _decode_kernel_choice(t: int, b: int, nq: int, nkv: int, s: int, d: int,
+                          spec: AttnSpec):
+    """Trace-time choice of Pallas kernel for single-token decode attention.
+
+    Returns None (XLA path), or ("legacy"|"bstream", interpret: bool).
+
+    * "bstream" — ops/decode_attention_batch.py, the batch-major
+      cache-streaming kernel. EXPLICIT opt-in only: measured v5e
+      B96/S512 fp8 it runs 41-43 ms/step vs XLA's 5.9 ms — the packed
+      cross-product formulation's >=64x redundant FLOPs plus packed-layout
+      mask evaluation dominate, even though its slab DMAs alone stream at
+      685 GB/s (see the kernel docstring for why this is structural for
+      G=2 GQA). Kept as the measured end-point of the batch-major design
+      space and the seam for sub-byte KV formats. Requires head_dim 128
+      and a block-aligned cache.
+    * "legacy" — ops/decode_attention.py, one (row, kv-head) per grid
+      instance. EXPLICIT opt-in only: its 32 KB DMAs serialize at serving
+      batches (16.1 vs ~4.6 ms/step at B32/S512) — kept for
+      few-instance/long-cache shapes.
+
+    Both need the decode-step mask shape (valid_from/to, no causal/window).
+    """
     backend = os.getenv("ASR_ATTN_BACKEND", "auto")
-    if backend == "decode_interpret":
-        pass  # CPU test mode: force the kernel in interpret mode
-    elif backend != "decode" or jax.default_backend() != "tpu":
-        return False
+    interpret = backend.endswith("_interpret")
+    base = backend[:-10] if interpret else backend
+    if not interpret and jax.default_backend() != "tpu":
+        return None
     if t != 1 or spec.causal or spec.window_block != 0:
-        return False
+        return None
     if spec.valid_from is None or spec.valid_to is None:
-        return False
-    return d >= 64 and s % 128 == 0 and s >= 256
+        return None
+    if base == "decode":
+        if d >= 64 and s % 128 == 0 and s >= 256:
+            return "legacy", interpret
+        return None
+    bstream_ok = (d == 128 and s % 128 == 0 and s >= 128
+                  and nq == nkv * (nq // nkv))
+    if base == "bstream":
+        if bstream_ok:
+            from ..ops.decode_attention_batch import pick_tile
+            if pick_tile(b, nq, nkv, s, 1) is not None:
+                return "bstream", interpret
+        return None
+    # "auto" stays on the XLA fused einsum: both Pallas decode kernels
+    # measured SLOWER at every serving shape (see docstring above and
+    # docs/ROADMAP.md round-3 kernel study); the byte-count lever that
+    # actually wins is the int4 KV cache, which XLA handles directly.
+    return None
 
 
 def _unroll_decode(t: int) -> bool:
@@ -70,8 +100,13 @@ def _unroll_decode(t: int) -> bool:
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # [L, B, n_kv, S, D]
-    v: jax.Array  # [L, B, n_kv, S, D]
+    """[L, B, n_kv, S, D] stacked cache; k_scale/v_scale are present only
+    for sub-byte quantized caches (int4): per-(token, head) dequant scales
+    [L, B, n_kv, S, 1] in bf16 (~3% of the nibble payload)."""
+    k: jax.Array
+    v: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @property
     def max_len(self) -> int:
@@ -82,7 +117,30 @@ def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
                   dtype=jnp.bfloat16) -> KVCache:
     shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads,
              max_len, cfg.head_dim)
+    if dtype == jnp.int4:
+        # int4 KV: halves the dominant decode-step HBM read vs fp8
+        # (measured v5e B96/S512: XLA attention phase 5.9 -> 3.8 ms/step).
+        # XLA stores int4 packed (2 values/byte) on TPU.
+        sshape = shape[:-1] + (1,)
+        return KVCache(jnp.zeros(shape, jnp.int4),
+                       jnp.zeros(shape, jnp.int4),
+                       jnp.zeros(sshape, jnp.bfloat16),
+                       jnp.zeros(sshape, jnp.bfloat16))
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _kv_quantize(x: jax.Array):
+    """[..., D] float -> (int4 values, bf16 scale [..., 1]).
+
+    Symmetric per-(token, head) absmax scaling: K is RMS-normalized per
+    head (Qwen3 QK-norm) so its dynamic range per token is tight; V is
+    not, which is why the scale granularity is per token rather than per
+    channel or per layer."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 7.0,
+                        1e-8)
+    q = jnp.clip(jnp.round(xf / scale), -8, 7)
+    return q.astype(jnp.int4), scale.astype(jnp.bfloat16)
 
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
@@ -147,12 +205,12 @@ def init_decoder_params(cfg: DecoderConfig, key: jax.Array,
 
 def _layer(cfg: DecoderConfig, hidden: jax.Array, lp: dict,
            cos: jax.Array, sin: jax.Array,
-           k_all: jax.Array, v_all: jax.Array, layer_idx: jax.Array,
+           cache: KVCache, layer_idx: jax.Array,
            write_pos: jax.Array, attn_spec: AttnSpec
-           ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """One decoder layer. hidden: [B,T,H]; k_all/v_all: the FULL stacked
-    cache [L,B,n_kv,S,D]; layer_idx: this layer's index into it; write_pos:
-    scalar cache offset for this segment.
+           ) -> Tuple[jax.Array, KVCache]:
+    """One decoder layer. hidden: [B,T,H]; cache: the FULL stacked
+    cache [L,B,n_kv,S,D] (+ scale planes when int4); layer_idx: this
+    layer's index into it; write_pos: scalar cache offset for this segment.
 
     The cache is updated with a token-granular dynamic_update_slice directly
     into the stacked array (it is a lax.scan CARRY, so XLA's while-loop
@@ -177,56 +235,85 @@ def _layer(cfg: DecoderConfig, hidden: jax.Array, lp: dict,
     # only the T new tokens touch HBM. A per-row write_pos ([B]) scatters
     # each row's segment at its own offset — continuous batching (pooled
     # requests at different positions, T=1) and batched speculative verify
-    # windows (per-row accept counts, T=γ).
-    if write_pos.ndim == 1:
-        rows = jnp.arange(b)
-        if t == 1:
-            k_all = k_all.at[layer_idx, rows, :, write_pos].set(
-                k[:, :, 0].astype(k_all.dtype))
-            v_all = v_all.at[layer_idx, rows, :, write_pos].set(
-                v[:, :, 0].astype(v_all.dtype))
-        else:
-            offs = write_pos[:, None] + jnp.arange(t)[None, :]   # [B, T]
-            k_all = k_all.at[layer_idx, rows[:, None], :, offs].set(
-                k.transpose(0, 2, 1, 3).astype(k_all.dtype))
-            v_all = v_all.at[layer_idx, rows[:, None], :, offs].set(
-                v.transpose(0, 2, 1, 3).astype(v_all.dtype))
+    # windows (per-row accept counts, T=γ). int4 caches quantize the new
+    # tokens here (per-token-head scales into the sibling scale arrays).
+    quantized = cache.k.dtype == jnp.int4
+    if quantized:
+        k_w, ks_w = _kv_quantize(k)      # [B,nkv,T,D] int4, [B,nkv,T,1]
+        v_w, vs_w = _kv_quantize(v)
+        writes = [(cache.k, k_w), (cache.v, v_w),
+                  (cache.k_scale, ks_w), (cache.v_scale, vs_w)]
     else:
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k.astype(k_all.dtype)[None],
-            (layer_idx, 0, 0, write_pos, 0))
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v.astype(v_all.dtype)[None],
-            (layer_idx, 0, 0, write_pos, 0))
+        writes = [(cache.k, k.astype(cache.k.dtype)),
+                  (cache.v, v.astype(cache.v.dtype))]
+
+    def _write(dst, val):
+        if write_pos.ndim == 1:
+            rows = jnp.arange(b)
+            if t == 1:
+                return dst.at[layer_idx, rows, :, write_pos].set(val[:, :, 0])
+            offs = write_pos[:, None] + jnp.arange(t)[None, :]   # [B, T]
+            return dst.at[layer_idx, rows[:, None], :, offs].set(
+                val.transpose(0, 2, 1, 3))
+        return jax.lax.dynamic_update_slice(
+            dst, val[None], (layer_idx, 0, 0, write_pos, 0))
+
+    written = [_write(dst, val) for dst, val in writes]
+    if quantized:
+        cache = KVCache(*written)
+    else:
+        cache = KVCache(written[0], written[1])
+    k_all, v_all = cache.k, cache.v
 
     s = k_all.shape[3]
-    if _use_stacked_decode(t, s, d, attn_spec):
-        # Decode step on TPU: the Pallas kernel DMAs the layer's live blocks
-        # straight from the STACKED cache — no dynamic_slice materialization
-        # (XLA copies the whole [B,n_kv,S,D] layer out otherwise, tripling
-        # the attention phase's HBM traffic) and dead-block skipping.
+    choice = (None if quantized else
+              _decode_kernel_choice(t, b, nq, nkv, s, d, attn_spec))
+    if choice is not None and choice[0] == "bstream":
+        # Decode step on TPU at serving batch: stream the layer's cache in
+        # batch-major slabs straight from the STACKED array — large DMAs,
+        # packed cross-product MXU matmuls, no dynamic_slice
+        # materialization (ops/decode_attention_batch.py).
+        from ..ops.decode_attention_batch import decode_attention_batched
+        attn = decode_attention_batched(
+            q, k_all, v_all, layer_idx=layer_idx,
+            kv_valid_from=attn_spec.valid_from,
+            kv_valid_to=attn_spec.valid_to, sm_scale=d ** -0.5,
+            interpret=choice[1])
+    elif choice is not None:
+        # Legacy per-(row, kv-head) kernel: explicit opt-in shapes only.
         from ..ops.decode_attention import decode_attention
-        interp = os.getenv("ASR_ATTN_BACKEND", "") == "decode_interpret"
         attn = decode_attention(
             q, k_all, v_all, layer_idx=layer_idx,
             kv_valid_from=attn_spec.valid_from,
             kv_valid_to=attn_spec.valid_to, sm_scale=d ** -0.5,
-            interpret=interp)
+            interpret=choice[1])
     else:
         k_layer = jax.lax.dynamic_slice(
             k_all, (layer_idx, 0, 0, 0, 0), (1, b, nkv, s, d))[0]
         v_layer = jax.lax.dynamic_slice(
             v_all, (layer_idx, 0, 0, 0, 0), (1, b, nkv, s, d))[0]
+        ks_layer = vs_layer = None
+        if quantized:
+            # The int4->bf16 convert fuses into the einsum's operand read;
+            # the scales ride the scores side (attend_spec docstring) so
+            # nothing widened is ever materialized in HBM.
+            ks_layer = jax.lax.dynamic_slice(
+                cache.k_scale, (layer_idx, 0, 0, 0, 0),
+                (1, b, nkv, s, 1))[0]
+            vs_layer = jax.lax.dynamic_slice(
+                cache.v_scale, (layer_idx, 0, 0, 0, 0),
+                (1, b, nkv, s, 1))[0]
         attn = attend_spec(q, k_layer.astype(q.dtype),
-                           v_layer.astype(q.dtype),
-                           attn_spec, scale=d ** -0.5)
+                           v_layer.astype(q.dtype), attn_spec,
+                           scale=d ** -0.5,
+                           k_scale=ks_layer, v_scale=vs_layer)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nq * d)
     hidden = hidden + qdot(attn, lp["wo"])
 
     x = rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
     gated = jax.nn.silu(qdot(x, lp["w_gate"])) * qdot(x, lp["w_up"])
     hidden = hidden + qdot(gated, lp["w_down"])
-    return hidden, k_all, v_all
+    return hidden, cache
 
 
 def decoder_forward(params: dict, cfg: DecoderConfig,
@@ -254,27 +341,26 @@ def decoder_forward(params: dict, cfg: DecoderConfig,
         # 8.4 → ~4.6 ms/step at B32/S512 int8 on v5e). Compile time grows
         # (one body per layer) — decode-step-only, amortized by the
         # persistent compile cache.
-        hidden, k_all, v_all = inputs_embeds, cache.k, cache.v
+        hidden = inputs_embeds
         for i in range(n_layers):
             lp = jax.tree.map(lambda x: x[i], params["layers"])
-            hidden, k_all, v_all = _layer(cfg, hidden, lp, cos, sin,
-                                          k_all, v_all, i, write_pos,
-                                          attn_spec)
+            hidden, cache = _layer(cfg, hidden, lp, cos, sin,
+                                   cache, i, write_pos, attn_spec)
         hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
-        return hidden, KVCache(k_all, v_all)
+        return hidden, cache
 
     def body(carry, xs):
-        hidden, k_all, v_all = carry
+        hidden, cache = carry
         lp, idx = xs
-        hidden, k_all, v_all = _layer(cfg, hidden, lp, cos, sin,
-                                      k_all, v_all, idx, write_pos, attn_spec)
-        return (hidden, k_all, v_all), None
+        hidden, cache = _layer(cfg, hidden, lp, cos, sin,
+                               cache, idx, write_pos, attn_spec)
+        return (hidden, cache), None
 
-    (hidden, k_new, v_new), _ = jax.lax.scan(
-        body, (inputs_embeds, cache.k, cache.v),
+    (hidden, cache), _ = jax.lax.scan(
+        body, (inputs_embeds, cache),
         (params["layers"], jnp.arange(n_layers, dtype=jnp.int32)))
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
-    return hidden, KVCache(k_new, v_new)
+    return hidden, cache
 
 
 def embed_tokens(params: dict, cfg: DecoderConfig, ids: jax.Array) -> jax.Array:

@@ -62,8 +62,18 @@ class AttnSpec(NamedTuple):
 
 def attend_spec(q: jax.Array, k: jax.Array, v: jax.Array, spec: AttnSpec,
                 *, scale: Optional[float] = None,
-                backend: Optional[str] = None) -> jax.Array:
-    """Spec-driven attention with backend dispatch (xla | flash | auto)."""
+                backend: Optional[str] = None,
+                k_scale: Optional[jax.Array] = None,
+                v_scale: Optional[jax.Array] = None) -> jax.Array:
+    """Spec-driven attention with backend dispatch (xla | flash | auto).
+
+    k_scale/v_scale ([B, n_kv, S, 1]): per-(token, head) dequant scales for
+    sub-byte KV caches. They are applied on the SCORES/WEIGHTS side
+    (q·(k·ks) = (q·k)·ks and Σ p·(v·vs) = Σ (p·vs)·v), so the [B,n_kv,S,D]
+    operands stay pure dtype converts that XLA fuses into the einsum reads
+    — multiplying the widened K/V directly forces a full-size bf16
+    materialization in HBM (measured on v5e: the int4 cache LOST to fp8
+    end-to-end until the scales moved off the operands)."""
     backend = backend or os.getenv("ASR_ATTN_BACKEND", "auto")
     is_decode_step = (q.shape[-2] == 1 and not spec.causal
                       and spec.window_block == 0)
@@ -86,6 +96,15 @@ def attend_spec(q: jax.Array, k: jax.Array, v: jax.Array, spec: AttnSpec,
             backend = "flash"
         else:
             backend = "xla"
+    if backend != "xla" and (k_scale is not None or v_scale is not None):
+        # Pallas backends take plain K/V: fold the scales in. Only prefill
+        # (MXU-bound, once per request) and the opt-in decode kernels land
+        # here — the decode hot path resolves to "xla" above.
+        if k_scale is not None:
+            k = k * k_scale.astype(k.dtype)
+        if v_scale is not None:
+            v = v * v_scale.astype(v.dtype)
+        k_scale = v_scale = None
     if backend in ("decode", "decode_interpret") and is_decode_step:
         from .decode_attention import decode_attention
         return decode_attention(
@@ -102,16 +121,21 @@ def attend_spec(q: jax.Array, k: jax.Array, v: jax.Array, spec: AttnSpec,
     b, _, t, _ = q.shape
     s = k.shape[-2]
     mask = spec.dense_mask(b, t, s)
-    return attend_xla(q, k, v, mask=mask[:, None], scale=scale)
+    return attend_xla(q, k, v, mask=mask[:, None], scale=scale,
+                      k_scale=k_scale, v_scale=v_scale)
 
 
 def attend_xla(q: jax.Array, k: jax.Array, v: jax.Array, *,
                mask: Optional[jax.Array] = None,
-               scale: Optional[float] = None) -> jax.Array:
+               scale: Optional[float] = None,
+               k_scale: Optional[jax.Array] = None,
+               v_scale: Optional[jax.Array] = None) -> jax.Array:
     """Reference XLA attention.
 
     q: [B, Nq, T, D]; k, v: [B, Nkv, S, D]; mask: broadcastable to
-    [B, 1, T, S] (True = attend). Returns [B, Nq, T, D] in q.dtype.
+    [B, 1, T, S] (True = attend). k_scale/v_scale: optional [B, Nkv, S, 1]
+    per-key dequant scales applied to scores/weights (see attend_spec).
+    Returns [B, Nq, T, D] in q.dtype.
     """
     b, nq, t, d = q.shape
     nkv = k.shape[1]
@@ -123,10 +147,16 @@ def attend_xla(q: jax.Array, k: jax.Array, v: jax.Array, *,
     qg = q.reshape(b, nkv, g, t, d)
     scores = jnp.einsum("bhgtd,bhsd->bhgts", qg, k,
                         preferred_element_type=jnp.float32) * scale
+    if k_scale is not None:
+        scores = scores * k_scale.astype(jnp.float32).reshape(
+            b, nkv, 1, 1, -1)
     if mask is not None:
         scores = jnp.where(mask[:, :, None, :, :] if mask.ndim == 4
                            else mask[:, None, None, :, :], scores, _MASK_VALUE)
     weights = jax.nn.softmax(scores, axis=-1)
+    if v_scale is not None:
+        weights = weights * v_scale.astype(jnp.float32).reshape(
+            b, nkv, 1, 1, -1)
     out = jnp.einsum("bhgts,bhsd->bhgtd", weights.astype(v.dtype), v)
     return out.reshape(b, nq, t, d)
 

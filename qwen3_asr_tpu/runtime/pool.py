@@ -76,8 +76,11 @@ class DecodePool:
             longest = max(longest, p + max_new_tokens_for(frames / 100.0))
         self.s_pool = -(-longest // 128) * 128
 
-        self._cache = init_kv_cache(cfg.decoder, self.slots, self.s_pool,
-                                    dtype=engine.cache_dtype)
+        # jit-wrapped creation: eager int4 zeros trip a jax recursion bug
+        # (and one dispatch beats dozens of eager zeros over the tunnel).
+        self._cache = jax.jit(functools.partial(
+            init_kv_cache, cfg.decoder, self.slots, self.s_pool,
+            dtype=engine.cache_dtype))()
         self._prefill_fns = {}
         self._insert_fns = {}
         self._decode_fn = None
@@ -181,7 +184,7 @@ class DecodePool:
                                             jnp.int32(0), spec)
             first = jnp.argmax(lm_logits(params["decoder"], cfg.decoder,
                                          hidden[:, -1]), axis=-1)
-            return cache.k, cache.v, first.astype(jnp.int32)
+            return cache, first.astype(jnp.int32)
 
         self._prefill_fns[bucket_frames] = (run, prompt_len, s_pad)
         return self._prefill_fns[bucket_frames]
@@ -192,14 +195,15 @@ class DecodePool:
             return fn
 
         # Donated pool buffers: inserts update the cache in place instead of
-        # copying the multi-GB pool per admission.
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def run(pool_k, pool_v, k_seg, v_seg, slot):
-            pool_k = jax.lax.dynamic_update_slice(
-                pool_k, k_seg.astype(pool_k.dtype), (0, slot, 0, 0, 0))
-            pool_v = jax.lax.dynamic_update_slice(
-                pool_v, v_seg.astype(pool_v.dtype), (0, slot, 0, 0, 0))
-            return pool_k, pool_v
+        # copying the multi-GB pool per admission. Cache pytrees (incl. the
+        # int4 scale planes) are inserted leaf-wise — prefill produces its
+        # segment in the same cache format, so dtypes already match.
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(pool_cache, seg_cache, slot):
+            return jax.tree.map(
+                lambda pool, seg: jax.lax.dynamic_update_slice(
+                    pool, seg.astype(pool.dtype), (0, slot, 0, 0, 0)),
+                pool_cache, seg_cache)
 
         self._insert_fns[s_pad] = run
         return run
@@ -213,18 +217,18 @@ class DecodePool:
         k_steps = self.segment
         b = self.slots
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def run(params, pool_k, pool_v, last, pos, valid_from, active, limit):
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def run(params, pool_cache, last, pos, valid_from, active, limit):
             tokens0 = jnp.full((b, k_steps), pad_id, jnp.int32)
 
             def body(i, carry):
-                pool_k, pool_v, last, pos, active, tokens = carry
+                cache, last, pos, active, tokens = carry
                 hidden = embed_tokens(params["decoder"], cfg, last[:, None])
                 positions = pos[:, None]
                 spec = AttnSpec(valid_from=valid_from, valid_to=pos + 1)
                 hidden, cache = decoder_forward(
                     params["decoder"], cfg, hidden, positions,
-                    KVCache(pool_k, pool_v), pos, spec)
+                    cache, pos, spec)
                 nxt = jnp.argmax(
                     lm_logits(params["decoder"], cfg, hidden[:, -1]),
                     axis=-1).astype(jnp.int32)
@@ -234,12 +238,12 @@ class DecodePool:
                 pos = jnp.where(active, pos + 1, pos)
                 active = active & (nxt != eos_id) & (pos < limit)
                 last = jnp.where(nxt == pad_id, last, nxt)
-                return cache.k, cache.v, last, pos, active, tokens
+                return cache, last, pos, active, tokens
 
-            pool_k, pool_v, last, pos, active, tokens = jax.lax.fori_loop(
+            cache, last, pos, active, tokens = jax.lax.fori_loop(
                 0, k_steps, body,
-                (pool_k, pool_v, last, pos, active, tokens0))
-            return pool_k, pool_v, last, pos, active, tokens
+                (pool_cache, last, pos, active, tokens0))
+            return cache, last, pos, active, tokens
 
         self._decode_fn = run
         return run
@@ -262,13 +266,11 @@ class DecodePool:
         prefix[0, pad_count:] = prefix_ids
 
         run, prompt_len, s_pad = self._prefill_fn(bucket_frames)
-        k_seg, v_seg, first = run(self.model.params, jnp.asarray(buf),
-                                  jnp.asarray(prefix),
-                                  jnp.asarray([pad_count], jnp.int32))
+        seg_cache, first = run(self.model.params, jnp.asarray(buf),
+                               jnp.asarray(prefix),
+                               jnp.asarray([pad_count], jnp.int32))
         insert = self._insert_fn(s_pad)
-        k, v = insert(self._cache.k, self._cache.v, k_seg, v_seg,
-                      jnp.int32(slot))
-        self._cache = KVCache(k, v)
+        self._cache = insert(self._cache, seg_cache, jnp.int32(slot))
 
         first_tok = int(first[0])
         self._owner[slot] = req
@@ -359,11 +361,11 @@ class DecodePool:
                                  jnp.asarray(self._pos),
                                  jnp.asarray(self._active))
                     run = self._decode_segment_fn()
-                    k, v, last, pos, active, tokens = run(
-                        self.model.params, self._cache.k, self._cache.v,
+                    cache, last, pos, active, tokens = run(
+                        self.model.params, self._cache,
                         state[0], state[1], jnp.asarray(self._valid_from),
                         state[2], jnp.asarray(self._limit))
-                    self._cache = KVCache(k, v)
+                    self._cache = cache
                     prev, inflight = inflight, (last, pos, active, tokens)
                     state = (last, pos, active)
                     if prev is not None:
