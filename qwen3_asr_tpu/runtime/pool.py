@@ -76,16 +76,29 @@ class DecodePool:
             longest = max(longest, p + max_new_tokens_for(frames / 100.0))
         self.s_pool = -(-longest // 128) * 128
 
-        # jit-wrapped creation: eager int4 zeros trip a jax recursion bug
-        # (and one dispatch beats dozens of eager zeros over the tunnel).
+        # The pool cache crosses jit boundaries (prefill -> insert ->
+        # decode segments); int4 arrays cannot be passed as jit ARGUMENTS
+        # on this jax build ("Recursively calling jit" — the same eager
+        # int4 bug family), so an int4 engine degrades the POOL cache to
+        # fp8. Cheap here: at slot counts (~8 rows) decode is
+        # weight-read-dominated, so the nibble win the fused path keeps
+        # is marginal for pooled work. The fused path stays int4.
+        self.cache_dtype = (jnp.float8_e4m3fn
+                            if engine.cache_dtype == jnp.int4
+                            else engine.cache_dtype)
+        # jit-wrapped creation: one dispatch beats dozens of eager zeros
+        # over a remote host link.
         self._cache = jax.jit(functools.partial(
             init_kv_cache, cfg.decoder, self.slots, self.s_pool,
-            dtype=engine.cache_dtype))()
+            dtype=self.cache_dtype))()
         self._prefill_fns = {}
         self._insert_fns = {}
         self._decode_fn = None
+        self._join_fn = None
 
-        # host-side slot state
+        # host-side slot state. _active is OPTIMISTIC for freshly admitted
+        # slots (the true first-token/EOS state lives in the device-side
+        # join until the slot's first segment is drained).
         self._last = np.zeros(self.slots, np.int32)
         self._pos = np.zeros(self.slots, np.int32)
         self._valid_from = np.zeros(self.slots, np.int32)
@@ -93,6 +106,14 @@ class DecodePool:
         self._limit = np.zeros(self.slots, np.int32)
         self._tokens: List[List[int]] = [[] for _ in range(self.slots)]
         self._owner: List[Optional[_Request]] = [None] * self.slots
+        # device handle of a just-admitted slot's first token, resolved
+        # (int()) only at that slot's first drain — admission never blocks
+        # the host on device work.
+        self._pending_first: List[Optional[jax.Array]] = [None] * self.slots
+        # admission generation per slot: a drain only applies to the
+        # occupant the segment was dispatched with (a slot can retire and
+        # be re-admitted while an older segment is still in flight).
+        self._gen = np.zeros(self.slots, np.int64)
 
         self._pending: List[_Request] = []
         self._cv = threading.Condition()
@@ -133,6 +154,7 @@ class DecodePool:
         for s in range(self.slots):
             req, self._owner[s] = self._owner[s], None
             self._active[s] = False
+            self._pending_first[s] = None
             if req is not None:
                 req.set_error(err)
 
@@ -156,7 +178,7 @@ class DecodePool:
         n_mels = self.engine.frontend.n_mels
         suffix = jnp.asarray(self._suffix, jnp.int32)
         dtype = self.engine.dtype
-        cache_dtype = self.engine.cache_dtype
+        cache_dtype = self.cache_dtype
         prompt_len = self._prompt_len(bucket_frames)
         s_pad = -(-prompt_len // 128) * 128
 
@@ -248,8 +270,39 @@ class DecodePool:
         self._decode_fn = run
         return run
 
+    def _join_state_fn(self):
+        """Device-side state join for overlapped admission: folds a
+        prefill's first token into the (last, pos, active) triple feeding
+        the next segment without a host round-trip."""
+        if self._join_fn is not None:
+            return self._join_fn
+        eos_id = self.model.eos_id
+
+        @jax.jit
+        def run(last, pos, active, slot, first, prompt_len):
+            f = first[0]
+            return (last.at[slot].set(f),
+                    pos.at[slot].set(prompt_len),
+                    active.at[slot].set(f != eos_id))
+
+        self._join_fn = run
+        return run
+
+    def _seed_state(self):
+        """(last, pos, active) device triple from host state, with every
+        unresolved-first slot patched from its device handle — host
+        ``_last`` is stale for those rows until their first drain."""
+        state = (jnp.asarray(self._last), jnp.asarray(self._pos),
+                 jnp.asarray(self._active))
+        for s in range(self.slots):
+            if self._pending_first[s] is not None:
+                state = self._join_state_fn()(
+                    *state, jnp.int32(s), self._pending_first[s],
+                    jnp.int32(self._pos[s]))
+        return state
+
     # -- driver ----------------------------------------------------------------
-    def _admit(self, req: _Request, slot: int) -> None:
+    def _admit(self, req: _Request, slot: int):
         from .engine import PREFIX_BUDGET, max_new_tokens_for
 
         audio = req.audio
@@ -270,18 +323,22 @@ class DecodePool:
                                jnp.asarray(prefix),
                                jnp.asarray([pad_count], jnp.int32))
         insert = self._insert_fn(s_pad)
+        # self._cache may be an IN-FLIGHT segment's output handle: the
+        # insert is dispatched on it without a host sync and XLA orders it
+        # after the segment by the cache data dependency.
         self._cache = insert(self._cache, seg_cache, jnp.int32(slot))
 
-        first_tok = int(first[0])
         self._owner[slot] = req
-        self._tokens[slot] = [first_tok]
-        self._last[slot] = first_tok
+        self._gen[slot] += 1
+        self._tokens[slot] = []
+        self._pending_first[slot] = first
         self._pos[slot] = prompt_len
         self._valid_from[slot] = pad_count
         self._limit[slot] = prompt_len + max_new_tokens_for(bucket_s) - 1
-        self._active[slot] = first_tok != self.model.eos_id
-        if not self._active[slot]:
-            self._retire(slot)
+        # Optimistic: if the first token is already EOS the slot decodes
+        # masked (device-side join knows) and retires at its first drain.
+        self._active[slot] = True
+        return first, prompt_len
 
     def _retire(self, slot: int) -> None:
         req = self._owner[slot]
@@ -300,29 +357,48 @@ class DecodePool:
         except Exception:  # pragma: no cover - callback errors stay local
             log.exception("decode-pool result callback failed")
 
-    def _drain(self, handles) -> None:
-        """Fetch one finished segment's results and retire finished rows."""
+    def _drain(self, handles, in_seg) -> None:
+        """Fetch one finished segment's results and retire finished rows.
+
+        ``in_seg``: (slot, admission generation) pairs that were OWNED
+        when the segment was dispatched — only their fetched state is
+        authoritative. A slot admitted (or re-admitted) while this
+        segment was in flight keeps its optimistic host state until its
+        own first segment drains."""
         last, pos, active, tokens = handles
         # np.array (copy): device arrays view as read-only numpy.
-        tokens, self._last, self._pos, self._active = (
-            np.array(tokens), np.array(last), np.array(pos),
-            np.array(active))
-        for s in range(self.slots):
-            if self._owner[s] is None:
+        tokens, last, pos, active = (np.array(tokens), np.array(last),
+                                     np.array(pos), np.array(active))
+        for s, gen in in_seg:
+            if self._owner[s] is None or self._gen[s] != gen:
                 continue
-            row = [int(t) for t in tokens[s] if t != self.model.pad_id]
-            self._tokens[s].extend(row)
-            if not self._active[s]:
+            if self._pending_first[s] is not None:
+                # Resolved here, never at admit: by drain time the prefill
+                # has long completed, so int() does not block.
+                self._tokens[s] = [int(np.array(self._pending_first[s])[0])]
+                self._pending_first[s] = None
+            self._last[s] = last[s]
+            self._pos[s] = pos[s]
+            self._active[s] = active[s]
+            self._tokens[s].extend(
+                int(t) for t in tokens[s] if t != self.model.pad_id)
+            if not active[s]:
                 self._retire(s)
 
     def _drive(self) -> None:
         """Pipelined segment loop: segment n+1 is DISPATCHED (on segment
         n's output device arrays — no host sync) before segment n's tokens
         are fetched, so the host↔device round-trip overlaps device compute.
-        Admissions and retirements happen one segment late (a finished row
-        decodes ≤1 extra segment into its own slot — masked, wasted, and
-        harmless); admission itself is a sync point."""
-        inflight = None    # (state-handles, token-handles) of the running seg
+        Retirements happen one segment late (a finished row decodes ≤1
+        extra segment into its own slot — masked, wasted, and harmless).
+
+        Admission OVERLAPS decode: prefill + cache insert are dispatched
+        on the in-flight segment's output handles (XLA orders them by the
+        cache data dependency), the first token stays a device handle
+        until the slot's first drain, and the (last, pos, active) triple
+        is patched device-side (_join_state_fn) — the host never syncs to
+        admit, so the device queue stays full through request churn."""
+        inflight = None    # ((last,pos,active,tokens) handles, in_seg slots)
         state = None       # device (last, pos, active) feeding the next seg
 
         while self._running:
@@ -335,50 +411,61 @@ class DecodePool:
                 pending, self._pending = self._pending, []
 
             try:
-                if pending:
-                    if inflight is not None:   # sync before touching state
-                        self._drain(inflight)
+                for i, req in enumerate(pending):
+                    free = [s for s in range(self.slots)
+                            if self._owner[s] is None]
+                    if not free and inflight is not None:
+                        # Pool looks full, but the in-flight segment may
+                        # retire rows: sync once and re-check.
+                        self._drain(*inflight)
                         inflight, state = None, None
-                    for i, req in enumerate(pending):
                         free = [s for s in range(self.slots)
                                 if self._owner[s] is None]
-                        if not free:
-                            with self._cv:  # pool full — decode first
-                                self._pending[:0] = pending[i:]
-                            break
-                        try:
-                            self._admit(req, free[0])
-                        except Exception as e:
-                            log.exception("decode-pool admit failed: {}", e)
-                            req.set_error(e)
+                    if not free:
+                        with self._cv:  # genuinely full — decode first
+                            self._pending[:0] = pending[i:]
+                        break
+                    try:
+                        first, prompt_len = self._admit(req, free[0])
+                    except Exception as e:
+                        log.exception("decode-pool admit failed: {}", e)
+                        req.set_error(e)
+                        continue
+                    if state is None:
+                        state = self._seed_state()  # joins this slot too
+                    else:
+                        state = self._join_state_fn()(
+                            *state, jnp.int32(free[0]), first,
+                            jnp.int32(prompt_len))
 
                 if not self._active.any() and inflight is None:
                     continue
 
-                if self._active.any() or inflight is not None:
-                    if state is None:
-                        state = (jnp.asarray(self._last),
-                                 jnp.asarray(self._pos),
-                                 jnp.asarray(self._active))
-                    run = self._decode_segment_fn()
-                    cache, last, pos, active, tokens = run(
-                        self.model.params, self._cache,
-                        state[0], state[1], jnp.asarray(self._valid_from),
-                        state[2], jnp.asarray(self._limit))
-                    self._cache = cache
-                    prev, inflight = inflight, (last, pos, active, tokens)
-                    state = (last, pos, active)
-                    if prev is not None:
-                        self._drain(prev)   # overlaps the running segment
-                    if not self._active.any() and not self._pending:
-                        # nothing (known to be) active: finish the tail
-                        self._drain(inflight)
-                        inflight, state = None, None
-                    self.engine.last_used = time.time()
+                if state is None:
+                    state = self._seed_state()
+                run = self._decode_segment_fn()
+                cache, last, pos, active, tokens = run(
+                    self.model.params, self._cache,
+                    state[0], state[1], jnp.asarray(self._valid_from),
+                    state[2], jnp.asarray(self._limit))
+                self._cache = cache
+                in_seg = [(s, self._gen[s]) for s in range(self.slots)
+                          if self._owner[s] is not None]
+                prev, inflight = inflight, ((last, pos, active, tokens),
+                                            in_seg)
+                state = (last, pos, active)
+                if prev is not None:
+                    self._drain(*prev)   # overlaps the running segment
+                if not self._active.any() and not self._pending:
+                    # nothing (known to be) active: finish the tail
+                    self._drain(*inflight)
+                    inflight, state = None, None
+                self.engine.last_used = time.time()
             except Exception as e:  # fail in-flight requests, not the thread
                 log.exception("decode-pool segment failed: {}", e)
                 inflight, state = None, None
                 for s in range(self.slots):
+                    self._pending_first[s] = None
                     if self._owner[s] is not None:
                         req = self._owner[s]
                         self._owner[s] = None

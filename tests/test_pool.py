@@ -124,6 +124,78 @@ def test_pool_more_requests_than_slots(engine):
         assert results[i][1] == text
 
 
+def test_pool_single_slot_reuse(engine):
+    """slots=1 forces every request through the retire -> re-admit cycle
+    while the pipelined extra segment of the previous occupant is still in
+    flight — the admission-generation guard must keep each occupant's
+    state separate (texts identical to the fused path)."""
+    from qwen3_asr_tpu.runtime.pool import DecodePool
+    clips = [(speech_like(0.5 + 0.3 * i, seed=30 + i), "en")
+             for i in range(4)]
+    expected = [engine.transcribe(a, 16000, language=l)[0].text
+                for a, l in clips]
+    pool = DecodePool(engine, slots=1, segment=4)
+    try:
+        results = _collect(pool, clips)
+    finally:
+        pool.stop()
+    for i, text in enumerate(expected):
+        assert results[i][1] == text, (
+            f"clip {i}: pool={results[i][1]!r} fused={text!r}")
+
+
+def test_pool_staggered_submissions(engine):
+    """Requests trickling in one at a time while segments are in flight
+    exercise the overlapped-admission path (device-side state join, first
+    token resolved at drain) on every admission."""
+    from qwen3_asr_tpu.runtime.pool import DecodePool
+    clips = [(speech_like(1.1 + 0.4 * i, seed=40 + i), "en")
+             for i in range(3)]
+    expected = [engine.transcribe(a, 16000, language=l)[0].text
+                for a, l in clips]
+    pool = DecodePool(engine, slots=4, segment=3)
+    done = threading.Event()
+    results = {}
+
+    def cb(i):
+        def ok(text, ids):
+            results[i] = text
+            if len(results) == len(clips):
+                done.set()
+        return ok, lambda e: (results.setdefault(i, e), done.set())
+
+    try:
+        for i, (audio, lang) in enumerate(clips):
+            ok, err = cb(i)
+            pool.submit(audio, lang, ok, err)
+            time.sleep(0.4)  # land mid-decode of the previous request
+        assert done.wait(timeout=300)
+    finally:
+        pool.stop()
+    for i, text in enumerate(expected):
+        assert results[i] == text
+
+
+def test_pool_int4_engine_degrades_cache_to_fp8(engine):
+    """int4 arrays can't cross jit boundaries (jax bug), so an int4
+    engine's pool cache falls back to fp8 — construction must not trip
+    the eager-int4 recursion and the pool dtype must be fp8."""
+    import jax.numpy as jnp
+    from qwen3_asr_tpu.runtime.pool import DecodePool
+    old = engine.cache_dtype
+    engine.cache_dtype = jnp.int4
+    try:
+        pool = DecodePool(engine, slots=2, segment=4)
+        try:
+            assert pool.cache_dtype == jnp.float8_e4m3fn
+            assert pool._cache.k.dtype == jnp.float8_e4m3fn
+            assert pool._cache.k_scale is None
+        finally:
+            pool.stop()
+    finally:
+        engine.cache_dtype = old
+
+
 def test_pool_serving_integration(tmp_path, monkeypatch):
     """Full app with ASR_CONTINUOUS_BATCHING=true: concurrent HTTP uploads
     and a WS flush all route through the pool and produce the same text
