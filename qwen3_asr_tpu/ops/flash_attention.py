@@ -30,9 +30,9 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _kernel(valid_from_ref, valid_to_ref, q_offset_ref, q_ref, k_ref, v_ref,
-            o_ref, m_scratch, l_scratch, acc_scratch, *, block_q: int,
-            block_k: int, sm_scale: float, causal: bool, window_block: int,
-            s_len: int):
+            o_ref, m_ref, l_ref, m_scratch, l_scratch, acc_scratch, *,
+            block_q: int, block_k: int, sm_scale: float, causal: bool,
+            window_block: int, s_len: int):
     """Grid: (B, n_kv, T_pad//block_q, S_pad//block_k).
 
     q_ref: [1, 1, G, block_q, D] — G query heads of this KV head's group.
@@ -98,6 +98,10 @@ def _kernel(valid_from_ref, valid_to_ref, q_offset_ref, q_ref, k_ref, v_ref,
         l_safe = jnp.where(l_final == 0.0, 1.0, l_final)
         out = (acc_scratch[...] / l_safe).astype(o_ref.dtype)
         o_ref[0, 0] = out.reshape(g, block_q, d)
+        # Softmax residuals for cross-shard combines (context parallelism,
+        # ops/context_parallel.py): row max m and normalizer l.
+        m_ref[0, 0] = m_scratch[...][:, :1].reshape(g, block_q)
+        l_ref[0, 0] = l_final.reshape(g, block_q)
 
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
@@ -108,7 +112,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     window_block: int = 0,
                     sm_scale: Optional[float] = None,
                     block_q: int = 128, block_k: int = 128,
-                    interpret: bool = False) -> jax.Array:
+                    return_residuals: bool = False,
+                    interpret: bool = False):
     """q: [B, Nq, T, D]; k/v: [B, Nkv, S, D] → [B, Nq, T, D].
 
     Masking (all optional, composable):
@@ -118,6 +123,11 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
       kv_valid_from  — [B] first attendable key (left-padded prompts)
       kv_valid_to    — [B] one-past-last attendable key (right padding)
       window_block   — block-diagonal attention of this width (encoder)
+
+    return_residuals=True additionally returns the per-row softmax stats
+    (m, l) as [B, Nq, T] f32 — the ingredients of the cross-shard
+    online-softmax combine used by context parallelism
+    (ops/context_parallel.py).
     """
     b, nq, t, d = q.shape
     _, nkv, s_len, _ = k.shape
@@ -165,15 +175,25 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                 pl.BlockSpec((1, 1, block_k, d),
                              lambda b_, h, qi, ki, *_refs: (b_, h, ki, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, g, block_q, d),
-                                   lambda b_, h, qi, ki, *_refs: (b_, h, 0, qi, 0)),
+            out_specs=[
+                pl.BlockSpec((1, 1, g, block_q, d),
+                             lambda b_, h, qi, ki, *_refs: (b_, h, 0, qi, 0)),
+                pl.BlockSpec((1, 1, g, block_q),
+                             lambda b_, h, qi, ki, *_refs: (b_, h, 0, qi)),
+                pl.BlockSpec((1, 1, g, block_q),
+                             lambda b_, h, qi, ki, *_refs: (b_, h, 0, qi)),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((g * block_q, 128), jnp.float32),  # m
                 pltpu.VMEM((g * block_q, 128), jnp.float32),  # l
                 pltpu.VMEM((g * block_q, d), jnp.float32),    # acc
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, nkv, g, t_pad, d), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nkv, g, t_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, nkv, g, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, nkv, g, t_pad), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
@@ -181,8 +201,13 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     )(kv_valid_from.astype(jnp.int32), kv_valid_to.astype(jnp.int32),
       q_offset, qg, k, v)
 
-    out = out.reshape(b, nq, t_pad, d)
-    return out[:, :, :t]
+    out, m_res, l_res = out
+    out = out.reshape(b, nq, t_pad, d)[:, :, :t]
+    if not return_residuals:
+        return out
+    m_res = m_res.reshape(b, nq, t_pad)[:, :, :t]
+    l_res = l_res.reshape(b, nq, t_pad)[:, :, :t]
+    return out, m_res, l_res
 
 
 def flash_attend(q, k, v, *, mask=None, scale=None):
