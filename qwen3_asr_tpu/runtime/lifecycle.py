@@ -395,7 +395,8 @@ class ModelManager:
             "model_id": self.loaded_model_id,
         }
         if self.pool is not None:
-            info["continuous_batching"] = {"slots": self.pool.slots,
+            info["continuous_batching"] = {"slots": self.pool.max_slots,
+                                           "window": self.pool.window,
                                            "depth": self.pool.depth}
         if self.engine is not None:
             try:

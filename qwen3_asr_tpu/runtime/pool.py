@@ -11,7 +11,15 @@ pool gives decode the vLLM/JetStream serving shape, TPU-style:
   tokens per dispatch, with per-row cache write offsets
   (models/decoder.py ``write_pos[B]``) and per-row attention windows
   (AttnSpec valid_from/valid_to) — requests at different positions and
-  different phases share every weight read.
+  different phases share every weight read,
+* a SLOT WINDOW that autoscales with demand: the cache is allocated at
+  ``max_slots`` rows but each segment only advances the leading
+  ``window`` rows (one executable per ladder size: base, 2x, 4x, …).
+  A burst beyond the base window grows it instead of queueing; when
+  stragglers at high slot indices are all that holds a large window
+  open, occupants are compacted down into low rows (a per-row cache
+  copy — trivial next to one segment's weight reads) and the window
+  shrinks back.
 
 Segment-synchronous rather than step-synchronous: new requests join at
 K-token boundaries, so the host drives one dispatch per K tokens instead
@@ -24,9 +32,10 @@ becomes attendable once the occupying request's own write reaches p
 (valid_to = pos+1, and the write lands before the attend in the same
 step), by which point it has been overwritten.
 
-Enable with ASR_CONTINUOUS_BATCHING=true (ASR_POOL_SLOTS / ASR_POOL_SEGMENT
-tune shape). Requests that can't pool (timestamps, >30 s audio, resume
-ticks, speculative) keep the fused path.
+Enable with ASR_CONTINUOUS_BATCHING=true (ASR_POOL_SLOTS /
+ASR_POOL_MAX_SLOTS / ASR_POOL_SEGMENT tune shape). Requests that can't
+pool (timestamps, >30 s audio, resume ticks, speculative) keep the fused
+path.
 """
 from __future__ import annotations
 
@@ -55,12 +64,32 @@ class _Request(NamedTuple):
 
 
 class DecodePool:
-    def __init__(self, engine, slots: int = None, segment: int = None):
+    def __init__(self, engine, slots: int = None, segment: int = None,
+                 max_slots: int = None):
         from .engine import AUDIO_BUCKETS_S, HOP_LENGTH, max_new_tokens_for
 
         self.engine = engine
         self.model = engine.model
-        self.slots = slots or int(os.getenv("ASR_POOL_SLOTS", "8"))
+        self.base = slots or int(os.getenv("ASR_POOL_SLOTS", "8"))
+        # Slot autoscaling headroom. An EXPLICIT slots= without max_slots=
+        # pins the pool at that size (tests / measured configs); the
+        # env-driven serving default gets 4x burst headroom.
+        if max_slots is not None:
+            self.max_slots = max(max_slots, self.base)
+        elif slots is not None:
+            self.max_slots = self.base
+        else:
+            self.max_slots = (int(os.getenv("ASR_POOL_MAX_SLOTS", "0"))
+                              or self.base * 4)
+            self.max_slots = max(self.max_slots, self.base)
+        # Window ladder: each segment advances only the leading `window`
+        # cache rows; sizes double from base up to the allocation.
+        self._sizes = []
+        w = self.base
+        while w < self.max_slots:
+            self._sizes.append(w)
+            w *= 2
+        self._sizes.append(self.max_slots)
         self.segment = segment or int(os.getenv("ASR_POOL_SEGMENT", "16"))
         self._hop = HOP_LENGTH
 
@@ -89,40 +118,49 @@ class DecodePool:
         # jit-wrapped creation: one dispatch beats dozens of eager zeros
         # over a remote host link.
         self._cache = jax.jit(functools.partial(
-            init_kv_cache, cfg.decoder, self.slots, self.s_pool,
+            init_kv_cache, cfg.decoder, self.max_slots, self.s_pool,
             dtype=self.cache_dtype))()
         self._prefill_fns = {}
         self._insert_fns = {}
-        self._decode_fn = None
+        self._decode_fns = {}
         self._join_fn = None
+        self._move_fn = None
 
         # host-side slot state. _active is OPTIMISTIC for freshly admitted
         # slots (the true first-token/EOS state lives in the device-side
         # join until the slot's first segment is drained).
-        self._last = np.zeros(self.slots, np.int32)
-        self._pos = np.zeros(self.slots, np.int32)
-        self._valid_from = np.zeros(self.slots, np.int32)
-        self._active = np.zeros(self.slots, bool)
-        self._limit = np.zeros(self.slots, np.int32)
-        self._tokens: List[List[int]] = [[] for _ in range(self.slots)]
-        self._owner: List[Optional[_Request]] = [None] * self.slots
+        self._last = np.zeros(self.max_slots, np.int32)
+        self._pos = np.zeros(self.max_slots, np.int32)
+        self._valid_from = np.zeros(self.max_slots, np.int32)
+        self._active = np.zeros(self.max_slots, bool)
+        self._limit = np.zeros(self.max_slots, np.int32)
+        self._tokens: List[List[int]] = [[] for _ in range(self.max_slots)]
+        self._owner: List[Optional[_Request]] = [None] * self.max_slots
         # device handle of a just-admitted slot's first token, resolved
         # (int()) only at that slot's first drain — admission never blocks
         # the host on device work.
-        self._pending_first: List[Optional[jax.Array]] = [None] * self.slots
+        self._pending_first: List[Optional[jax.Array]] = \
+            [None] * self.max_slots
         # admission generation per slot: a drain only applies to the
         # occupant the segment was dispatched with (a slot can retire and
         # be re-admitted while an older segment is still in flight).
-        self._gen = np.zeros(self.slots, np.int64)
+        self._gen = np.zeros(self.max_slots, np.int64)
 
         self._pending: List[_Request] = []
+        self.window = self.base   # current autoscale window (observability)
         self._cv = threading.Condition()
         self._running = True
         self._thread = threading.Thread(target=self._drive, daemon=True,
                                         name="decode-pool")
         self._thread.start()
-        log.info("DecodePool: {} slots x S={} cache, segment {} tokens",
-                 self.slots, self.s_pool, self.segment)
+        log.info("DecodePool: {}..{} slots (window ladder {}) x S={} cache, "
+                 "segment {} tokens", self.base, self.max_slots,
+                 self._sizes, self.s_pool, self.segment)
+
+    @property
+    def slots(self) -> int:
+        """Allocated slot rows (the autoscale ceiling)."""
+        return self.max_slots
 
     # -- shapes ---------------------------------------------------------------
     def _prompt_len(self, bucket_frames: int) -> int:
@@ -151,7 +189,7 @@ class DecodePool:
             pending, self._pending = self._pending, []
         for req in pending:
             req.set_error(err)
-        for s in range(self.slots):
+        for s in range(self.max_slots):
             req, self._owner[s] = self._owner[s], None
             self._active[s] = False
             self._pending_first[s] = None
@@ -230,44 +268,64 @@ class DecodePool:
         self._insert_fns[s_pad] = run
         return run
 
-    def _decode_segment_fn(self):
-        if self._decode_fn is not None:
-            return self._decode_fn
+    def _decode_segment_fn(self, window: int):
+        """Segment executable advancing cache rows [0:window] only. State
+        arrays stay full-size ([max_slots]) across every window so the
+        device-side state handles survive window changes; sub-max windows
+        slice the leading rows in, loop, and write them back (two ~row-count
+        copies — noise next to a segment's weight reads)."""
+        fn = self._decode_fns.get(window)
+        if fn is not None:
+            return fn
         cfg = self.model.cfg.decoder
         eos_id = self.model.eos_id
         pad_id = self.model.pad_id
         k_steps = self.segment
-        b = self.slots
+        w = window
+        full = self.max_slots
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def run(params, pool_cache, last, pos, valid_from, active, limit):
-            tokens0 = jnp.full((b, k_steps), pad_id, jnp.int32)
+            if w == full:
+                cache_w = pool_cache
+            else:
+                cache_w = jax.tree.map(lambda c: c[:, :w], pool_cache)
+            carry0 = (cache_w, last[:w], pos[:w], active[:w],
+                      jnp.full((w, k_steps), pad_id, jnp.int32))
+            vf, lim = valid_from[:w], limit[:w]
 
             def body(i, carry):
-                cache, last, pos, active, tokens = carry
-                hidden = embed_tokens(params["decoder"], cfg, last[:, None])
-                positions = pos[:, None]
-                spec = AttnSpec(valid_from=valid_from, valid_to=pos + 1)
+                cache, lst, ps, act, tokens = carry
+                hidden = embed_tokens(params["decoder"], cfg, lst[:, None])
+                positions = ps[:, None]
+                spec = AttnSpec(valid_from=vf, valid_to=ps + 1)
                 hidden, cache = decoder_forward(
                     params["decoder"], cfg, hidden, positions,
-                    cache, pos, spec)
+                    cache, ps, spec)
                 nxt = jnp.argmax(
                     lm_logits(params["decoder"], cfg, hidden[:, -1]),
                     axis=-1).astype(jnp.int32)
-                nxt = jnp.where(active, nxt, pad_id)
+                nxt = jnp.where(act, nxt, pad_id)
                 tokens = jax.lax.dynamic_update_slice(
                     tokens, nxt[:, None], (0, i))
-                pos = jnp.where(active, pos + 1, pos)
-                active = active & (nxt != eos_id) & (pos < limit)
-                last = jnp.where(nxt == pad_id, last, nxt)
-                return cache, last, pos, active, tokens
+                ps = jnp.where(act, ps + 1, ps)
+                act = act & (nxt != eos_id) & (ps < lim)
+                lst = jnp.where(nxt == pad_id, lst, nxt)
+                return cache, lst, ps, act, tokens
 
-            cache, last, pos, active, tokens = jax.lax.fori_loop(
-                0, k_steps, body,
-                (pool_cache, last, pos, active, tokens0))
+            cache_w, lst, ps, act, tokens = jax.lax.fori_loop(
+                0, k_steps, body, carry0)
+            if w == full:
+                return cache_w, lst, ps, act, tokens
+            cache = jax.tree.map(
+                lambda c, part: jax.lax.dynamic_update_slice(
+                    c, part, (0,) * c.ndim), pool_cache, cache_w)
+            last = jax.lax.dynamic_update_slice(last, lst, (0,))
+            pos = jax.lax.dynamic_update_slice(pos, ps, (0,))
+            active = jax.lax.dynamic_update_slice(active, act, (0,))
             return cache, last, pos, active, tokens
 
-        self._decode_fn = run
+        self._decode_fns[window] = run
         return run
 
     def _join_state_fn(self):
@@ -288,13 +346,76 @@ class DecodePool:
         self._join_fn = run
         return run
 
+    def _move_row_fn(self):
+        """Copy one slot's cache row onto another (compaction). Stale
+        content above the occupant's pos copies along harmlessly (same
+        argument as admission: it only becomes attendable once
+        overwritten)."""
+        if self._move_fn is not None:
+            return self._move_fn
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(pool_cache, src, dst):
+            def one(c):
+                row = jax.lax.dynamic_slice(
+                    c, (0, src) + (0,) * (c.ndim - 2),
+                    (c.shape[0], 1) + c.shape[2:])
+                return jax.lax.dynamic_update_slice(
+                    c, row, (0, dst) + (0,) * (c.ndim - 2))
+            return jax.tree.map(one, pool_cache)
+
+        self._move_fn = run
+        return run
+
+    # -- slot-window policy ----------------------------------------------------
+    def _window_for(self, demand: int, *, floor: int = 0) -> int:
+        """Smallest ladder size covering both the demand (occupied +
+        queued, capped at the allocation) and the highest occupied slot
+        index + 1 (rows outside the window never advance)."""
+        need = max(min(demand, self.max_slots), floor, 1)
+        for w in self._sizes:
+            if w >= need:
+                return w
+        return self._sizes[-1]
+
+    def _occupancy(self):
+        occ = [s for s in range(self.max_slots)
+               if self._owner[s] is not None]
+        return occ, (max(occ) + 1 if occ else 0)
+
+    def _compact(self) -> None:
+        """Move occupants down into the lowest free slots so the window
+        can shrink. Caller must hold no in-flight segment (the moves
+        re-home rows that a dispatched segment would still address by
+        their old indices); device state is reseeded from host after."""
+        move = self._move_row_fn()
+        occ, _ = self._occupancy()
+        for s in sorted(occ, reverse=True):
+            frees = [l for l in range(s) if self._owner[l] is None]
+            if not frees:
+                break
+            l = frees[0]
+            self._cache = move(self._cache, jnp.int32(s), jnp.int32(l))
+            for arr in (self._last, self._pos, self._valid_from,
+                        self._active, self._limit):
+                arr[l] = arr[s]
+            self._tokens[l] = self._tokens[s]
+            self._owner[l], self._owner[s] = self._owner[s], None
+            self._pending_first[l] = self._pending_first[s]
+            self._pending_first[s] = None
+            self._active[s] = False
+            # both rows change identity: stale in-flight drains (there
+            # should be none) must not apply to either.
+            self._gen[l] += 1
+            self._gen[s] += 1
+
     def _seed_state(self):
         """(last, pos, active) device triple from host state, with every
         unresolved-first slot patched from its device handle — host
         ``_last`` is stale for those rows until their first drain."""
         state = (jnp.asarray(self._last), jnp.asarray(self._pos),
                  jnp.asarray(self._active))
-        for s in range(self.slots):
+        for s in range(self.max_slots):
             if self._pending_first[s] is not None:
                 state = self._join_state_fn()(
                     *state, jnp.int32(s), self._pending_first[s],
@@ -411,15 +532,41 @@ class DecodePool:
                 pending, self._pending = self._pending, []
 
             try:
+                # Slot-window sizing. Shrink first when ONLY straggler
+                # indices (not demand) hold a larger window open: pay one
+                # pipeline sync, compact occupants down, reseed state.
+                occ, floor = self._occupancy()
+                demand = len(occ) + len(pending)
+                if self._window_for(demand) < self._window_for(demand,
+                                                               floor=floor):
+                    if inflight is not None:
+                        self._drain(*inflight)
+                        inflight, state = None, None
+                        occ, floor = self._occupancy()
+                        demand = len(occ) + len(pending)
+                    if (inflight is None and
+                            self._window_for(demand) <
+                            self._window_for(demand, floor=floor)):
+                        self._compact()
+                        state = None
+                        occ, floor = self._occupancy()
+                window = self._window_for(len(occ) + len(pending),
+                                          floor=floor)
+                if window != self.window:
+                    log.info("DecodePool window {} -> {} (occupied {}, "
+                             "queued {})", self.window, window, len(occ),
+                             len(pending))
+                    self.window = window
+
                 for i, req in enumerate(pending):
-                    free = [s for s in range(self.slots)
+                    free = [s for s in range(window)
                             if self._owner[s] is None]
                     if not free and inflight is not None:
                         # Pool looks full, but the in-flight segment may
                         # retire rows: sync once and re-check.
                         self._drain(*inflight)
                         inflight, state = None, None
-                        free = [s for s in range(self.slots)
+                        free = [s for s in range(window)
                                 if self._owner[s] is None]
                     if not free:
                         with self._cv:  # genuinely full — decode first
@@ -443,13 +590,13 @@ class DecodePool:
 
                 if state is None:
                     state = self._seed_state()
-                run = self._decode_segment_fn()
+                run = self._decode_segment_fn(window)
                 cache, last, pos, active, tokens = run(
                     self.model.params, self._cache,
                     state[0], state[1], jnp.asarray(self._valid_from),
                     state[2], jnp.asarray(self._limit))
                 self._cache = cache
-                in_seg = [(s, self._gen[s]) for s in range(self.slots)
+                in_seg = [(s, self._gen[s]) for s in range(self.max_slots)
                           if self._owner[s] is not None]
                 prev, inflight = inflight, ((last, pos, active, tokens),
                                             in_seg)
@@ -464,7 +611,7 @@ class DecodePool:
             except Exception as e:  # fail in-flight requests, not the thread
                 log.exception("decode-pool segment failed: {}", e)
                 inflight, state = None, None
-                for s in range(self.slots):
+                for s in range(self.max_slots):
                     self._pending_first[s] = None
                     if self._owner[s] is not None:
                         req = self._owner[s]

@@ -242,9 +242,11 @@ def test_pool_serving_integration(tmp_path, monkeypatch):
                 speech_like(1.0, seed=0), 16000, language="en")[0].text)
             assert bodies[0]["text"] == expected
 
-            # health advertises the pool
+            # health advertises the pool: env slots=4 is the autoscale
+            # BASE; the allocation gets the default 4x burst headroom
             health = await (await client.get("/health")).json()
-            assert health["continuous_batching"]["slots"] == 4
+            assert health["continuous_batching"]["slots"] == 16
+            assert health["continuous_batching"]["window"] == 4
 
             # WS session: partial + flush through the pool
             ws = await client.ws_connect("/ws/transcribe?use_server_vad=false")
@@ -282,6 +284,70 @@ def test_pool_churn_stress(engine):
         pool.stop()
     for i, text in enumerate(expected):
         assert results[i][1] == text, f"clip {i}"
+
+
+def test_pool_autoscale_grows_window(engine):
+    """A burst beyond the base window grows it (instead of queueing):
+    larger-window segment executables run and every text still matches
+    the fused path exactly."""
+    from qwen3_asr_tpu.runtime.pool import DecodePool
+    clips = [(speech_like(0.5 + 0.15 * i, seed=60 + i), "en")
+             for i in range(6)]
+    expected = [engine.transcribe(a, 16000, language=l)[0].text
+                for a, l in clips]
+    pool = DecodePool(engine, slots=2, segment=4, max_slots=8)
+    assert pool._sizes == [2, 4, 8]
+    try:
+        results = _collect(pool, clips)
+        grown = set(pool._decode_fns)
+    finally:
+        pool.stop()
+    assert any(w > 2 for w in grown), f"window never grew: {grown}"
+    for i, text in enumerate(expected):
+        assert results[i][1] == text, f"clip {i}"
+
+
+def test_pool_autoscale_shrinks_and_compacts(engine):
+    """Short requests retire while one long straggler (admitted at a high
+    slot index) keeps decoding: the pool compacts it down into a low row
+    and shrinks the window back to base — the straggler's text must
+    survive the row move bit-exact, and follow-up requests still work."""
+    from qwen3_asr_tpu.runtime.pool import DecodePool
+    shorts = [(speech_like(0.5, seed=70 + i), "en") for i in range(5)]
+    long_clip = (speech_like(22.0, seed=80), "en")
+    clips = shorts + [long_clip]
+    expected = [engine.transcribe(a, 16000, language=l)[0].text
+                for a, l in clips]
+    pool = DecodePool(engine, slots=2, segment=4, max_slots=8)
+    try:
+        results = _collect(pool, clips)
+        # the straggler outlives the shorts by ~an order of magnitude of
+        # decode steps, so the shrink path must have engaged by its end
+        assert pool._move_fn is not None, "compaction never ran"
+        assert pool.window < 8, f"window stuck at {pool.window}"
+        # follow-up request through the shrunk window
+        done = threading.Event()
+        out = {}
+        pool.submit(shorts[0][0], "en",
+                    lambda t, ids: (out.setdefault("t", t), done.set()),
+                    lambda e: (out.setdefault("t", e), done.set()))
+        assert done.wait(timeout=300)
+        assert out["t"] == expected[0]
+    finally:
+        pool.stop()
+    for i, text in enumerate(expected):
+        assert results[i][1] == text, f"clip {i}"
+
+
+def test_pool_explicit_slots_stays_fixed(engine):
+    """slots= without max_slots= pins the pool (measured configs must not
+    silently grow); env-driven construction gets 4x headroom."""
+    from qwen3_asr_tpu.runtime.pool import DecodePool
+    pool = DecodePool(engine, slots=3, segment=4)
+    try:
+        assert pool.max_slots == 3 and pool._sizes == [3]
+    finally:
+        pool.stop()
 
 
 def test_pool_under_mesh(tmp_path, monkeypatch):
