@@ -9,6 +9,22 @@ own. The VRAM pre-check (nvidia-smi, gateway.py:34-44) maps to an HBM
 check sourced from the last worker health snapshot — the gateway must NOT
 touch the TPU itself (chips are single-process).
 
+Scale-out past the reference (which is single-GPU, single-worker by
+design): a ``WorkerFleet`` routes across N workers —
+
+* ``WORKER_PORTS=8001,8002,...`` — managed local workers, one subprocess
+  each (pair with ``WORKER_DEVICES=0,1,...`` to pin one TPU chip per
+  worker via TPU_VISIBLE_DEVICES);
+* ``WORKER_HOSTS=host1:8001,host2:8001`` — external workers on other
+  hosts (multi-host serving): health-checked and routed to, never
+  spawned or killed. See docs/MULTIHOST.md.
+
+Routing is least-outstanding-requests; WS sessions are sticky to the
+worker chosen at connect. A dormant managed worker is pre-warmed in the
+background when every live worker is busy, and each managed worker keeps
+its own idle-kill clock. Unset, the fleet is one local managed worker —
+reference behavior exactly.
+
 Run: ``python -m qwen3_asr_tpu.serving.gateway [--port 8000]``
 """
 from __future__ import annotations
@@ -47,17 +63,33 @@ class WorkerStartupError(RuntimeError):
 
 
 class WorkerSupervisor:
-    """Owns the worker subprocess: spawn, readiness poll, idle kill."""
+    """Owns one worker: spawn (managed), readiness poll, idle kill.
 
-    def __init__(self):
+    ``managed=False`` marks an external worker (another host): it is
+    health-checked and routed to but never spawned or killed from here."""
+
+    def __init__(self, host: str | None = None, port: int | None = None, *,
+                 managed: bool = True, spawn_env: dict | None = None,
+                 index: int = 0):
+        self.host = host or WORKER_HOST
+        self.port = port or WORKER_PORT
+        self.managed = managed
+        self.spawn_env = dict(spawn_env or {})
+        self.index = index
         self.proc: subprocess.Popen | None = None
         self.last_used = time.time()
         self.inflight = 0   # proxied requests currently awaiting the worker
+        self.served = 0     # total requests routed here (observability)
         self._lock = asyncio.Lock()
         self._last_health: dict = {}
         self._ready = False  # /health answered since the last (re)spawn
 
+    def url(self, path: str) -> str:
+        return f"http://{self.host}:{self.port}{path}"
+
     def alive(self) -> bool:
+        if not self.managed:
+            return self._ready
         return self.proc is not None and self.proc.poll() is None
 
     def _check_hbm_available(self) -> tuple[bool, int]:
@@ -73,6 +105,24 @@ class WorkerSupervisor:
 
     async def ensure(self):
         async with self._lock:
+            if not self.managed:
+                # External worker: verify reachability, never spawn.
+                try:
+                    async with aiohttp.ClientSession() as session:
+                        async with session.get(
+                                self.url("/health"),
+                                timeout=aiohttp.ClientTimeout(total=3)
+                        ) as resp:
+                            if resp.status == 200:
+                                self._last_health = await resp.json()
+                                self._ready = True
+                                self.last_used = time.time()
+                                return
+                except Exception:
+                    pass
+                self._ready = False
+                raise WorkerStartupError(
+                    f"external worker {self.host}:{self.port} unreachable")
             if not self.alive():
                 if self.proc is not None:
                     # Died on its own (crash/OOM): _terminate never ran, so
@@ -87,12 +137,13 @@ class WorkerSupervisor:
                               "need ~{}MB", free_mb, MIN_FREE_HBM_MB)
                     raise WorkerStartupError(
                         f"Insufficient HBM: {free_mb}MB free")
-                log.info("Starting worker process... (HBM free: {}MB)",
-                         free_mb)
+                log.info("Starting worker process {} on :{}... "
+                         "(HBM free: {}MB)", self.index, self.port, free_mb)
+                env = {**os.environ, **self.spawn_env}
                 self.proc = subprocess.Popen([
                     sys.executable, "-m", "qwen3_asr_tpu.serving.worker",
-                    "--host", WORKER_HOST, "--port", str(WORKER_PORT),
-                ])
+                    "--host", self.host, "--port", str(self.port),
+                ], env=env)
             if not self._ready:
                 deadline = time.time() + int(
                     os.getenv("WORKER_STARTUP_TIMEOUT", "120"))
@@ -101,7 +152,7 @@ class WorkerSupervisor:
                         await asyncio.sleep(1)
                         try:
                             async with session.get(
-                                    f"http://{WORKER_HOST}:{WORKER_PORT}/health",
+                                    self.url("/health"),
                                     timeout=aiohttp.ClientTimeout(total=3)
                             ) as resp:
                                 if resp.status == 200:
@@ -148,9 +199,12 @@ class WorkerSupervisor:
                 log.warning("worker PID {} unreaped after SIGKILL", proc.pid)
 
     async def kill(self):
+        if not self.managed:
+            return
         async with self._lock:
             if self.alive():
-                log.info("Killing worker process (idle timeout)...")
+                log.info("Killing worker process {} (idle timeout)...",
+                         self.index)
                 await self._terminate()
                 log.info("Worker process killed -- RAM reclaimed")
 
@@ -168,13 +222,104 @@ class WorkerSupervisor:
                 await self.kill()
 
 
+class WorkerFleet:
+    """N supervisors + routing. One managed local worker by default (the
+    reference shape); WORKER_PORTS / WORKER_HOSTS scale it out."""
+
+    def __init__(self, supervisors: list[WorkerSupervisor]):
+        if not supervisors:
+            raise ValueError("fleet needs at least one supervisor")
+        self.supervisors = list(supervisors)
+        self._rr = 0           # round-robin tie-break cursor
+        self._prewarming = set()
+
+    @classmethod
+    def from_env(cls) -> "WorkerFleet":
+        devices = [d.strip()
+                   for d in os.getenv("WORKER_DEVICES", "").split(",")
+                   if d.strip()]
+
+        def dev_env(i: int) -> dict:
+            # One chip (or chip subset) per managed worker: libtpu honors
+            # TPU_VISIBLE_DEVICES per process; chips stay single-process.
+            return ({"TPU_VISIBLE_DEVICES": devices[i]}
+                    if i < len(devices) else {})
+
+        sups: list[WorkerSupervisor] = []
+        ports = [p.strip() for p in os.getenv("WORKER_PORTS", "").split(",")
+                 if p.strip()]
+        for p in ports:
+            sups.append(WorkerSupervisor(
+                WORKER_HOST, int(p), spawn_env=dev_env(len(sups)),
+                index=len(sups)))
+        for spec in os.getenv("WORKER_HOSTS", "").split(","):
+            spec = spec.strip()
+            if not spec:
+                continue
+            host, _, port = spec.partition(":")
+            sups.append(WorkerSupervisor(host, int(port or "8001"),
+                                         managed=False, index=len(sups)))
+        if not sups:
+            sups.append(WorkerSupervisor(spawn_env=dev_env(0)))
+        return cls(sups)
+
+    def choose(self) -> WorkerSupervisor:
+        """Least-outstanding-requests over live workers, round-robin on
+        ties (concurrent arrivals land before each other's in-flight
+        counts move, so the tie-break is what actually spreads a burst);
+        scale up by pre-warming a not-yet-ready managed worker in the
+        background when every live one is busy. Callers still
+        ``await sup.ensure()`` — routing never blocks on another worker's
+        startup."""
+        live = [s for s in self.supervisors if s.alive() and s._ready]
+        if not live:
+            managed = [s for s in self.supervisors if s.managed]
+            return managed[0] if managed else self.supervisors[0]
+        self._rr += 1
+        n = len(self.supervisors)
+        best = min(live, key=lambda s: (s.inflight,
+                                        (s.index - self._rr) % n))
+        if best.inflight > 0:
+            dormant = next(
+                (s for s in self.supervisors
+                 if s.managed and not (s.alive() and s._ready)
+                 and s.index not in self._prewarming), None)
+            if dormant is not None:
+                self._prewarming.add(dormant.index)
+                asyncio.create_task(self._prewarm(dormant))
+        return best
+
+    async def _prewarm(self, sup: WorkerSupervisor):
+        """ensure() resumes waiting on a still-starting process, so
+        repeated pre-warm attempts converge instead of thrashing."""
+        try:
+            await sup.ensure()
+            log.info("Pre-warmed worker {} under load", sup.index)
+        except Exception as e:
+            log.warning("Worker {} pre-warm failed: {}", sup.index, e)
+        finally:
+            self._prewarming.discard(sup.index)
+
+    async def ensure_all_managed(self):
+        results = await asyncio.gather(
+            *[s.ensure() for s in self.supervisors if s.managed],
+            return_exceptions=True)
+        for r in results:
+            if isinstance(r, Exception):
+                raise r
+
+    async def kill_all(self):
+        await asyncio.gather(*[s.kill() for s in self.supervisors],
+                             return_exceptions=True)
+
+    async def idle_watchdog(self):
+        await asyncio.gather(*[s.idle_watchdog()
+                               for s in self.supervisors])
+
+
 def _trace_headers() -> dict:
     req_id = get_request_id()
     return {"X-Request-ID": req_id} if req_id else {}
-
-
-def _worker_url(path: str) -> str:
-    return f"http://{WORKER_HOST}:{WORKER_PORT}{path}"
 
 
 async def _proxy_error(resp: aiohttp.ClientResponse, url: str) -> web.Response:
@@ -200,9 +345,10 @@ async def _forward_multipart(request: web.Request, sup: WorkerSupervisor,
                    content_type="audio/wav")
     for key, default in field_defaults.items():
         form.add_field(key, str(fields.get(key, default)))
-    url = _worker_url(worker_path)
+    url = sup.url(worker_path)
     session = aiohttp.ClientSession()
     sup.inflight += 1
+    sup.served += 1
     try:
         resp = await session.post(
             url, data=form, headers=_trace_headers(),
@@ -220,7 +366,7 @@ async def _forward_multipart(request: web.Request, sup: WorkerSupervisor,
 
 
 async def gw_transcribe(request: web.Request) -> web.Response:
-    sup: WorkerSupervisor = request.app["supervisor"]
+    sup: WorkerSupervisor = request.app["fleet"].choose()
     t0 = time.time()
     session, resp, url, _ = await _forward_multipart(
         request, sup, "/transcribe",
@@ -239,7 +385,7 @@ async def gw_transcribe(request: web.Request) -> web.Response:
 
 
 async def gw_translate(request: web.Request) -> web.Response:
-    sup: WorkerSupervisor = request.app["supervisor"]
+    sup: WorkerSupervisor = request.app["fleet"].choose()
     t0 = time.time()
     session, resp, url, fields = await _forward_multipart(
         request, sup, "/translate",
@@ -263,7 +409,7 @@ async def gw_translate(request: web.Request) -> web.Response:
 
 
 async def gw_subtitles(request: web.Request) -> web.Response:
-    sup: WorkerSupervisor = request.app["supervisor"]
+    sup: WorkerSupervisor = request.app["fleet"].choose()
     t0 = time.time()
     session, resp, url, _ = await _forward_multipart(
         request, sup, "/subtitles",
@@ -285,7 +431,7 @@ async def gw_subtitles(request: web.Request) -> web.Response:
 
 
 async def gw_transcribe_stream(request: web.Request) -> web.StreamResponse:
-    sup: WorkerSupervisor = request.app["supervisor"]
+    sup: WorkerSupervisor = request.app["fleet"].choose()
     t0 = time.time()
     session, resp, url, _ = await _forward_multipart(
         request, sup, "/transcribe/stream",
@@ -332,8 +478,9 @@ async def gw_transcribe_stream(request: web.Request) -> web.StreamResponse:
 
 
 async def gw_websocket(request: web.Request) -> web.WebSocketResponse:
-    """Bidirectional WS pump client ↔ worker (reference gateway.py:340-419)."""
-    sup: WorkerSupervisor = request.app["supervisor"]
+    """Bidirectional WS pump client ↔ worker (reference gateway.py:340-419).
+    The session is sticky to the worker chosen here."""
+    sup: WorkerSupervisor = request.app["fleet"].choose()
     ws = web.WebSocketResponse(compress=False)
     await ws.prepare(request)
 
@@ -356,8 +503,9 @@ async def gw_websocket(request: web.Request) -> web.WebSocketResponse:
             val = request.query.get(param)
             if val is not None:
                 qs_parts.append(f"{param}={val}")
-        ws_url = (f"ws://{WORKER_HOST}:{WORKER_PORT}/ws/transcribe?"
+        ws_url = (sup.url("/ws/transcribe?").replace("http://", "ws://", 1)
                   + "&".join(qs_parts))
+        sup.served += 1
 
         async with aiohttp.ClientSession() as session:
             async with session.ws_connect(ws_url) as worker_ws:
@@ -421,24 +569,51 @@ async def gw_websocket(request: web.Request) -> web.WebSocketResponse:
     return ws
 
 
+async def _poll_worker_health(sup: WorkerSupervisor) -> dict | None:
+    try:
+        async with aiohttp.ClientSession() as session:
+            async with session.get(
+                    sup.url("/health"), headers=_trace_headers(),
+                    timeout=aiohttp.ClientTimeout(total=3)) as resp:
+                if resp.status == 200:
+                    body = await resp.json()
+                    sup._last_health = body
+                    if not sup.managed:
+                        sup._ready = True
+                    return body
+    except Exception:
+        if not sup.managed:
+            sup._ready = False
+    return None
+
+
 async def gw_health(request: web.Request) -> web.Response:
-    sup: WorkerSupervisor = request.app["supervisor"]
-    worker_alive = sup.alive()
-    info = {"status": "ok", "mode": "gateway", "worker_alive": worker_alive,
+    fleet: WorkerFleet = request.app["fleet"]
+    sups = fleet.supervisors
+    polls = await asyncio.gather(*[
+        _poll_worker_health(s) if (s.alive() or not s.managed) else
+        asyncio.sleep(0) for s in sups])
+    # Single-worker health keeps the reference's exact shape; the merged
+    # top-level state comes from the first responsive worker either way.
+    info = {"status": "ok", "mode": "gateway",
+            "worker_alive": any(s.alive() for s in sups),
             "model_loaded": False, "model_id": None}
-    if worker_alive:
-        try:
-            async with aiohttp.ClientSession() as session:
-                async with session.get(
-                        _worker_url("/health"), headers=_trace_headers(),
-                        timeout=aiohttp.ClientTimeout(total=3)) as resp:
-                    if resp.status == 200:
-                        worker_info = await resp.json()
-                        sup._last_health = worker_info
-                        info.update(worker_info)
-                        info["mode"] = "gateway"
-        except Exception:
-            pass
+    for body in polls:
+        if isinstance(body, dict):
+            info.update(body)
+            info["mode"] = "gateway"
+            break
+    if len(sups) > 1:
+        info["workers"] = [
+            {"index": s.index, "host": s.host, "port": s.port,
+             "managed": s.managed, "alive": s.alive(),
+             "inflight": s.inflight, "served": s.served,
+             "model_loaded": bool(isinstance(b, dict)
+                                  and b.get("model_loaded"))}
+            for s, b in zip(sups, polls)]
+        info["worker_alive"] = any(s.alive() for s in sups)
+        info["model_loaded"] = any(w["model_loaded"]
+                                   for w in info["workers"])
     return web.json_response(info)
 
 
@@ -453,11 +628,16 @@ async def _worker_failure_middleware(request, handler):
                               f"Worker startup failed: {e}", 503)
 
 
-def build_app(supervisor: WorkerSupervisor | None = None) -> web.Application:
+def build_app(supervisor: WorkerSupervisor | None = None,
+              fleet: WorkerFleet | None = None) -> web.Application:
     app = web.Application(middlewares=[request_id_middleware,
                                        _worker_failure_middleware],
                           client_max_size=512 * 1024 ** 2)
-    app["supervisor"] = supervisor or WorkerSupervisor()
+    if fleet is None:
+        fleet = (WorkerFleet([supervisor]) if supervisor is not None
+                 else WorkerFleet.from_env())
+    app["fleet"] = fleet
+    app["supervisor"] = fleet.supervisors[0]  # single-worker back-compat
 
     app.router.add_get("/health", gw_health)
     app.router.add_post("/v1/audio/transcriptions", gw_transcribe)
@@ -473,19 +653,23 @@ def build_app(supervisor: WorkerSupervisor | None = None) -> web.Application:
 
     async def on_startup(app):
         validate_env()
-        sup = app["supervisor"]
-        app["watchdog"] = asyncio.create_task(sup.idle_watchdog())
+        fl = app["fleet"]
+        if len(fl.supervisors) > 1:
+            log.info("Worker fleet: {}", [
+                f"{s.host}:{s.port}" + ("" if s.managed else " (external)")
+                for s in fl.supervisors])
+        app["watchdog"] = asyncio.create_task(fl.idle_watchdog())
         if IDLE_TIMEOUT == 0:
-            log.info("Always-on mode: pre-spawning worker at startup")
+            log.info("Always-on mode: pre-spawning worker(s) at startup")
             try:
-                await sup.ensure()
+                await fl.ensure_all_managed()
             except Exception as e:
                 log.warning("Worker pre-spawn failed (will retry on first "
                             "request): {}", e)
 
     async def on_cleanup(app):
         app["watchdog"].cancel()
-        await app["supervisor"].kill()
+        await app["fleet"].kill_all()
 
     app.on_startup.append(on_startup)
     app.on_cleanup.append(on_cleanup)

@@ -180,3 +180,134 @@ def test_gateway_respawns_dead_worker(tmp_path):
         except Exception:
             pass
         loop.close()
+
+
+def test_fleet_from_env(monkeypatch):
+    """WORKER_PORTS spawns managed workers (device-pinned in order);
+    WORKER_HOSTS appends external unmanaged workers; unset = one managed
+    local worker (reference shape)."""
+    from qwen3_asr_tpu.serving.gateway import WorkerFleet
+
+    monkeypatch.delenv("WORKER_PORTS", raising=False)
+    monkeypatch.delenv("WORKER_HOSTS", raising=False)
+    monkeypatch.delenv("WORKER_DEVICES", raising=False)
+    fleet = WorkerFleet.from_env()
+    assert len(fleet.supervisors) == 1 and fleet.supervisors[0].managed
+
+    monkeypatch.setenv("WORKER_PORTS", "18401,18402")
+    monkeypatch.setenv("WORKER_DEVICES", "0,1")
+    monkeypatch.setenv("WORKER_HOSTS", "10.9.9.9:9001")
+    fleet = WorkerFleet.from_env()
+    sups = fleet.supervisors
+    assert [s.port for s in sups] == [18401, 18402, 9001]
+    assert [s.managed for s in sups] == [True, True, False]
+    assert sups[0].spawn_env == {"TPU_VISIBLE_DEVICES": "0"}
+    assert sups[1].spawn_env == {"TPU_VISIBLE_DEVICES": "1"}
+    assert sups[2].host == "10.9.9.9"
+
+
+def test_fleet_choose_least_outstanding():
+    """Routing picks the live worker with the fewest in-flight requests
+    and pre-warms a dormant managed worker when every live one is busy."""
+    from qwen3_asr_tpu.serving.gateway import WorkerFleet, WorkerSupervisor
+
+    async def go():
+        a = WorkerSupervisor(port=18403, index=0)
+        b = WorkerSupervisor(port=18404, index=1)
+        c = WorkerSupervisor(port=18405, index=2)
+        fleet = WorkerFleet([a, b, c])
+
+        # no live workers: route to the first managed one (it will spawn)
+        assert fleet.choose() is a
+
+        # fake liveness without processes
+        for s in (a, b):
+            s._ready = True
+            s.proc = type("P", (), {"poll": staticmethod(lambda: None)})()
+        a.inflight, b.inflight = 2, 1
+        prewarmed = []
+
+        async def fake_prewarm(sup):
+            prewarmed.append(sup)
+        fleet._prewarm = fake_prewarm
+
+        assert fleet.choose() is b          # least outstanding
+        await asyncio.sleep(0)              # let the prewarm task run
+        assert prewarmed == [c]             # all live busy -> warm dormant
+
+        b.inflight = 0
+        prewarmed.clear()
+        assert fleet.choose() is b
+        await asyncio.sleep(0)
+        assert prewarmed == []              # someone idle -> no prewarm
+    asyncio.new_event_loop().run_until_complete(go())
+
+
+@pytest.mark.slow
+def test_gateway_two_worker_fleet(tmp_path):
+    """Scale-out process split: a two-worker fleet serves through worker 0,
+    fails over to worker 1 when 0 dies (no respawn needed to answer), and
+    reports per-worker health."""
+    ckpt = str(tmp_path / "ckpt")
+    write_tiny_checkpoint(ckpt)
+    os.environ["MODEL_ID"] = ckpt
+    os.environ["SKIP_WARMUP"] = "true"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["WORKER_STARTUP_TIMEOUT"] = "90"
+
+    from qwen3_asr_tpu.serving import gateway as gw
+    loop = asyncio.new_event_loop()
+    fleet = gw.WorkerFleet([gw.WorkerSupervisor(port=18321, index=0),
+                            gw.WorkerSupervisor(port=18322, index=1)])
+    s0, s1 = fleet.supervisors
+    try:
+        client = TestClient(TestServer(gw.build_app(fleet=fleet)), loop=loop)
+        loop.run_until_complete(client.start_server())
+
+        async def transcribe_once():
+            import aiohttp
+            form = aiohttp.FormData()
+            form.add_field("file", encode_wav(speech_like(0.4, seed=0), 16000),
+                           filename="t.wav", content_type="audio/wav")
+            form.add_field("language", "en")
+            resp = await client.post("/v1/audio/transcriptions", data=form)
+            assert resp.status == 200, await resp.text()
+            return await resp.json()
+
+        async def go():
+            body = await transcribe_once()       # spawns + serves via w0
+            assert s0.served == 1 and s1.served == 0
+            await s1.ensure()                    # the prewarm path, driven
+
+            health = await (await client.get("/health")).json()
+            assert len(health["workers"]) == 2
+            assert all(w["alive"] for w in health["workers"])
+            assert health["model_loaded"] is True
+
+            # kill worker 0: routing must fail over to the live worker 1
+            s0.proc.kill()
+            await asyncio.to_thread(s0.proc.wait, 10)
+            body2 = await transcribe_once()
+            assert s1.served >= 1
+            assert body2["text"] == body["text"]
+
+            # WS sticks to the surviving worker
+            ws = await client.ws_connect("/ws/transcribe")
+            hello = await ws.receive_json()
+            assert hello["status"] == "connected"
+            await ws.send_json({"action": "flush"})
+            msg = await ws.receive_json()
+            assert msg["is_final"] is True
+            await ws.close()
+
+        loop.run_until_complete(asyncio.wait_for(go(), timeout=300))
+        loop.run_until_complete(fleet.kill_all())
+        loop.run_until_complete(client.close())
+    finally:
+        for s in fleet.supervisors:
+            try:
+                if s.proc is not None and s.proc.poll() is None:
+                    s.proc.kill()
+            except Exception:
+                pass
+        loop.close()
