@@ -86,6 +86,7 @@ class TranscriptionEngine:
         self._suffix_ids = model.tokenizer.encode(model.template.suffix_text())
         self.draft_model: Optional[AsrModel] = None
         self._spec_fns = {}
+        self._stream_fns = {}     # WS prefix-cache executables (stream.py)
         self.last_used = time.time()
         # Optional jax.sharding.Mesh: weights pre-sharded by the lifecycle
         # layer; batches are dp-sharded in _run_bucket (SURVEY §2.3).
@@ -309,6 +310,24 @@ class TranscriptionEngine:
 
         self._generate_fns[key] = run
         return run
+
+    # -- WS prefix caching (runtime/stream.py) -----------------------------------
+    def _stream_fn(self, key):
+        """Memoized stream executables, shared by every session."""
+        fn = self._stream_fns.get(key)
+        if fn is None:
+            from .stream import build_stream_fn
+            fn = build_stream_fn(self, key)
+            self._stream_fns[key] = fn
+        return fn
+
+    def stream_session(self, cap_s: float, language: Optional[str] = None,
+                       context: str = ""):
+        """Per-WS-connection prefix-cache session: encoder blocks and
+        decoder KV persist across the 450 ms re-transcriptions, so tick
+        device work scales with NEW audio instead of window length."""
+        from .stream import StreamSession
+        return StreamSession(self, cap_s, language, context)
 
     def _place_batch(self, arr: np.ndarray):
         """Shard a [B, ...] host array over the mesh's dp axis (replicated

@@ -57,7 +57,6 @@ def resume_generate(params, cfg: DecoderConfig, inputs_embeds: jax.Array,
     # requires block-aligned S, and the valid-range masks keep padding inert.
     total = -(-(plen + max_new) // 128) * 128
     cache = init_kv_cache(cfg, b, total, dtype=cache_dtype)
-    m = prev_len[0]
 
     # ---- prefill ---------------------------------------------------------------
     positions = jnp.broadcast_to(jnp.arange(plen), (b, plen))
@@ -66,6 +65,26 @@ def resume_generate(params, cfg: DecoderConfig, inputs_embeds: jax.Array,
         AttnSpec(causal=True, valid_from=valid_from))
     first = jnp.argmax(lm_logits(params, cfg, hidden[:, -1]),
                        axis=-1).astype(jnp.int32)
+
+    _, result = verify_and_continue(
+        params, cfg, cache, plen, first, valid_from, prev_tokens, prev_len,
+        max_new=max_new, eos_id=eos_id, pad_id=pad_id)
+    return result
+
+
+def verify_and_continue(params, cfg: DecoderConfig, cache: KVCache,
+                        plen: int, first: jax.Array, valid_from: jax.Array,
+                        prev_tokens: jax.Array, prev_len: jax.Array, *,
+                        max_new: int, eos_id: int,
+                        pad_id: int) -> tuple[KVCache, GenerateResult]:
+    """Self-draft verify + greedy continuation on an EXISTING prefilled
+    cache (prompt KV present for positions < plen; ``first`` is the greedy
+    token after the prompt). Shared by resume_generate (fresh per-tick
+    cache) and the streaming prefix-cache tick (runtime/stream.py,
+    persistent session cache — which is why the updated cache is returned).
+    """
+    b = prev_tokens.shape[0]
+    m = prev_len[0]
 
     # ---- verify the previous tokens in one forward -------------------------------
     # prev[0..max_new-1] at positions P..P+max_new-1; preds[i] = greedy token
@@ -123,8 +142,10 @@ def resume_generate(params, cfg: DecoderConfig, inputs_embeds: jax.Array,
         done = c.done | (nxt == eos_id)
         return _Carry(cache, nxt, done, tokens, c.i + 1)
 
-    init = _Carry(cache, jnp.asarray([g_n]), done0, tokens0, emitted)
+    init = _Carry(cache, jnp.broadcast_to(g_n[None], (b,)), done0, tokens0,
+                  emitted)
     final = jax.lax.while_loop(cond, body, init)
 
     lengths = jnp.sum((final.tokens != pad_id).astype(jnp.int32), axis=-1)
-    return GenerateResult(final.tokens, lengths, final.i - emitted)
+    return final.cache, GenerateResult(final.tokens, lengths,
+                                       final.i - emitted)

@@ -449,12 +449,16 @@ async def transcribe_stream(request: web.Request) -> web.StreamResponse:
 async def _transcribe_with_context(mgr: ModelManager, audio_bytes: bytes,
                                    pad_silence: bool, lang_code,
                                    use_vad: bool,
-                                   resume_tokens=None):
+                                   resume_tokens=None, session=None):
     """Bandpass + VAD gate + priority-0 inference over the window bytes.
 
     Returns (text, token_ids). resume_tokens from the previous tick enable
     self-draft resume decoding (runtime/resume.py) — the streaming fast
-    path that makes the 450 ms cadence cheap.
+    path that makes the 450 ms cadence cheap. ``session`` (a
+    runtime/stream.py StreamSession, ASR_WS_PREFIX_CACHE=true) replaces
+    the per-tick re-encode with cached encoder blocks + persistent
+    decoder KV for partial ticks; flushes keep the fused path (the padded
+    silence changes the audio anyway and the window clears after).
     """
     audio_duration = len(audio_bytes) / 2 / TARGET_SR
     t0 = time.time()
@@ -475,6 +479,20 @@ async def _transcribe_with_context(mgr: ModelManager, audio_bytes: bytes,
         if use_vad and not is_speech(audio):
             log.info("_transcribe_with_context | VAD: silence, skipping inference")
             return "", resume_tokens
+
+        if session is not None and not pad_silence:
+            def tick():
+                out = session.update(audio)
+                session.engine.last_used = time.time()
+                return out
+            raw, token_ids = await asyncio.wait_for(
+                mgr.queue.submit(tick, priority=0),
+                timeout=mgr.request_timeout)
+            text = detect_and_fix_repetitions(raw)
+            log.info("_transcribe_with_context | done elapsed={:.2f}s "
+                     "text_len={} (prefix-cache)", time.time() - t0,
+                     len(text))
+            return text, token_ids
 
         # WS ticks default to the fused resume path even in pool mode:
         # measured on-chip (CHANGELOG r3), resume self-drafting holds
@@ -551,6 +569,39 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
     silent_ticks = 0    # consecutive silent ticks (VAD flush debounce)
     prev_tokens = None  # last partial's token ids (resume decoding)
 
+    # WS prefix caching (runtime/stream.py): a per-connection session
+    # carries encoder-block + decoder-KV state across partial ticks.
+    prefix_cache = os.getenv("ASR_WS_PREFIX_CACHE", "").lower() == "true"
+    stream_session = None
+
+    def session_for_tick():
+        """(Re)bind the session to the engine serving partials — engines
+        can be idle-unloaded and reloaded mid-connection."""
+        nonlocal stream_session
+        if not prefix_cache:
+            return None
+        eng = mgr.fast_engine or mgr.engine
+        if eng is None:
+            return None
+        if stream_session is None or stream_session.engine is not eng:
+            try:
+                stream_session = eng.stream_session(WS_WINDOW_MAX_S,
+                                                    lang_code)
+                mgr.last_stream_session = stream_session  # observability
+            except Exception as e:
+                log.warning("[WS] prefix-cache session unavailable: {}", e)
+                return None
+        return stream_session
+
+    def trim_quantum_bytes() -> int:
+        """Prefix-cache mode trims in encoder-chunk quanta so cached
+        blocks stay grid-aligned between trims (sample-exact trimming
+        would rebuild every at-cap tick — correct, just cache-less)."""
+        eng = mgr.fast_engine or mgr.engine
+        if not prefix_cache or eng is None:
+            return 2
+        return eng.model.cfg.encoder.n_window * 2 * 160 * 2
+
     try:
         if client_sr not in (8000, 16000):
             await ws.send_json({
@@ -599,11 +650,15 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
                                             "is_final": True})
                     audio_window.clear()
                     prev_tokens = None
+                    if stream_session is not None:
+                        stream_session.reset()
 
                 elif action == "reset":
                     audio_buffer.clear()
                     audio_window.clear()
                     prev_tokens = None
+                    if stream_session is not None:
+                        stream_session.reset()
                     await ws.send_json({"status": "buffer_reset"})
 
                 elif action == "config":
@@ -612,6 +667,8 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
                         lang_code = None
                     elif new_lang:
                         lang_code = new_lang
+                    if new_lang:
+                        stream_session = None  # prompt changed: new session
                     if "use_server_vad" in cmd:
                         use_vad = bool(cmd["use_server_vad"])
                     await ws.send_json({"status": "configured",
@@ -636,7 +693,10 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
                     audio_buffer.clear()
                     if len(audio_window) > WS_WINDOW_MAX_BYTES:
                         trim = len(audio_window) - WS_WINDOW_MAX_BYTES
-                        trim = (trim // 2) * 2
+                        q = trim_quantum_bytes()
+                        trim = -(-trim // q) * q if q > 2 else (trim // 2) * 2
+                        if trim >= len(audio_window):
+                            trim = (len(audio_window) // 2) * 2
                         audio_window = audio_window[trim:]
 
                     vad_flushed = False
@@ -668,11 +728,14 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
                                                     "is_final": True})
                             audio_window.clear()
                             prev_tokens = None
+                            if stream_session is not None:
+                                stream_session.reset()
 
                     if not vad_flushed:
                         text, prev_tokens = await _transcribe_with_context(
                             mgr, bytes(audio_window), False, lang_code,
-                            use_vad, resume_tokens=prev_tokens)
+                            use_vad, resume_tokens=prev_tokens,
+                            session=session_for_tick())
                         chunk_count += 1
                         if text:
                             await ws.send_json({"text": text,

@@ -1,0 +1,175 @@
+"""WS prefix caching (runtime/stream.py): token parity with the fused path.
+
+The session only changes WHAT IS RECOMPUTED per tick (cached encoder
+blocks, persistent decoder KV, tail-segment prefill); the math is the
+fused resume path pinned at the cap bucket, so outputs must be
+token-identical across every tick pattern: growth, chunk-quantized trims,
+clamp-max jumps (loud late audio), reset, and the degenerate
+sample-exact-trim case (full rebuild per tick, never wrong).
+"""
+import numpy as np
+import pytest
+
+from tests.fixtures import write_tiny_checkpoint, load_tiny_model
+from tests.util_audio import speech_like
+
+CAP_S = 6.0
+TICK_S = 0.45
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    import jax.numpy as jnp
+    from qwen3_asr_tpu.runtime.engine import TranscriptionEngine
+    path = str(tmp_path_factory.mktemp("ckpt") / "tiny")
+    write_tiny_checkpoint(path)
+    return TranscriptionEngine(load_tiny_model(path), dtype=jnp.float32)
+
+
+def fused_reference(engine, window, language, prev):
+    """The parity target: fused resume decoding at the PINNED cap bucket."""
+    frames, bucket_s = engine.bucket_frames(int(CAP_S * SR))
+    texts, id_lists = engine._run_bucket(
+        [window.astype(np.float32)], frames, bucket_s, language,
+        resume_tokens=list(prev))
+    return texts[0], id_lists[0]
+
+
+def run_paced(engine, session, audio, language, trim_quantum):
+    """Feed audio in 450 ms ticks with trim-quantized sliding windows and
+    assert per-tick token parity against the fused path."""
+    cap = int(CAP_S * SR)
+    tick = int(TICK_S * SR)
+    window = np.zeros(0, np.float32)
+    prev = []
+    for off in range(0, len(audio), tick):
+        window = np.concatenate([window, audio[off:off + tick]])
+        if len(window) > cap:
+            trim = len(window) - cap
+            if trim_quantum > 1:
+                trim = -(-trim // trim_quantum) * trim_quantum
+            window = window[trim:]
+        text, ids = session.update(window)
+        exp_text, exp_ids = fused_reference(engine, window, language, prev)
+        assert ids == exp_ids, (
+            f"tick@{off}: stream={ids} fused={exp_ids} "
+            f"(stats={session.stats})")
+        assert text == exp_text
+        prev = exp_ids
+    return session.stats
+
+
+def test_stream_matches_fused_chunk_trim(engine):
+    """The intended serving shape: chunk-quantized trims -> tail ticks
+    dominate at the cap and every tick is token-identical."""
+    session = engine.stream_session(CAP_S, "en")
+    chunk_samples = session.chunk_frames * 160
+    audio = speech_like(10.0, seed=7).astype(np.float32)
+    stats = run_paced(engine, session, audio, "en", chunk_samples)
+    assert stats["tail"] > 0, f"no tail ticks: {stats}"
+    assert stats["full"] > 0   # growth + trim ticks
+
+
+def test_stream_matches_fused_sample_exact_trim(engine):
+    """Reference-style sample-exact trimming: every at-cap tick rebuilds
+    (common prefix 0) — the degenerate case must stay correct."""
+    session = engine.stream_session(CAP_S, "en")
+    audio = speech_like(8.0, seed=8).astype(np.float32)
+    run_paced(engine, session, audio, "en", trim_quantum=1)
+
+
+def test_stream_clamp_max_jump(engine):
+    """Quiet speech then a loud burst: the optimistic clamp guess fails,
+    the tick redoes with the proven max, output parity holds."""
+    session = engine.stream_session(CAP_S, "en")
+    quiet = 0.05 * speech_like(3.0, seed=9).astype(np.float32)
+    loud = 5.0 * speech_like(2.0, seed=10).astype(np.float32)
+    audio = np.concatenate([quiet, loud])
+    chunk_samples = session.chunk_frames * 160
+    stats = run_paced(engine, session, audio, "en", chunk_samples)
+    assert stats["redo"] > 0, f"clamp jump never redone: {stats}"
+
+
+def test_stream_reset_and_empty(engine):
+    session = engine.stream_session(CAP_S, "en")
+    assert session.update(np.zeros(0, np.float32)) == ("", [])
+    audio = speech_like(1.5, seed=11).astype(np.float32)
+    text1, ids1 = session.update(audio)
+    session.reset()
+    text2, ids2 = session.update(audio)
+    assert ids1 == ids2 and text1 == text2
+    exp_text, exp_ids = fused_reference(engine, audio, "en", [])
+    # post-reset ticks carry no prev tokens, like a fresh connection
+    assert ids2 == exp_ids
+
+
+def test_ws_prefix_cache_server_path(tmp_path, monkeypatch):
+    """Full app with ASR_WS_PREFIX_CACHE=true: partials route through the
+    per-connection session (tail ticks at the cap), flush/reset clear it,
+    and the protocol shapes are unchanged."""
+    import asyncio
+    from aiohttp.test_utils import TestClient, TestServer
+
+    ckpt = str(tmp_path / "ckpt")
+    write_tiny_checkpoint(ckpt)
+    monkeypatch.setenv("MODEL_ID", ckpt)
+    monkeypatch.setenv("SKIP_WARMUP", "true")
+    monkeypatch.setenv("ASR_WS_PREFIX_CACHE", "true")
+    from qwen3_asr_tpu.serving.server import build_app
+
+    async def go():
+        client = TestClient(TestServer(build_app()))
+        await client.start_server()
+        try:
+            ws = await client.ws_connect(
+                "/ws/transcribe?use_server_vad=false")
+            hello = await ws.receive_json()
+            assert hello["status"] == "connected"
+
+            audio = speech_like(8.0, seed=21)   # > cap: forces trims
+            pcm = (np.clip(audio * 32767, -32768, 32767)
+                   .astype("<i2").tobytes())
+            partials = 0
+            for i in range(0, len(pcm), 14400):
+                await ws.send_bytes(pcm[i:i + 14400])
+                try:
+                    msg = await asyncio.wait_for(ws.receive_json(),
+                                                 timeout=120)
+                    if msg.get("is_partial"):
+                        partials += 1
+                except asyncio.TimeoutError:
+                    pass
+
+            mgr = client.app["manager"]
+            sess = getattr(mgr, "last_stream_session", None)
+            assert sess is not None, "session never created"
+            assert sess.stats["ticks"] > 0
+            assert sess.stats["tail"] > 0, (
+                f"no tail ticks at the cap: {sess.stats}")
+
+            await ws.send_json({"action": "flush"})
+            final = await asyncio.wait_for(ws.receive_json(), timeout=120)
+            while not final.get("is_final"):
+                final = await asyncio.wait_for(ws.receive_json(),
+                                               timeout=120)
+            assert "text" in final
+            # flush cleared the session
+            assert sess.prev_tokens == [] and sess.clamp_max is None
+
+            # language change rebinds the session on the next tick
+            await ws.send_json({"action": "config", "language": "zh"})
+            ack = await asyncio.wait_for(ws.receive_json(), timeout=30)
+            assert ack["status"] == "configured"
+            for i in range(0, 2 * 14400, 14400):
+                await ws.send_bytes(pcm[i:i + 14400])
+                try:
+                    await asyncio.wait_for(ws.receive_json(), timeout=120)
+                except asyncio.TimeoutError:
+                    pass
+            sess2 = getattr(mgr, "last_stream_session", None)
+            assert sess2 is not sess, "config(language) must rebuild"
+            await ws.close()
+        finally:
+            await client.close()
+    asyncio.new_event_loop().run_until_complete(go())
