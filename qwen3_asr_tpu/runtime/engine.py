@@ -529,6 +529,28 @@ class TranscriptionEngine:
             log.info("Warmup bucket {}s compiled in {:.1f}s", sec,
                      time.time() - t0)
 
+        if _os.getenv("ASR_WS_PREFIX_CACHE", "").lower() == "true":
+            # Pace a throwaway session across the cap so every stream
+            # executable (block-encode shapes, segment-ladder rungs)
+            # compiles here, not on a live connection's first ticks.
+            t0 = time.time()
+            cap = float(_os.getenv("WS_WINDOW_MAX_S", "6.0"))
+            sess = self.stream_session(cap, language)
+            cap_n = int(cap * TARGET_SR)
+            tick = int(0.45 * TARGET_SR)
+            chunk = sess.chunk_frames * HOP_LENGTH
+            audio = (rng.standard_normal(cap_n + 4 * chunk)
+                     .astype(np.float32) * 0.01)
+            window = np.zeros(0, np.float32)
+            for off in range(0, len(audio), tick):
+                window = np.concatenate([window, audio[off:off + tick]])
+                if len(window) > cap_n:
+                    trim = -(-(len(window) - cap_n) // chunk) * chunk
+                    window = window[trim:]
+                sess.update(window)
+            log.info("Warmup stream session ({} ticks) compiled in {:.1f}s",
+                     sess.stats["ticks"], time.time() - t0)
+
 
 def _prep_audio(audio, sr: int) -> np.ndarray:
     """Normalize input audio for the bucket path. Mono 16 kHz s16 PCM stays
