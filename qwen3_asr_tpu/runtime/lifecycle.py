@@ -138,6 +138,7 @@ class ModelManager:
         self.engine = None
         self.fast_engine = None
         self.pool = None  # continuous-batching decode pool (opt-in)
+        self.last_stream_session = None  # newest WS prefix-cache session
         self.loaded_model_id: Optional[str] = None
         self.queue = PriorityInferQueue()
         from .batcher import MicroBatcher
@@ -272,6 +273,10 @@ class ModelManager:
         self.loaded_model_id = None
         self.engine = None
         self.fast_engine = None
+        # Drop the observability handle on the last WS prefix-cache
+        # session: it references the engine (params + device caches) and
+        # would keep the HBM alive past this unload.
+        self.last_stream_session = None
         gc.collect()
         log.info("Model unloaded")
 

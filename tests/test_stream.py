@@ -173,3 +173,60 @@ def test_ws_prefix_cache_server_path(tmp_path, monkeypatch):
         finally:
             await client.close()
     asyncio.new_event_loop().run_until_complete(go())
+
+
+def test_stream_int4_engine_degrades_cache_to_fp8(engine):
+    """Session caches cross jit boundaries, so an int4 engine degrades the
+    SESSION cache to fp8 (same jax bug + fix as the decode pool)."""
+    import jax.numpy as jnp
+    old = engine.cache_dtype
+    engine.cache_dtype = jnp.int4
+    try:
+        session = engine.stream_session(CAP_S, "en")
+        assert session.cache_dtype == jnp.float8_e4m3fn
+        assert session.cache.k.dtype == jnp.float8_e4m3fn
+        assert session.cache.k_scale is None
+    finally:
+        engine.cache_dtype = old
+
+
+def test_stream_session_binds_fast_engine(tmp_path, monkeypatch):
+    """Under DUAL_MODEL, WS partials run on the fast engine — the prefix
+    cache session must bind to IT, not the main engine."""
+    import asyncio
+    from aiohttp.test_utils import TestClient, TestServer
+
+    main_ckpt = str(tmp_path / "main")
+    fast_ckpt = str(tmp_path / "fast")
+    write_tiny_checkpoint(main_ckpt)
+    write_tiny_checkpoint(fast_ckpt, seed=5)
+    monkeypatch.setenv("MODEL_ID", main_ckpt)
+    monkeypatch.setenv("FAST_MODEL_ID", fast_ckpt)
+    monkeypatch.setenv("DUAL_MODEL", "true")
+    monkeypatch.setenv("SKIP_WARMUP", "true")
+    monkeypatch.setenv("ASR_WS_PREFIX_CACHE", "true")
+    from qwen3_asr_tpu.serving.server import build_app
+
+    async def go():
+        client = TestClient(TestServer(build_app()))
+        await client.start_server()
+        try:
+            ws = await client.ws_connect(
+                "/ws/transcribe?use_server_vad=false")
+            await ws.receive_json()
+            pcm = (np.clip(speech_like(1.0, seed=30) * 32767, -32768, 32767)
+                   .astype("<i2").tobytes())
+            await ws.send_bytes(pcm)
+            try:
+                await asyncio.wait_for(ws.receive_json(), timeout=120)
+            except asyncio.TimeoutError:
+                pass
+            mgr = client.app["manager"]
+            sess = getattr(mgr, "last_stream_session", None)
+            assert sess is not None
+            assert mgr.fast_engine is not None
+            assert sess.engine is mgr.fast_engine
+            await ws.close()
+        finally:
+            await client.close()
+    asyncio.new_event_loop().run_until_complete(go())

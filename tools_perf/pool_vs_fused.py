@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 from bench import build_engine  # noqa: E402
 
-LENGTHS_S = [2, 4, 6, 10, 15, 20, 2, 6]
+LENGTHS_S = [2, 4, 6, 10, 15, 20, 2, 6] * int(
+    os.getenv("POOL_BENCH_REPEAT", "1"))
 
 
 def main():
@@ -57,8 +58,12 @@ def main():
     fused_s = time.time() - t0
 
     # -- pooled ------------------------------------------------------------
+    # POOL_BENCH_SLOTS pins the pool; add POOL_BENCH_MAX_SLOTS to measure
+    # slot autoscaling (burst grows the window instead of queueing).
     from qwen3_asr_tpu.runtime.pool import DecodePool
-    pool = DecodePool(engine, slots=len(clips))
+    slots = int(os.getenv("POOL_BENCH_SLOTS", str(len(clips))))
+    max_slots = int(os.getenv("POOL_BENCH_MAX_SLOTS", "0")) or None
+    pool = DecodePool(engine, slots=slots, max_slots=max_slots)
 
     # POOL_BENCH_STAGGER_MS > 0: requests trickle in mid-decode (the
     # serving-realistic arrival shape) — this is the case the overlapped
@@ -102,6 +107,7 @@ def main():
     print(json.dumps({
         "backend": backend, "preset": preset,
         "clips_s": LENGTHS_S, "audio_total_s": sum(LENGTHS_S),
+        "pool_slots": pool.base, "pool_max_slots": pool.max_slots,
         "stagger_ms": stagger_s * 1e3,
         "fused_sequential_s": round(fused_s, 2),
         "pooled_s": round(pool_best, 2),
