@@ -118,6 +118,29 @@ def _check_worker_port():
         return f"WORKER_PORT must be 1-65535, got {port}"
 
 
+def _check_worker_fleet():
+    """WORKER_PORTS / WORKER_HOSTS (gateway fleet, docs/MULTIHOST.md):
+    malformed entries must fail startup, not the first routed request."""
+    if os.getenv("GATEWAY_MODE", "false").lower() != "true":
+        return None
+    for p in os.getenv("WORKER_PORTS", "").split(","):
+        p = p.strip()
+        if not p:
+            continue
+        if not p.isdigit() or not 1 <= int(p) <= 65535:
+            return f"WORKER_PORTS entries must be ports 1-65535, got {p!r}"
+    for spec in os.getenv("WORKER_HOSTS", "").split(","):
+        spec = spec.strip()
+        if not spec:
+            continue
+        host, _, port = spec.partition(":")
+        if not host:
+            return f"WORKER_HOSTS entries must be host[:port], got {spec!r}"
+        if port and (not port.isdigit() or not 1 <= int(port) <= 65535):
+            return (f"WORKER_HOSTS port must be 1-65535, got {port!r} "
+                    f"in {spec!r}")
+
+
 def _check_ws_window():
     try:
         value = float(os.getenv("WS_WINDOW_MAX_S", "6.0"))
@@ -129,7 +152,7 @@ def _check_ws_window():
 
 _VALIDATORS = (_check_model_id, _check_request_timeout, _check_idle_timeout,
                _check_log_level, _check_quantize, _check_worker_port,
-               _check_ws_window)
+               _check_worker_fleet, _check_ws_window)
 
 
 def validate_env() -> None:

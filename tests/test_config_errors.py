@@ -79,6 +79,23 @@ def test_validate_env_gateway_worker_port():
     assert "WORKER_PORT" in r.stdout
 
 
+def test_validate_env_gateway_worker_fleet():
+    r = _run_validate({"MODEL_ID": "m", "GATEWAY_MODE": "true",
+                       "WORKER_PORTS": "8001,nope"})
+    assert r.returncode == 1
+    assert "WORKER_PORTS" in r.stdout
+
+    r = _run_validate({"MODEL_ID": "m", "GATEWAY_MODE": "true",
+                       "WORKER_HOSTS": ":8001"})
+    assert r.returncode == 1
+    assert "WORKER_HOSTS" in r.stdout
+
+    r = _run_validate({"MODEL_ID": "m", "GATEWAY_MODE": "true",
+                       "WORKER_PORTS": "8001,8002",
+                       "WORKER_HOSTS": "10.0.0.2:8001,10.0.0.3"})
+    assert r.returncode == 0
+
+
 # --- repetition post-processor (reference src/server.py:170-197) -----------
 
 def test_repetition_short_text_unchanged():
