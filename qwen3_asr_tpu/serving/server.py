@@ -539,6 +539,15 @@ def _get_bandpass_kernel():
     return _bandpass_kernel
 
 
+def _trim_exact(window: bytearray) -> None:
+    """Sample-exact trim to the window cap — the reference's semantics
+    (src/server.py:1210-1214), kept for every FLUSH/final window even when
+    partial-tick windows are chunk-quantized (prefix caching)."""
+    if len(window) > WS_WINDOW_MAX_BYTES:
+        trim = ((len(window) - WS_WINDOW_MAX_BYTES) // 2) * 2
+        del window[:trim]
+
+
 async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
     mgr = get_manager(request)
     ws = web.WebSocketResponse(compress=False)  # per-message-deflate off
@@ -571,8 +580,12 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
 
     # WS prefix caching (runtime/stream.py): a per-connection session
     # carries encoder-block + decoder-KV state across partial ticks.
+    # Partial-tick windows become encoder-chunk-quantized (cache grid
+    # alignment); FLUSH/final windows keep the reference's sample-exact
+    # last-window_max_s semantics via this parallel buffer.
     prefix_cache = os.getenv("ASR_WS_PREFIX_CACHE", "").lower() == "true"
     stream_session = None
+    exact_window = bytearray()
 
     def session_for_tick():
         """(Re)bind the session to the engine serving partials — engines
@@ -637,10 +650,11 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
                 if action == "flush":
                     if audio_buffer:
                         audio_window.extend(audio_buffer)
+                        exact_window.extend(audio_buffer)
                         audio_buffer.clear()
-                    if len(audio_window) > 0:
+                    if len(exact_window) > 0:
                         text, _ = await _transcribe_with_context(
-                            mgr, bytes(audio_window), True, lang_code,
+                            mgr, bytes(exact_window), True, lang_code,
                             use_vad, resume_tokens=prev_tokens)
                         chunk_count += 1
                         await ws.send_json({"text": text, "is_partial": False,
@@ -649,6 +663,7 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
                         await ws.send_json({"text": "", "is_partial": False,
                                             "is_final": True})
                     audio_window.clear()
+                    exact_window.clear()
                     prev_tokens = None
                     if stream_session is not None:
                         stream_session.reset()
@@ -656,6 +671,7 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
                 elif action == "reset":
                     audio_buffer.clear()
                     audio_window.clear()
+                    exact_window.clear()
                     prev_tokens = None
                     if stream_session is not None:
                         stream_session.reset()
@@ -690,7 +706,9 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
 
                 if len(audio_buffer) >= WS_BUFFER_SIZE:
                     audio_window.extend(audio_buffer)
+                    exact_window.extend(audio_buffer)
                     audio_buffer.clear()
+                    _trim_exact(exact_window)
                     if len(audio_window) > WS_WINDOW_MAX_BYTES:
                         trim = len(audio_window) - WS_WINDOW_MAX_BYTES
                         q = trim_quantum_bytes()
@@ -719,7 +737,7 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
                             silent_ticks = 0
                             vad_flushed = True
                             text, _ = await _transcribe_with_context(
-                                mgr, bytes(audio_window), True, lang_code,
+                                mgr, bytes(exact_window), True, lang_code,
                                 use_vad, resume_tokens=prev_tokens)
                             chunk_count += 1
                             if text:
@@ -727,6 +745,7 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
                                                     "is_partial": False,
                                                     "is_final": True})
                             audio_window.clear()
+                            exact_window.clear()
                             prev_tokens = None
                             if stream_session is not None:
                                 stream_session.reset()
@@ -748,11 +767,11 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
 
         # Disconnect: transcribe remaining audio (reference 1261-1279).
         if audio_buffer:
-            audio_window.extend(audio_buffer)
-        if len(audio_window) > 0:
+            exact_window.extend(audio_buffer)
+        if len(exact_window) > 0:
             try:
                 text, _ = await _transcribe_with_context(
-                    mgr, bytes(audio_window), True, lang_code, use_vad,
+                    mgr, bytes(exact_window), True, lang_code, use_vad,
                     resume_tokens=prev_tokens)
                 chunk_count += 1
                 if text:
