@@ -5,7 +5,7 @@ Env-var surface parity with the reference deployment (src/config.py,
 equivalents (SURVEY.md §7.1):
 
 * ``USE_CUDA_GRAPHS=true``  -> warmup sweep over all jit length buckets
-* ``QUANTIZE=int8|fp8``     -> native JAX weight-only quantization
+* ``QUANTIZE=int8|fp8|int4`` -> native JAX weight-only quantization
 * ``ONNX_ENCODER_PATH`` / ``TRT_ENCODER_PATH`` -> accepted, logged no-ops
   (the jitted XLA encoder is already a compiled engine)
 * ``USE_GRANIAN``           -> n/a (aiohttp serves in-process)
@@ -64,7 +64,7 @@ SUBTITLE_MIN_GAP = _safe_float("SUBTITLE_MIN_GAP", "0.083")
 _LOG_LEVELS = {"TRACE", "DEBUG", "INFO", "WARNING", "WARN", "ERROR",
                "CRITICAL", "FATAL"}
 _LOG_ALIASES = {"WARN": "WARNING", "FATAL": "CRITICAL"}
-_QUANTIZE_MODES = {"", "int8", "fp8"}
+_QUANTIZE_MODES = {"", "int8", "fp8", "int4"}
 
 
 # --- Tier-1 fail-fast validation ---------------------------------------------

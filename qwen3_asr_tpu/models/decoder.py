@@ -365,8 +365,12 @@ def decoder_forward(params: dict, cfg: DecoderConfig,
 
 def embed_tokens(params: dict, cfg: DecoderConfig, ids: jax.Array) -> jax.Array:
     w = params["embed"]
-    if isinstance(w, dict):  # quantized {"q": [V,H], "s": [V,1]}
-        rows = jnp.take(w["q"], ids, axis=0).astype(jnp.float32)
+    if isinstance(w, dict):  # quantized {"q": [V,H] (or packed), "s": [V,1]}
+        rows = jnp.take(w["q"], ids, axis=0)
+        if rows.dtype == jnp.uint8:  # packed int4: nibbles along H
+            from ..ops.quant import unpack_int4
+            rows = unpack_int4(rows, axis=-1)
+        rows = rows.astype(jnp.float32)
         scales = jnp.take(w["s"], ids, axis=0).astype(jnp.float32)
         # The scale dtype records the model's compute dtype (bf16 in prod,
         # f32 on CPU engines) — don't hardcode bf16 here.
@@ -383,12 +387,26 @@ def lm_logits(params: dict, cfg: DecoderConfig, hidden: jax.Array) -> jax.Array:
     if cfg.tie_word_embeddings:
         w = params["embed"]
         if isinstance(w, dict):
-            out = jnp.dot(hidden, w["q"].T.astype(hidden.dtype),
+            q = w["q"]
+            if q.dtype == jnp.uint8:  # packed int4: unpack H, then contract
+                from ..ops.quant import unpack_int4
+                q = unpack_int4(q, axis=-1)
+            out = jnp.dot(hidden, q.T.astype(hidden.dtype),
                           preferred_element_type=jnp.float32)
             return out * w["s"][:, 0].astype(jnp.float32)
         return jnp.dot(hidden, w.T, preferred_element_type=jnp.float32)
     w = params["lm_head"]
     if isinstance(w, dict):
+        if w["q"].dtype == jnp.uint8:  # packed int4, group scales on H
+            from ..ops.quant import unpack_int4
+            wq = unpack_int4(w["q"], axis=-2)
+            gn = w["s"].shape[-2]
+            k, v = wq.shape[-2], wq.shape[-1]
+            hg = hidden.reshape(*hidden.shape[:-1], gn, k // gn)
+            out = jnp.einsum("...gk,gkv->...gv", hg,
+                             wq.astype(hidden.dtype),
+                             preferred_element_type=jnp.float32)
+            return jnp.sum(out * w["s"].astype(jnp.float32), axis=-2)
         out = jnp.dot(hidden, w["q"].astype(hidden.dtype),
                       preferred_element_type=jnp.float32)
         return out * w["s"].reshape(-1).astype(jnp.float32)

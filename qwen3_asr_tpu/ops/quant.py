@@ -1,15 +1,26 @@
-"""Native weight quantization: int8 / fp8 weight-only with per-channel scales.
+"""Native weight quantization: int8 / fp8 / int4 weight-only.
 
 TPU-native replacement for the reference's bitsandbytes INT8
 (src/server.py:311-318) and torchao FP8 (src/server.py:358-390) paths,
-selected by the same ``QUANTIZE`` env var ("", "int8", "fp8").
+selected by the same ``QUANTIZE`` env var ("", "int8", "fp8", "int4").
 
-Storage is a ``{"q": low-precision values, "s": per-output-channel scales}``
-leaf (a dict, so it traverses as a pytree and stacks per-layer for the scan
-layout). Matmuls dequantize in-register: XLA fuses the scale multiply into
-the dot epilogue, so HBM traffic per weight is the low-precision payload —
-the actual bottleneck decode is bound by. ~50% (int8/fp8 vs bf16) weight
-memory, matching the reference's ~50% VRAM reduction claim.
+Storage is a ``{"q": low-precision values, "s": scales}`` leaf (a dict, so
+it traverses as a pytree and stacks per-layer for the scan layout).
+Matmuls dequantize in-register: XLA fuses the scale multiply into the dot
+epilogue, so HBM traffic per weight is the low-precision payload — the
+actual bottleneck decode is bound by. int8/fp8 use per-output-channel
+scales (~50% weight memory, matching the reference's claim).
+
+``QUANTIZE=int4`` stores two signed nibbles per uint8 byte with GROUP-wise
+scales along the contraction axis (``ASR_INT4_GROUP``, default 128 — the
+per-channel scale of int8 is too coarse at 4 bits). uint8 — not the int4
+dtype — because int4 arrays cannot cross jit boundaries on this jax build
+(the bug family runtime/pool.py documents), and weights are jit arguments.
+Packing pairs row i with row i + K/2, so the in-kernel unpack is a pure
+row-concat (no interleave relayout — measured: an interleaving unpack is
+3x SLOWER than int8; the concat layout fuses) and the grouped-scale einsum
+sees rows in original order. Quarter-size weight payload on the dominant
+decode-phase HBM read.
 """
 from __future__ import annotations
 
@@ -23,9 +34,31 @@ _DECODER_QUANT_KEYS = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"}
 _ENCODER_QUANT_KEYS = {"wq", "wk", "wv", "wo", "fc1_w", "fc2_w"}
 
 
+def _int4_group() -> int:
+    import os
+    return int(os.getenv("ASR_INT4_GROUP", "128"))
+
+
 def quantize_array(w: jax.Array, mode: str) -> dict:
-    """Per-output-channel symmetric quantization of a [..., in, out] weight."""
+    """Symmetric quantization of a [..., in, out] weight: per-output-channel
+    scales for int8/fp8, group-wise (along `in`) for int4."""
     wf = w.astype(jnp.float32)
+    if mode == "int4":
+        k = w.shape[-2]
+        g = max(1, min(_int4_group(), k))
+        while k % g:
+            g -= 1                       # group must divide the row count
+        gn = k // g
+        grouped = wf.reshape(*w.shape[:-2], gn, g, w.shape[-1])
+        absmax = jnp.max(jnp.abs(grouped), axis=-2)          # [..., G, out]
+        scale = jnp.maximum(absmax / 7.0, 1e-10)
+        q = jnp.clip(jnp.round(grouped / scale[..., :, None, :]), -8, 7)
+        q = q.reshape(*w.shape[:-2], k, w.shape[-1]).astype(jnp.int32) + 8
+        # byte row j packs rows j (lo nibble) and j + k/2 (hi nibble)
+        assert k % 2 == 0, "int4 packing needs an even contraction dim"
+        lo, hi = q[..., : k // 2, :], q[..., k // 2:, :]
+        packed = (lo | (hi << 4)).astype(jnp.uint8)
+        return {"q": packed, "s": scale.astype(w.dtype)}
     absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # [..., 1, out]
     if mode == "int8":
         scale = jnp.maximum(absmax / 127.0, 1e-10)
@@ -46,19 +79,61 @@ def is_quantized(w: Any) -> bool:
     return isinstance(w, dict) and set(w.keys()) == {"q", "s"}
 
 
+def is_packed_int4(w: Any) -> bool:
+    """Packed-nibble storage is marked by the uint8 payload dtype."""
+    return is_quantized(w) and w["q"].dtype == jnp.uint8
+
+
+def unpack_int4(q: jax.Array, axis: int = -2) -> jax.Array:
+    """uint8 nibbles → int8 rows in ORIGINAL order (byte j holds rows j
+    and j + K/2 along `axis`); a concat, never an interleave — Mosaic
+    relayouts on an interleaving unpack cost 3× the matmul it feeds."""
+    lo = (q & 15).astype(jnp.int8) - 8
+    hi = (q >> 4).astype(jnp.int8) - 8
+    return jnp.concatenate([lo, hi], axis=axis)
+
+
 def dequantize(w: dict, dtype=jnp.bfloat16) -> jax.Array:
+    if is_packed_int4(w):
+        s = w["s"]
+        if s.shape[-1] == 1:   # per-row scales: embedding, packed along H
+            wq = unpack_int4(w["q"], axis=-1).astype(jnp.float32)
+            return (wq * s.astype(jnp.float32)).astype(dtype)
+        wq = unpack_int4(w["q"], axis=-2).astype(jnp.float32)
+        k, n = wq.shape[-2], wq.shape[-1]
+        gn = s.shape[-2]
+        wq = wq.reshape(*wq.shape[:-2], gn, k // gn, n)
+        wq = wq * s.astype(jnp.float32)[..., :, None, :]
+        return wq.reshape(*wq.shape[:-3], k, n).astype(dtype)
     return (w["q"].astype(jnp.float32) * w["s"].astype(jnp.float32)).astype(dtype)
 
 
 def qdot(x: jax.Array, w: Union[jax.Array, dict]) -> jax.Array:
     """x @ w for plain or quantized weights.
 
-    Dequant-then-dot: the scale is per OUTPUT channel, so it commutes out of
-    the contraction — (x @ q) * s — keeping the MXU operand low-precision
-    and applying scales on the small output tile.
+    int8/fp8: the per-output-channel scale commutes out of the contraction
+    — (x @ q) * s — keeping the MXU operand low-precision and applying
+    scales on the small output tile. int4: group-wise scales along the
+    contraction don't commute; the dot decomposes into G partial dots
+    (one reshape, XLA batches them on the MXU) summed with scales.
     """
     if not is_quantized(w):
         return x @ w
+    if is_packed_int4(w):
+        wq = unpack_int4(w["q"], axis=-2)                   # [K, N] int8
+        s = w["s"]                                          # [G, N]
+        gn = s.shape[-2]
+        if gn == 1:
+            out = jnp.dot(x, wq.astype(x.dtype),
+                          preferred_element_type=jnp.float32)
+            return (out * s.astype(jnp.float32)).astype(x.dtype)
+        k, n = wq.shape[-2], wq.shape[-1]
+        xg = x.reshape(*x.shape[:-1], gn, k // gn)
+        wg = wq.reshape(gn, k // gn, n)
+        out = jnp.einsum("...gk,gkn->...gn", xg, wg.astype(x.dtype),
+                         preferred_element_type=jnp.float32)
+        out = jnp.sum(out * s.astype(jnp.float32), axis=-2)
+        return out.astype(x.dtype)
     out = jnp.dot(x, w["q"].astype(x.dtype),
                   preferred_element_type=jnp.float32)
     return (out * w["s"].astype(jnp.float32)).astype(x.dtype)
@@ -79,6 +154,13 @@ def quantize_embed(w: jax.Array, mode: str) -> dict:
     elif mode == "fp8":
         scale = jnp.maximum(absmax / 448.0, 1e-10)
         q = (wf / scale).astype(jnp.float8_e4m3fn)
+    elif mode == "int4":
+        # per-row scale; nibbles packed along H (col i pairs with i+H/2,
+        # so the lookup/logits unpack is a concat in original order)
+        scale = jnp.maximum(absmax / 7.0, 1e-10)
+        q = jnp.clip(jnp.round(wf / scale), -8, 7).astype(jnp.int32) + 8
+        h = w.shape[-1]
+        q = (q[..., : h // 2] | (q[..., h // 2:] << 4)).astype(jnp.uint8)
     else:
         raise ValueError(f"unknown quantization mode: {mode}")
     return {"q": q, "s": scale.astype(w.dtype)}  # source compute dtype

@@ -187,3 +187,88 @@ def test_fp8_kv_cache_generation():
                           cache_dtype=jnp.float8_e4m3fn)
     assert fp8.tokens.shape == full.tokens.shape
     assert int(jnp.max(fp8.tokens)) < cfg.decoder.vocab_size
+
+
+# ── int4 weight-only (grouped, packed-nibble storage) ───────────────────────
+
+def test_int4_roundtrip_error_bounded():
+    """Group-wise 4-bit is coarser than int8 but must stay within the
+    symmetric-quant bound: |err| <= scale/2 = absmax(group)/14."""
+    from qwen3_asr_tpu.ops.quant import dequantize, quantize_array
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.standard_normal((256, 96)) * 0.05, jnp.float32)
+    q = quantize_array(w, "int4")
+    assert q["q"].dtype == jnp.uint8 and q["q"].shape == (128, 96)
+    assert q["s"].shape == (2, 96)        # groups of 128 along K
+    err = jnp.abs(dequantize(q, jnp.float32) - w)
+    bound = jnp.repeat(q["s"], 128, axis=0) / 2 + 1e-7
+    assert bool(jnp.all(err <= bound))
+
+
+def test_int4_qdot_matches_dequant_matmul():
+    """The grouped-einsum decomposition must equal x @ dequantize(w)."""
+    from qwen3_asr_tpu.ops.quant import dequantize, qdot, quantize_array
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.standard_normal((256, 192)) * 0.05, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((4, 7, 256)), jnp.float32)
+    q = quantize_array(w, "int4")
+    out = qdot(x, q)
+    ref = x @ dequantize(q, jnp.float32)
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-4
+
+
+def test_int4_memory_quarters():
+    from qwen3_asr_tpu.ops.quant import param_bytes, quantize_decoder_params
+    cfg = preset("tiny")
+    params = init_decoder_params(cfg.decoder, jax.random.PRNGKey(2))
+    before = param_bytes(params["layers"])
+    after = param_bytes(quantize_decoder_params(params, "int4")["layers"])
+    assert after < 0.35 * before
+
+
+def test_int4_generation_runs():
+    cfg = preset("tiny")
+    params = init_decoder_params(cfg.decoder, jax.random.PRNGKey(5))
+    embeds = jax.random.normal(jax.random.PRNGKey(6), (1, 12, 64))
+    vf = jnp.zeros((1,), jnp.int32)
+    out = greedy_generate(quantize_decoder_params(params, "int4"),
+                          cfg.decoder, embeds, vf, max_new=8,
+                          eos_id=cfg.eos_token_id, pad_id=cfg.pad_token_id,
+                          cache_dtype=jnp.float32)
+    assert int(jnp.max(out.tokens)) < cfg.decoder.vocab_size
+
+
+def test_int4_embed_and_lm_head():
+    """Packed-H embedding lookup and tied logits agree with dequantized."""
+    from qwen3_asr_tpu.models.decoder import embed_tokens, lm_logits
+    from qwen3_asr_tpu.ops.quant import dequantize, quantize_embed
+    cfg = preset("tiny").decoder
+    rng = np.random.default_rng(7)
+    emb = jnp.asarray(rng.standard_normal((cfg.vocab_size, cfg.hidden_size))
+                      * 0.05, jnp.float32)
+    qe = quantize_embed(emb, "int4")
+    params = {"embed": qe}
+    ids = jnp.asarray([[1, 5, 9]], jnp.int32)
+    got = embed_tokens(params, cfg, ids)
+    want = jnp.take(dequantize(qe, jnp.float32), ids, axis=0)
+    assert float(jnp.max(jnp.abs(got - want))) < 1e-5
+
+    h = jnp.asarray(rng.standard_normal((2, cfg.hidden_size)), jnp.float32)
+    assert cfg.tie_word_embeddings
+    logits = lm_logits(params, cfg, h)
+    ref = h @ dequantize(qe, jnp.float32).T
+    assert float(jnp.max(jnp.abs(logits - ref))) < 1e-3
+
+
+def test_int4_engine_end_to_end(tmp_path, monkeypatch):
+    """QUANTIZE=int4 through the full lifecycle load + transcribe path."""
+    from tests.fixtures import write_tiny_checkpoint
+    from tests.util_audio import speech_like
+    from qwen3_asr_tpu.runtime.lifecycle import _load_engine_sync
+    ckpt = str(tmp_path / "ckpt")
+    write_tiny_checkpoint(ckpt)
+    monkeypatch.setenv("SKIP_WARMUP", "true")
+    monkeypatch.setenv("QUANTIZE", "int4")
+    engine = _load_engine_sync(ckpt)
+    res = engine.transcribe(speech_like(0.8, seed=40), 16000, language="en")
+    assert len(res) == 1 and isinstance(res[0].text, str)
