@@ -120,9 +120,10 @@ def _check_worker_port():
 
 def _check_worker_fleet():
     """WORKER_PORTS / WORKER_HOSTS (gateway fleet, docs/MULTIHOST.md):
-    malformed entries must fail startup, not the first routed request."""
-    if os.getenv("GATEWAY_MODE", "false").lower() != "true":
-        return None
+    malformed entries must fail startup, not the first routed request.
+    Unlike WORKER_PORT this is NOT gated on GATEWAY_MODE — the gateway
+    entrypoint can run without the flag, and these vars only exist for
+    the fleet, so validating them whenever set is always right."""
     for p in os.getenv("WORKER_PORTS", "").split(","):
         p = p.strip()
         if not p:

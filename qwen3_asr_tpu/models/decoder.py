@@ -403,8 +403,9 @@ def lm_logits(params: dict, cfg: DecoderConfig, hidden: jax.Array) -> jax.Array:
             gn = w["s"].shape[-2]
             k, v = wq.shape[-2], wq.shape[-1]
             hg = hidden.reshape(*hidden.shape[:-1], gn, k // gn)
+            wg = wq.reshape(gn, k // gn, v)
             out = jnp.einsum("...gk,gkv->...gv", hg,
-                             wq.astype(hidden.dtype),
+                             wg.astype(hidden.dtype),
                              preferred_element_type=jnp.float32)
             return jnp.sum(out * w["s"].astype(jnp.float32), axis=-2)
         out = jnp.dot(hidden, w["q"].astype(hidden.dtype),

@@ -22,6 +22,7 @@ import asyncio
 import gc
 import os
 import time
+import weakref
 from typing import Optional
 
 from ..models.asr import AsrModel
@@ -139,6 +140,7 @@ class ModelManager:
         self.fast_engine = None
         self.pool = None  # continuous-batching decode pool (opt-in)
         self.last_stream_session = None  # newest WS prefix-cache session
+        self._stream_sessions = weakref.WeakSet()  # all live sessions
         self.loaded_model_id: Optional[str] = None
         self.queue = PriorityInferQueue()
         from .batcher import MicroBatcher
@@ -239,6 +241,12 @@ class ModelManager:
         self._last_used = time.time()
         log.info("Model loaded in {:.1f}s", time.time() - t0)
 
+    def register_stream_session(self, sess) -> None:
+        """Track a WS prefix-cache session so idle unload can release its
+        engine/device references (weak: sessions die with connections)."""
+        self._stream_sessions.add(sess)
+        self.last_stream_session = sess
+
     def _last_activity(self) -> float:
         """Most recent use across every inference path: manager-stamped
         requests AND direct engine dispatches (the micro-batcher calls
@@ -273,9 +281,14 @@ class ModelManager:
         self.loaded_model_id = None
         self.engine = None
         self.fast_engine = None
-        # Drop the observability handle on the last WS prefix-cache
-        # session: it references the engine (params + device caches) and
-        # would keep the HBM alive past this unload.
+        # Release every live WS prefix-cache session: each references the
+        # engine (params + device caches) and would keep the HBM alive
+        # past this unload; open connections rebind on their next tick.
+        for sess in list(self._stream_sessions):
+            try:
+                sess.release()
+            except Exception:  # pragma: no cover - release must not block
+                pass
         self.last_stream_session = None
         gc.collect()
         log.info("Model unloaded")

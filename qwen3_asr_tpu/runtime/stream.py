@@ -154,6 +154,17 @@ class StreamSession:
         self.stats = {"ticks": 0, "tail": 0, "full": 0, "redo": 0}
 
     # -- lifecycle -------------------------------------------------------------
+    def release(self) -> None:
+        """Drop every engine/device reference so an idle unload can
+        reclaim HBM while the WS connection stays open; the serving layer
+        sees ``engine is None`` and rebinds a fresh session on the next
+        tick (runtime/lifecycle._unload_sync calls this)."""
+        self.reset()
+        self.cache = None
+        self.blocks = []
+        self.engine = None
+        self.model = None
+
     def reset(self) -> None:
         """Flush/reset: drop all cached state (the device arrays' contents
         are stale, not harmful — the next tick rebuilds from scratch)."""
@@ -186,7 +197,11 @@ class StreamSession:
         first_changed = max(0, min(common, m - FIR_HALO))
 
         frontier_block = self._block_of_sample(max(n - 1, 0))
-        first_block = self._block_of_sample(first_changed)
+        # STFT frames overlap (N_FFT=400 > hop): a changed sample reaches
+        # frames up to N_FFT/2 samples earlier, possibly in the PREVIOUS
+        # block — map the block from the frame-reach start, not the sample.
+        first_block = self._block_of_sample(max(0,
+                                                first_changed - N_FFT // 2))
         changed = list(range(first_block, frontier_block + 1))
         missing = [b for b in range(len(self.spans))
                    if self.blocks[b] is None and b not in changed]

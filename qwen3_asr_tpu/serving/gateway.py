@@ -79,6 +79,9 @@ class WorkerSupervisor:
         self.proc: subprocess.Popen | None = None
         self.last_used = time.time()
         self.inflight = 0   # proxied requests currently awaiting the worker
+        self.ws_sessions = 0  # live WS pumps (routing load, NOT idle activity
+                              # — reference idle-kill semantics ignore open
+                              # connections, only frames count)
         self.served = 0     # total requests routed here (observability)
         self._lock = asyncio.Lock()
         self._last_health: dict = {}
@@ -277,9 +280,9 @@ class WorkerFleet:
             return managed[0] if managed else self.supervisors[0]
         self._rr += 1
         n = len(self.supervisors)
-        best = min(live, key=lambda s: (s.inflight,
+        best = min(live, key=lambda s: (s.inflight + s.ws_sessions,
                                         (s.index - self._rr) % n))
-        if best.inflight > 0:
+        if best.inflight + best.ws_sessions > 0:
             dormant = next(
                 (s for s in self.supervisors
                  if s.managed and not (s.alive() and s._ready)
@@ -486,7 +489,8 @@ async def gw_websocket(request: web.Request) -> web.WebSocketResponse:
 
     ws_req_id = str(uuid.uuid4())
     token = set_request_id(ws_req_id)
-    log.info("[GW-WS] Client connected, proxying to worker")
+    log.info("[GW-WS] Client connected, proxying to worker {}", sup.index)
+    sup.ws_sessions += 1
 
     try:
         try:
@@ -560,6 +564,7 @@ async def gw_websocket(request: web.Request) -> web.WebSocketResponse:
         except Exception:
             pass
     finally:
+        sup.ws_sessions -= 1
         log.info("[GW-WS] Proxy session ended")
         reset_request_id(token)
         try:
@@ -633,11 +638,13 @@ def build_app(supervisor: WorkerSupervisor | None = None,
     app = web.Application(middlewares=[request_id_middleware,
                                        _worker_failure_middleware],
                           client_max_size=512 * 1024 ** 2)
-    if fleet is None:
-        fleet = (WorkerFleet([supervisor]) if supervisor is not None
-                 else WorkerFleet.from_env())
+    if fleet is None and supervisor is not None:
+        fleet = WorkerFleet([supervisor])
+    # Env-driven fleets are built in on_startup AFTER validate_env, so a
+    # malformed WORKER_PORTS fails with the structured config error, not
+    # a raw int() traceback here.
     app["fleet"] = fleet
-    app["supervisor"] = fleet.supervisors[0]  # single-worker back-compat
+    app["supervisor"] = fleet.supervisors[0] if fleet else None
 
     app.router.add_get("/health", gw_health)
     app.router.add_post("/v1/audio/transcriptions", gw_transcribe)
@@ -653,6 +660,9 @@ def build_app(supervisor: WorkerSupervisor | None = None,
 
     async def on_startup(app):
         validate_env()
+        if app["fleet"] is None:
+            app["fleet"] = WorkerFleet.from_env()
+            app["supervisor"] = app["fleet"].supervisors[0]
         fl = app["fleet"]
         if len(fl.supervisors) > 1:
             log.info("Worker fleet: {}", [

@@ -585,7 +585,13 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
     # last-window_max_s semantics via this parallel buffer.
     prefix_cache = os.getenv("ASR_WS_PREFIX_CACHE", "").lower() == "true"
     stream_session = None
-    exact_window = bytearray()
+    exact_window = bytearray()   # maintained only under prefix_cache
+
+    def flush_bytes() -> bytes:
+        """FLUSH/final windows always use the reference's sample-exact
+        semantics: the parallel exact buffer in prefix-cache mode, the
+        (already sample-exact) window otherwise."""
+        return bytes(exact_window if prefix_cache else audio_window)
 
     def session_for_tick():
         """(Re)bind the session to the engine serving partials — engines
@@ -600,7 +606,7 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
             try:
                 stream_session = eng.stream_session(WS_WINDOW_MAX_S,
                                                     lang_code)
-                mgr.last_stream_session = stream_session  # observability
+                mgr.register_stream_session(stream_session)
             except Exception as e:
                 log.warning("[WS] prefix-cache session unavailable: {}", e)
                 return None
@@ -609,11 +615,13 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
     def trim_quantum_bytes() -> int:
         """Prefix-cache mode trims in encoder-chunk quanta so cached
         blocks stay grid-aligned between trims (sample-exact trimming
-        would rebuild every at-cap tick — correct, just cache-less)."""
+        would rebuild every at-cap tick — correct, just cache-less).
+        A cap smaller than one chunk can't hold a grid: stay sample-exact."""
         eng = mgr.fast_engine or mgr.engine
         if not prefix_cache or eng is None:
             return 2
-        return eng.model.cfg.encoder.n_window * 2 * 160 * 2
+        chunk_bytes = eng.model.cfg.encoder.n_window * 2 * 160 * 2
+        return chunk_bytes if chunk_bytes <= WS_WINDOW_MAX_BYTES else 2
 
     try:
         if client_sr not in (8000, 16000):
@@ -650,11 +658,12 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
                 if action == "flush":
                     if audio_buffer:
                         audio_window.extend(audio_buffer)
-                        exact_window.extend(audio_buffer)
+                        if prefix_cache:
+                            exact_window.extend(audio_buffer)
                         audio_buffer.clear()
-                    if len(exact_window) > 0:
+                    if len(flush_bytes()) > 0:
                         text, _ = await _transcribe_with_context(
-                            mgr, bytes(exact_window), True, lang_code,
+                            mgr, flush_bytes(), True, lang_code,
                             use_vad, resume_tokens=prev_tokens)
                         chunk_count += 1
                         await ws.send_json({"text": text, "is_partial": False,
@@ -706,15 +715,19 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
 
                 if len(audio_buffer) >= WS_BUFFER_SIZE:
                     audio_window.extend(audio_buffer)
-                    exact_window.extend(audio_buffer)
+                    if prefix_cache:
+                        exact_window.extend(audio_buffer)
+                        _trim_exact(exact_window)
                     audio_buffer.clear()
-                    _trim_exact(exact_window)
                     if len(audio_window) > WS_WINDOW_MAX_BYTES:
                         trim = len(audio_window) - WS_WINDOW_MAX_BYTES
                         q = trim_quantum_bytes()
                         trim = -(-trim // q) * q if q > 2 else (trim // 2) * 2
                         if trim >= len(audio_window):
-                            trim = (len(audio_window) // 2) * 2
+                            # never empty the window: fall back to the
+                            # reference's sample-exact trim
+                            trim = ((len(audio_window)
+                                     - WS_WINDOW_MAX_BYTES) // 2) * 2
                         audio_window = audio_window[trim:]
 
                     vad_flushed = False
@@ -737,7 +750,7 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
                             silent_ticks = 0
                             vad_flushed = True
                             text, _ = await _transcribe_with_context(
-                                mgr, bytes(exact_window), True, lang_code,
+                                mgr, flush_bytes(), True, lang_code,
                                 use_vad, resume_tokens=prev_tokens)
                             chunk_count += 1
                             if text:
@@ -767,11 +780,13 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
 
         # Disconnect: transcribe remaining audio (reference 1261-1279).
         if audio_buffer:
-            exact_window.extend(audio_buffer)
-        if len(exact_window) > 0:
+            audio_window.extend(audio_buffer)
+            if prefix_cache:
+                exact_window.extend(audio_buffer)
+        if len(flush_bytes()) > 0:
             try:
                 text, _ = await _transcribe_with_context(
-                    mgr, bytes(exact_window), True, lang_code, use_vad,
+                    mgr, flush_bytes(), True, lang_code, use_vad,
                     resume_tokens=prev_tokens)
                 chunk_count += 1
                 if text:

@@ -60,7 +60,7 @@ def test_validate_env_missing_model_id():
 
 
 def test_validate_env_collects_all_errors():
-    r = _run_validate({"MODEL_ID": "", "REQUEST_TIMEOUT": "-1", "QUANTIZE": "int4"})
+    r = _run_validate({"MODEL_ID": "", "REQUEST_TIMEOUT": "-1", "QUANTIZE": "int2"})
     assert r.returncode == 1
     out = r.stdout
     assert "MODEL_ID" in out and "REQUEST_TIMEOUT" in out and "QUANTIZE" in out

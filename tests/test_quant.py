@@ -272,3 +272,22 @@ def test_int4_engine_end_to_end(tmp_path, monkeypatch):
     engine = _load_engine_sync(ckpt)
     res = engine.transcribe(speech_like(0.8, seed=40), 16000, language="en")
     assert len(res) == 1 and isinstance(res[0].text, str)
+
+
+def test_int4_untied_lm_head():
+    """Untied lm_head [H, V] under int4: the grouped logits path must
+    reshape the unpacked weight before the G-way einsum (regression:
+    it crashed at trace time)."""
+    import dataclasses
+    from qwen3_asr_tpu.models.decoder import lm_logits
+    from qwen3_asr_tpu.ops.quant import dequantize
+    cfg = dataclasses.replace(preset("tiny").decoder,
+                              tie_word_embeddings=False)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(9))
+    assert "lm_head" in params
+    q = quantize_decoder_params(params, "int4")
+    assert q["lm_head"]["q"].dtype == jnp.uint8
+    h = jax.random.normal(jax.random.PRNGKey(10), (2, cfg.hidden_size))
+    logits = lm_logits(q, cfg, h)
+    ref = h @ dequantize(q["lm_head"], jnp.float32)
+    assert float(jnp.max(jnp.abs(logits - ref))) < 1e-3
