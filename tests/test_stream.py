@@ -230,3 +230,37 @@ def test_stream_session_binds_fast_engine(tmp_path, monkeypatch):
         finally:
             await client.close()
     asyncio.new_event_loop().run_until_complete(go())
+
+
+def test_stream_under_mesh(tmp_path, monkeypatch):
+    """ASR_WS_PREFIX_CACHE composes with ASR_MESH_DP/TP: session ticks
+    against dp/tp-sharded params on the virtual 8-device mesh match the
+    unsharded fused path."""
+    import jax
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    from qwen3_asr_tpu.runtime.lifecycle import _load_engine_sync
+
+    ckpt = str(tmp_path / "ckpt")
+    write_tiny_checkpoint(ckpt)
+    monkeypatch.setenv("SKIP_WARMUP", "true")
+    plain = _load_engine_sync(ckpt)
+    audio = speech_like(2.0, seed=50).astype(np.float32)
+    frames, bucket_s = plain.bucket_frames(int(CAP_S * SR))
+    exp_texts, exp_ids = plain._run_bucket([audio], frames, bucket_s, "en",
+                                           resume_tokens=[])
+
+    monkeypatch.setenv("ASR_MESH_DP", "4")
+    monkeypatch.setenv("ASR_MESH_TP", "2")
+    sharded = _load_engine_sync(ckpt)
+    assert sharded.mesh is not None
+    session = sharded.stream_session(CAP_S, "en")
+    text, ids = session.update(audio)
+    assert ids == exp_ids[0] and text == exp_texts[0]
+    # a second (tail-path) tick still matches
+    audio2 = np.concatenate([audio, speech_like(0.45, seed=51)
+                             .astype(np.float32)])
+    text2, ids2 = session.update(audio2)
+    exp2_texts, exp2_ids = plain._run_bucket([audio2], frames, bucket_s,
+                                             "en", resume_tokens=exp_ids[0])
+    assert ids2 == exp2_ids[0] and text2 == exp2_texts[0]
