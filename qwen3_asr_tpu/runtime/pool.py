@@ -147,6 +147,12 @@ class DecodePool:
         self._gen = np.zeros(self.max_slots, np.int64)
 
         self._pending: List[_Request] = []
+        # Requests popped from _pending but not yet slotted (the first
+        # request's prefill COMPILE can hold this window open for seconds)
+        # — they must still count as in-flight or the idle unload's
+        # depth>0 re-check races past them and stops the pool under a
+        # live request.
+        self._admitting = 0
         self.window = self.base   # current autoscale window (observability)
         self._cv = threading.Condition()
         self._running = True
@@ -187,6 +193,7 @@ class DecodePool:
         err = RuntimeError("decode pool stopped")
         with self._cv:
             pending, self._pending = self._pending, []
+            self._admitting = 0
         for req in pending:
             req.set_error(err)
         for s in range(self.max_slots):
@@ -199,7 +206,8 @@ class DecodePool:
     @property
     def depth(self) -> int:
         with self._cv:
-            return len(self._pending) + int(self._active.sum())
+            return (len(self._pending) + self._admitting
+                    + int(self._active.sum()))
 
     # -- executables ----------------------------------------------------------
     def _prefill_fn(self, bucket_frames: int):
@@ -530,6 +538,7 @@ class DecodePool:
                 if not self._running:
                     break
                 pending, self._pending = self._pending, []
+                self._admitting = len(pending)
 
             try:
                 # Slot-window sizing. Shrink first when ONLY straggler
@@ -571,13 +580,19 @@ class DecodePool:
                     if not free:
                         with self._cv:  # genuinely full — decode first
                             self._pending[:0] = pending[i:]
+                            self._admitting = 0  # re-queued: counted there
                         break
                     try:
                         first, prompt_len = self._admit(req, free[0])
                     except Exception as e:
                         log.exception("decode-pool admit failed: {}", e)
                         req.set_error(e)
+                        with self._cv:
+                            self._admitting -= 1
                         continue
+                    with self._cv:
+                        # slotted: _active[slot] carries the depth now
+                        self._admitting -= 1
                     if state is None:
                         state = self._seed_state()  # joins this slot too
                     else:
@@ -611,6 +626,8 @@ class DecodePool:
             except Exception as e:  # fail in-flight requests, not the thread
                 log.exception("decode-pool segment failed: {}", e)
                 inflight, state = None, None
+                with self._cv:
+                    self._admitting = 0
                 for s in range(self.max_slots):
                     self._pending_first[s] = None
                     if self._owner[s] is not None:

@@ -380,3 +380,36 @@ def test_pool_under_mesh(tmp_path, monkeypatch):
         pool.stop()
     for i, text in enumerate(expected):
         assert results[i][1] == text
+
+
+def test_pool_depth_covers_admission(engine):
+    """depth must count a request from submit() until it is slotted —
+    the first request's prefill COMPILE holds the admission window open
+    for seconds, and the idle unload's depth>0 re-check races past a
+    depth that momentarily reads 0 (regression: 'decode pool stopped'
+    on the first pooled request under a short IDLE_TIMEOUT)."""
+    from qwen3_asr_tpu.runtime.pool import DecodePool
+    pool = DecodePool(engine, slots=2, segment=4)
+    orig = pool._prefill_fn
+
+    def slow_prefill(bucket_frames):
+        time.sleep(1.5)    # simulate the first-request compile
+        return orig(bucket_frames)
+
+    pool._prefill_fn = slow_prefill
+    done = threading.Event()
+    out = {}
+    try:
+        pool.submit(speech_like(0.5, seed=90), "en",
+                    lambda t, ids: (out.setdefault("t", t), done.set()),
+                    lambda e: (out.setdefault("e", e), done.set()))
+        deadline = time.time() + 10
+        min_depth = 99
+        while not done.is_set() and time.time() < deadline:
+            min_depth = min(min_depth, pool.depth)
+            assert pool.depth >= 1, "in-flight request invisible to depth"
+            time.sleep(0.05)
+        assert done.wait(timeout=120)
+        assert "t" in out, out.get("e")
+    finally:
+        pool.stop()
