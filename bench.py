@@ -91,7 +91,7 @@ def build_engine(preset_name: str, dtype, cache_dtype=None):
 
     # Byte-level vocab + chat specials — enough for prompt assembly.
     quantize_mode = os.getenv("QUANTIZE", "").lower()
-    if quantize_mode in ("int8", "fp8"):
+    if quantize_mode in ("int8", "fp8", "int4"):
         from qwen3_asr_tpu.ops.quant import quantize_params
         params = jax.jit(lambda p: quantize_params(p, quantize_mode))(params)
 

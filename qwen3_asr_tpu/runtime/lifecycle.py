@@ -99,7 +99,7 @@ def _load_engine_sync(model_id: str):
     # Native quantization (replaces bitsandbytes/torchao,
     # reference src/server.py:311-318, 358-390). Same QUANTIZE env contract.
     quantize_mode = os.getenv("QUANTIZE", "").lower()
-    if quantize_mode in ("int8", "fp8"):
+    if quantize_mode in ("int8", "fp8", "int4"):
         from ..ops.quant import param_bytes, quantize_params
         before = param_bytes(model.params) / 1024 ** 2
         model.params = quantize_params(model.params, quantize_mode)
@@ -141,6 +141,10 @@ class ModelManager:
         self.pool = None  # continuous-batching decode pool (opt-in)
         self.last_stream_session = None  # newest WS prefix-cache session
         self._stream_sessions = weakref.WeakSet()  # all live sessions
+        # registrations happen on the event loop, release on the infer
+        # thread — guard the WeakSet against mutation-during-iteration
+        import threading as _threading
+        self._sessions_lock = _threading.Lock()
         self.loaded_model_id: Optional[str] = None
         self.queue = PriorityInferQueue()
         from .batcher import MicroBatcher
@@ -244,7 +248,8 @@ class ModelManager:
     def register_stream_session(self, sess) -> None:
         """Track a WS prefix-cache session so idle unload can release its
         engine/device references (weak: sessions die with connections)."""
-        self._stream_sessions.add(sess)
+        with self._sessions_lock:
+            self._stream_sessions.add(sess)
         self.last_stream_session = sess
 
     def _last_activity(self) -> float:
@@ -284,7 +289,9 @@ class ModelManager:
         # Release every live WS prefix-cache session: each references the
         # engine (params + device caches) and would keep the HBM alive
         # past this unload; open connections rebind on their next tick.
-        for sess in list(self._stream_sessions):
+        with self._sessions_lock:
+            sessions = list(self._stream_sessions)
+        for sess in sessions:
             try:
                 sess.release()
             except Exception:  # pragma: no cover - release must not block

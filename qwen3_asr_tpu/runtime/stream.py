@@ -196,10 +196,12 @@ class StreamSession:
         common = int(neq[0]) if len(neq) else lim
         first_changed = max(0, min(common, m - FIR_HALO))
 
-        frontier_block = self._block_of_sample(max(n - 1, 0))
         # STFT frames overlap (N_FFT=400 > hop): a changed sample reaches
-        # frames up to N_FFT/2 samples earlier, possibly in the PREVIOUS
-        # block — map the block from the frame-reach start, not the sample.
+        # frames up to N_FFT/2 samples in BOTH directions — the previous
+        # block's last frame and the NEXT block's first frame can read it.
+        # Map both ends of the changed range from frame reach, not samples.
+        frontier_block = self._block_of_sample(
+            min(max(n - 1, 0) + N_FFT // 2, self.pinned_samples - 1))
         first_block = self._block_of_sample(max(0,
                                                 first_changed - N_FFT // 2))
         changed = list(range(first_block, frontier_block + 1))

@@ -463,6 +463,10 @@ async def _transcribe_with_context(mgr: ModelManager, audio_bytes: bytes,
     audio_duration = len(audio_bytes) / 2 / TARGET_SR
     t0 = time.time()
     try:
+        # Idempotent: a mid-connection idle unload (silent client past
+        # IDLE_TIMEOUT) must reload transparently on the next tick, not
+        # error every subsequent partial until an HTTP request reloads.
+        await mgr.ensure_loaded()
         full_audio = bytearray(audio_bytes)
         if pad_silence:
             full_audio.extend(bytes(int((WS_FLUSH_SILENCE_MS / 1000)
@@ -661,9 +665,10 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
                         if prefix_cache:
                             exact_window.extend(audio_buffer)
                         audio_buffer.clear()
-                    if len(flush_bytes()) > 0:
+                    payload = flush_bytes()
+                    if payload:
                         text, _ = await _transcribe_with_context(
-                            mgr, flush_bytes(), True, lang_code,
+                            mgr, payload, True, lang_code,
                             use_vad, resume_tokens=prev_tokens)
                         chunk_count += 1
                         await ws.send_json({"text": text, "is_partial": False,
@@ -783,10 +788,11 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
             audio_window.extend(audio_buffer)
             if prefix_cache:
                 exact_window.extend(audio_buffer)
-        if len(flush_bytes()) > 0:
+        payload = flush_bytes()
+        if payload:
             try:
                 text, _ = await _transcribe_with_context(
-                    mgr, flush_bytes(), True, lang_code, use_vad,
+                    mgr, payload, True, lang_code, use_vad,
                     resume_tokens=prev_tokens)
                 chunk_count += 1
                 if text:

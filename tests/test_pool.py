@@ -403,10 +403,11 @@ def test_pool_depth_covers_admission(engine):
         pool.submit(speech_like(0.5, seed=90), "en",
                     lambda t, ids: (out.setdefault("t", t), done.set()),
                     lambda e: (out.setdefault("e", e), done.set()))
-        deadline = time.time() + 10
-        min_depth = 99
-        while not done.is_set() and time.time() < deadline:
-            min_depth = min(min_depth, pool.depth)
+        # sample only while the slowed admission is guaranteed in
+        # progress (the 1.5 s sleep), so a legitimate retire at the end
+        # can't race the assertion
+        t0 = time.time()
+        while time.time() - t0 < 1.2:
             assert pool.depth >= 1, "in-flight request invisible to depth"
             time.sleep(0.05)
         assert done.wait(timeout=120)

@@ -270,6 +270,10 @@ def test_int4_engine_end_to_end(tmp_path, monkeypatch):
     monkeypatch.setenv("SKIP_WARMUP", "true")
     monkeypatch.setenv("QUANTIZE", "int4")
     engine = _load_engine_sync(ckpt)
+    # NOT vacuous: the lifecycle must actually have applied int4
+    # (regression: the quantize gate once excluded "int4" silently)
+    wq = engine.model.params["decoder"]["layers"]["wq"]
+    assert isinstance(wq, dict) and wq["q"].dtype == jnp.uint8
     res = engine.transcribe(speech_like(0.8, seed=40), 16000, language="en")
     assert len(res) == 1 and isinstance(res[0].text, str)
 

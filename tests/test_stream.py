@@ -264,3 +264,28 @@ def test_stream_under_mesh(tmp_path, monkeypatch):
     exp2_texts, exp2_ids = plain._run_bucket([audio2], frames, bucket_s,
                                              "en", resume_tokens=exp_ids[0])
     assert ids2 == exp2_ids[0] and text2 == exp2_texts[0]
+
+
+def test_stream_block_boundary_halo(engine):
+    """Windows whose frontier lands within N_FFT/2 samples of a block
+    boundary: STFT frames of the NEXT block read the new audio through
+    their left halo, and frames of the PREVIOUS block read it through
+    their right halo — both must be recomputed (regression: asymmetric
+    halo handling left the next block's first frame stale)."""
+    session = engine.stream_session(CAP_S, "en")
+    block_samples = (session.spans[0][1] - session.spans[0][0]) * 160
+    audio = speech_like(6.0, seed=61).astype(np.float32)
+    prev = []
+    # land the frontier just below, exactly at, and just above the first
+    # block boundary (and straddle the second too)
+    lengths = [block_samples - 150, block_samples - 20, block_samples,
+               block_samples + 90, block_samples + 7000,
+               2 * block_samples - 60, 2 * block_samples + 30]
+    for n in lengths:
+        window = audio[:n]
+        text, ids = session.update(window)
+        exp_text, exp_ids = fused_reference(engine, window, "en", prev)
+        assert ids == exp_ids, (
+            f"frontier at {n} (boundary {block_samples}): "
+            f"stream={ids} fused={exp_ids} stats={session.stats}")
+        prev = exp_ids
