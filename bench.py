@@ -54,6 +54,9 @@ Measured ladder at 20 s clips (steady-state / serial):
                                 (see CHANGELOG round 3).
   int8+int4KV b128             619.7x / 465.2x   (larger batch now fits but
                                 adds latency for +0.4% — b96 stays default)
+  int4 weights b96             247.7x / 222.4x   (QUANTIZE=int4: the VPU
+                                nibble unpack halves throughput vs int8 —
+                                a memory lever only; b8 98.0x vs 196x)
 Override with QUANTIZE / BENCH_BATCH / BENCH_CONCURRENCY /
 ASR_KV_CACHE_DTYPE / ASR_DECODER_UNROLL.
 """
