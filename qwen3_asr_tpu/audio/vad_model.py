@@ -87,35 +87,63 @@ def _window() -> np.ndarray:
     return hann_window(FRAME)
 
 
-@jax.jit
-def _featurize_jit(frames: jax.Array, mel_fb: jax.Array) -> jax.Array:
-    """frames: [T, FRAME] (hann applied) → absolute log-mel [T, N_MELS].
+@functools.lru_cache(maxsize=1)
+def _consts() -> tuple:
+    """Device-resident window/filterbank, materialized lazily (first VAD
+    call, after entrypoints ran honor_platform_env — never at import)."""
+    return jnp.asarray(_window()), jnp.asarray(_mel_fb())
 
-    Absolute (no per-window max normalization): the model needs LEVEL to
-    tell silence from speech; gain augmentation in training provides the
-    level robustness instead."""
+
+def frames_to_feats(frames: jax.Array, mel_fb: jax.Array) -> jax.Array:
+    """Hann-windowed frames [..., FRAME] → absolute log-mel [..., N_MELS]
+    (the training tool featurizes pre-framed 1 s windows in batches)."""
     spec = jnp.fft.rfft(frames, axis=-1)
     power = spec.real ** 2 + spec.imag ** 2
     mel = power @ mel_fb
     return (jnp.log10(mel + 1e-10) + 5.0) / 3.0
 
 
-def featurize(audio: np.ndarray, n_frames_padded: int) -> tuple:
-    """Mono f32 audio → (feats [Tb, N_MELS] jax, mask [Tb] jax)."""
+@functools.partial(jax.jit, static_argnums=(3,))
+def _featurize_jit(x: jax.Array, window: jax.Array, mel_fb: jax.Array,
+                   n_frames_padded: int, n_frames: jax.Array) -> tuple:
+    """Raw padded audio [need] → (absolute log-mel [Tb, N_MELS], mask [Tb]).
+
+    Everything — framing, hann multiply, mask — lives inside the jit: the
+    streaming flush tick calls this per 450 ms window, and on a
+    tunnel-attached chip each eager op costs a full RTT; shipping raw
+    audio instead of pre-framed [T, 400] windows also cuts the
+    host→device transfer 2.5× (FRAME/HOP overlap).
+
+    Absolute (no per-window max normalization): the model needs LEVEL to
+    tell silence from speech; gain augmentation in training provides the
+    level robustness instead."""
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (n_frames_padded, FRAME), 0)
+           * HOP
+           + jax.lax.broadcasted_iota(jnp.int32, (n_frames_padded, FRAME), 1))
+    frames = x[idx] * window[None, :]
+    feats = frames_to_feats(frames, mel_fb)
+    mask = jnp.arange(n_frames_padded) < n_frames
+    return feats, mask
+
+
+def _pad_for(audio: np.ndarray, n_frames_padded: int) -> tuple:
+    """Host-side prep: pad to the bucket's sample count, count real frames."""
     x = np.asarray(audio, dtype=np.float32)
     if len(x) < FRAME:
         x = np.pad(x, (0, FRAME - len(x)))
-    n_frames = 1 + (len(x) - FRAME) // HOP
-    n_frames = min(n_frames, n_frames_padded)
+    n_frames = min(1 + (len(x) - FRAME) // HOP, n_frames_padded)
     need = FRAME + (n_frames_padded - 1) * HOP
     if len(x) < need:
         x = np.pad(x, (0, need - len(x)))
-    idx = (np.arange(n_frames_padded)[:, None] * HOP
-           + np.arange(FRAME)[None, :])
-    frames = jnp.asarray(x[idx]) * jnp.asarray(_window())[None, :]
-    feats = _featurize_jit(frames, jnp.asarray(_mel_fb()))
-    mask = jnp.arange(n_frames_padded) < n_frames
-    return feats, mask
+    return x[:need], n_frames
+
+
+def featurize(audio: np.ndarray, n_frames_padded: int) -> tuple:
+    """Mono f32 audio → (feats [Tb, N_MELS] jax, mask [Tb] jax)."""
+    x, n_frames = _pad_for(audio, n_frames_padded)
+    window, mel_fb = _consts()
+    return _featurize_jit(jnp.asarray(x), window, mel_fb, n_frames_padded,
+                          jnp.int32(n_frames))
 
 
 # -- packaged-weights inference --------------------------------------------------
@@ -145,8 +173,13 @@ def load_params(path: str = None) -> Optional[dict]:
     return _params
 
 
-@jax.jit
-def _prob_jit(params: dict, feats: jax.Array, mask: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(4,))
+def _prob_jit(params: dict, x: jax.Array, window: jax.Array,
+              mel_fb: jax.Array, n_frames_padded: int,
+              n_frames: jax.Array) -> jax.Array:
+    """Raw audio → speech probability, ONE fused dispatch per bucket."""
+    feats, mask = _featurize_jit(x, window, mel_fb, n_frames_padded,
+                                 n_frames)
     return jax.nn.sigmoid(window_logit(params, feats, mask))
 
 
@@ -158,5 +191,7 @@ def speech_probability(audio_float32: np.ndarray) -> Optional[float]:
     x = np.asarray(audio_float32, dtype=np.float32)
     n_frames = max(1, 1 + (max(len(x), FRAME) - FRAME) // HOP)
     bucket = next((b for b in _BUCKETS if n_frames <= b), _BUCKETS[-1])
-    feats, mask = featurize(x, bucket)
-    return float(_prob_jit(params, feats, mask))
+    padded, n_frames = _pad_for(x, bucket)
+    window, mel_fb = _consts()
+    return float(_prob_jit(params, jnp.asarray(padded), window, mel_fb,
+                           bucket, jnp.int32(n_frames)))

@@ -46,7 +46,9 @@ def _local_attend(q, k_local, v_local, *, axis: str, s_global: int,
                   causal: bool, q_offset, valid_from, valid_to,
                   sm_scale, interpret: bool):
     """Per-shard flash + cross-shard softmax combine (runs inside
-    shard_map; differentiable — pmax/psum have transposes)."""
+    shard_map; differentiable — pmax/psum have transposes, and the flash
+    kernel carries a custom VJP over (out, m, l), see
+    flash_attention._flash_diff)."""
     idx = jax.lax.axis_index(axis)
     s_local = k_local.shape[-2]
     off = idx * s_local

@@ -1,6 +1,12 @@
-"""Pallas TPU flash attention (forward) — the in-framework replacement for
-the reference's flash-attn CUDA kernels (Dockerfile:45, selected at
+"""Pallas TPU flash attention — the in-framework replacement for the
+reference's flash-attn CUDA kernels (Dockerfile:45, selected at
 src/server.py:294-298).
+
+Differentiable: a custom VJP recomputes exact gradients in the backward
+pass from a dense-mask XLA restatement of the same function (the standard
+flash trade — recompute the [T,S] scores instead of saving them), so
+training (runtime/train.py, parallel/pipeline.py, context parallelism)
+works on TPU where the auto-dispatch selects this kernel.
 
 Inference-oriented design (this framework trains rarely, serves constantly):
 
@@ -23,6 +29,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -132,9 +139,106 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     b, nq, t, d = q.shape
     _, nkv, s_len, _ = k.shape
     assert nq % nkv == 0
-    g = nq // nkv
     if sm_scale is None:
         sm_scale = d ** -0.5
+
+    if kv_valid_from is None:
+        kv_valid_from = jnp.zeros((b,), jnp.int32)
+    if kv_valid_to is None:
+        kv_valid_to = jnp.full((b,), s_len, jnp.int32)
+    q_offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (b,))
+
+    out, m_res, l_res = _flash_diff(
+        causal, int(window_block), float(sm_scale), block_q, block_k,
+        interpret, q, k, v, kv_valid_from.astype(jnp.int32),
+        kv_valid_to.astype(jnp.int32), q_offset)
+    if not return_residuals:
+        return out
+    return out, m_res, l_res
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _flash_diff(causal, window_block, sm_scale, block_q, block_k, interpret,
+                q, k, v, kv_valid_from, kv_valid_to, q_offset):
+    """Differentiable core: Pallas forward, XLA-recompute backward.
+
+    The backward pass re-derives exact gradients of the SAME function
+    (dense-mask XLA formulation, `_xla_forward`) via jax.vjp — the
+    standard flash-attention trade (recompute scores in bwd instead of
+    saving the [T,S] matrix). All three outputs (out, m, l) carry
+    cotangents, so the context-parallel combine (which consumes m/l) is
+    differentiable end-to-end."""
+    return _flash_pallas(q, k, v, kv_valid_from, kv_valid_to, q_offset,
+                         causal=causal, window_block=window_block,
+                         sm_scale=sm_scale, block_q=block_q,
+                         block_k=block_k, interpret=interpret)
+
+
+def _flash_diff_fwd(causal, window_block, sm_scale, block_q, block_k,
+                    interpret, q, k, v, kv_valid_from, kv_valid_to, q_offset):
+    out = _flash_pallas(q, k, v, kv_valid_from, kv_valid_to, q_offset,
+                        causal=causal, window_block=window_block,
+                        sm_scale=sm_scale, block_q=block_q,
+                        block_k=block_k, interpret=interpret)
+    return out, (q, k, v, kv_valid_from, kv_valid_to, q_offset)
+
+
+def _flash_diff_bwd(causal, window_block, sm_scale, block_q, block_k,
+                    interpret, saved, cts):
+    q, k, v, kv_valid_from, kv_valid_to, q_offset = saved
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_forward(
+            q_, k_, v_, kv_valid_from, kv_valid_to, q_offset,
+            causal=causal, window_block=window_block, sm_scale=sm_scale),
+        q, k, v)
+    dq, dk, dv = vjp(cts)
+    int_zero = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
+    return (dq, dk, dv, int_zero(kv_valid_from), int_zero(kv_valid_to),
+            int_zero(q_offset))
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
+def _xla_forward(q, k, v, kv_valid_from, kv_valid_to, q_offset, *,
+                 causal, window_block, sm_scale):
+    """Dense-mask XLA restatement of the kernel's exact function
+    (including MASK_VALUE semantics, safe divide for fully-masked rows,
+    and the f32 softmax stats (m, l) the kernel emits as residuals).
+    Used only inside the custom-VJP backward — XLA differentiates it."""
+    b, nq, t, d = q.shape
+    _, nkv, s_len, _ = k.shape
+    g = nq // nkv
+    qg = q.reshape(b, nkv, g, t, d)
+    s = jnp.einsum("bhgtd,bhsd->bhgts", qg.astype(jnp.float32),
+                   k.astype(jnp.float32)) * sm_scale
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (b, t, s_len), 1)
+            + q_offset[:, None, None])
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, t, s_len), 2)
+    mask = ((cols >= kv_valid_from[:, None, None])
+            & (cols < kv_valid_to[:, None, None]))
+    if causal:
+        mask &= cols <= rows
+    if window_block > 0:
+        mask &= (rows // window_block) == (cols // window_block)
+    mask = mask[:, None, None]                      # [B, 1, 1, T, S]
+    s = jnp.where(mask, s, MASK_VALUE)
+    m = jnp.max(s, axis=-1)                          # [B, nkv, G, T]
+    p = jnp.where(mask, jnp.exp(s - m[..., None]), 0.0)
+    l = jnp.sum(p, axis=-1)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    out = (jnp.einsum("bhgts,bhsd->bhgtd", p, v.astype(jnp.float32))
+           / l_safe[..., None])
+    return (out.reshape(b, nq, t, d).astype(q.dtype),
+            m.reshape(b, nq, t), l.reshape(b, nq, t))
+
+
+def _flash_pallas(q, k, v, kv_valid_from, kv_valid_to, q_offset, *,
+                  causal, window_block, sm_scale, block_q, block_k,
+                  interpret):
+    b, nq, t, d = q.shape
+    _, nkv, s_len, _ = k.shape
+    g = nq // nkv
 
     block_q = min(block_q, max(t, 16))
     block_k = min(block_k, max(s_len, 128))
@@ -149,12 +253,6 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 
     # Group query heads with their KV head: [B, n_kv, G, T, D]
     qg = q.reshape(b, nkv, g, t_pad, d)
-
-    if kv_valid_from is None:
-        kv_valid_from = jnp.zeros((b,), jnp.int32)
-    if kv_valid_to is None:
-        kv_valid_to = jnp.full((b,), s_len, jnp.int32)
-    q_offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (b,))
 
     grid = (b, nkv, t_pad // block_q, s_pad // block_k)
 
@@ -198,13 +296,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=interpret,
-    )(kv_valid_from.astype(jnp.int32), kv_valid_to.astype(jnp.int32),
-      q_offset, qg, k, v)
+    )(kv_valid_from, kv_valid_to, q_offset, qg, k, v)
 
     out, m_res, l_res = out
     out = out.reshape(b, nq, t_pad, d)[:, :, :t]
-    if not return_residuals:
-        return out
     m_res = m_res.reshape(b, nq, t_pad)[:, :, :t]
     l_res = l_res.reshape(b, nq, t_pad)[:, :, :t]
     return out, m_res, l_res

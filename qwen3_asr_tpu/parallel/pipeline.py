@@ -89,10 +89,13 @@ def shard_params_pp(params: dict, mesh: Mesh) -> dict:
     dec = {}
     for k, v in params["decoder"].items():
         if k == "layers":
+            n_layers = {x.shape[0] for x in v.values()}
+            assert all(n % pp == 0 for n in n_layers), (
+                f"decoder layer count {sorted(n_layers)} not divisible by "
+                f"pp={pp} — pipeline stages must hold equal layer slices")
             dec[k] = {
-                name: jax.device_put(
-                    x, NamedSharding(mesh, specs["layers"][name])
-                    if x.shape[0] % pp == 0 else rep)
+                name: jax.device_put(x, NamedSharding(mesh,
+                                                      specs["layers"][name]))
                 for name, x in v.items()}
         else:
             dec[k] = jax.device_put(v, rep)

@@ -117,9 +117,10 @@ class DecodePool:
                             else engine.cache_dtype)
         # jit-wrapped creation: one dispatch beats dozens of eager zeros
         # over a remote host link.
-        self._cache = jax.jit(functools.partial(
+        self._alloc_cache = jax.jit(functools.partial(
             init_kv_cache, cfg.decoder, self.max_slots, self.s_pool,
-            dtype=self.cache_dtype))()
+            dtype=self.cache_dtype))
+        self._cache = self._alloc_cache()
         self._prefill_fns = {}
         self._insert_fns = {}
         self._decode_fns = {}
@@ -178,6 +179,9 @@ class DecodePool:
     def submit(self, audio: np.ndarray, language: Optional[str],
                set_result, set_error) -> None:
         """Queue one clip; set_result(text, token_ids) fires off-thread."""
+        if not self._running:
+            set_error(RuntimeError("decode pool stopped"))
+            return
         with self._cv:
             self._pending.append(_Request(audio, language, set_result,
                                           set_error))
@@ -188,20 +192,35 @@ class DecodePool:
         with self._cv:
             self._cv.notify()
         self._thread.join(timeout=10)
-        # Anything still queued or occupying a slot can never finish —
-        # fail it rather than leaving callers to hit their timeouts.
-        err = RuntimeError("decode pool stopped")
+        if self._thread.is_alive():
+            # A segment or compile can hold the drive thread for minutes
+            # (remote-tunnel compiles) — slot state is the THREAD's to
+            # mutate, so don't race it here: it fails all outstanding
+            # work itself on exit (_fail_all in _drive's finally).
+            log.warning("DecodePool stop: drive thread still draining; "
+                        "outstanding requests fail when it exits")
+
+    @staticmethod
+    def _safe_error(req: "_Request", err: Exception) -> None:
+        try:
+            req.set_error(err)
+        except Exception:  # callbacks must never kill pool teardown
+            log.exception("decode-pool error callback raised")
+
+    def _fail_all(self, err: Exception) -> None:
+        """Fail everything queued or slotted (drive thread only — it is
+        the sole mutator of slot state once running)."""
         with self._cv:
             pending, self._pending = self._pending, []
             self._admitting = 0
         for req in pending:
-            req.set_error(err)
+            self._safe_error(req, err)
         for s in range(self.max_slots):
             req, self._owner[s] = self._owner[s], None
             self._active[s] = False
             self._pending_first[s] = None
             if req is not None:
-                req.set_error(err)
+                self._safe_error(req, err)
 
     @property
     def depth(self) -> int:
@@ -530,6 +549,14 @@ class DecodePool:
         inflight = None    # ((last,pos,active,tokens) handles, in_seg slots)
         state = None       # device (last, pos, active) feeding the next seg
 
+        try:
+            self._drive_loop(inflight, state)
+        finally:
+            # Sole owner of slot state fails all outstanding work on the
+            # way out — stop() never mutates concurrently.
+            self._fail_all(RuntimeError("decode pool stopped"))
+
+    def _drive_loop(self, inflight, state) -> None:
         while self._running:
             with self._cv:
                 while (self._running and not self._pending
@@ -567,7 +594,7 @@ class DecodePool:
                              len(pending))
                     self.window = window
 
-                for i, req in enumerate(pending):
+                while pending:
                     free = [s for s in range(window)
                             if self._owner[s] is None]
                     if not free and inflight is not None:
@@ -579,14 +606,18 @@ class DecodePool:
                                 if self._owner[s] is None]
                     if not free:
                         with self._cv:  # genuinely full — decode first
-                            self._pending[:0] = pending[i:]
+                            self._pending[:0] = pending
                             self._admitting = 0  # re-queued: counted there
+                        pending = []  # theirs to fail/serve via _pending now
                         break
+                    # Pop BEFORE admit: `pending` holds exactly the
+                    # requests the failure handler still owes an error to.
+                    req = pending.pop(0)
                     try:
                         first, prompt_len = self._admit(req, free[0])
                     except Exception as e:
                         log.exception("decode-pool admit failed: {}", e)
-                        req.set_error(e)
+                        self._safe_error(req, e)
                         with self._cv:
                             self._admitting -= 1
                         continue
@@ -634,6 +665,14 @@ class DecodePool:
                         req = self._owner[s]
                         self._owner[s] = None
                         self._active[s] = False
-                        req.set_error(e)
+                        self._safe_error(req, e)
+                # `pending` now holds only requests neither admitted nor
+                # re-queued into _pending — admitted ones were errored via
+                # their slot above; re-queued ones decode fresh next loop.
                 for req in pending:
-                    req.set_error(e)
+                    self._safe_error(req, e)
+                # The segment executables DONATE the cache buffer
+                # (donate_argnums): a failed run may have consumed it, and
+                # a stale handle would raise "Array has been deleted" on
+                # every future admit — reallocate unconditionally.
+                self._cache = self._alloc_cache()

@@ -123,9 +123,12 @@ class AlignerEngine:
         t = text_emb / (np.linalg.norm(text_emb, axis=-1, keepdims=True) + 1e-6)
         sim = t @ a.T                                    # [n_tokens, n_frames]
         spans = _token_spans(sim)                        # [n_tokens, 2]
-        frame_s = duration / max(n_frames, 1)
-        return _spans_to_words(words, word_ids, spans, frame_s, duration,
-                               sim=sim)
+        # Fixed 80 ms encoder grid — NOT duration/n_frames: the ceil'd
+        # frame count would uniformly compress every timestamp by up to
+        # one frame across the clip (the end-of-clip clamp below handles
+        # the final partial frame).
+        return _spans_to_words(words, word_ids, spans, self.FRAME_SECONDS,
+                               duration, sim=sim)
 
 
 def _viterbi_partition(sim: np.ndarray) -> np.ndarray:

@@ -171,7 +171,7 @@ def main():
     n_frames = 1 + (windows.shape[1] - vad_model.FRAME) // vad_model.HOP
     feats = []
     batch_feat = jax.jit(jax.vmap(
-        lambda fr: vad_model._featurize_jit(fr, jnp.asarray(
+        lambda fr: vad_model.frames_to_feats(fr, jnp.asarray(
             vad_model._mel_fb()))))
     win = jnp.asarray(vad_model._window())
     idx = (np.arange(n_frames)[:, None] * vad_model.HOP

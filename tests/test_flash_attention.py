@@ -93,3 +93,101 @@ def test_bf16_inputs():
     np.testing.assert_allclose(
         np.asarray(ours, np.float32), np.asarray(ref, np.float32),
         atol=2e-2, rtol=2e-2)
+
+# ---- custom VJP (training through the kernel) -------------------------------
+# The auto-dispatch selects this kernel for TPU training shapes
+# (head_dim >= 64, T > 1), so jax.grad must flow through it: the custom
+# VJP recomputes exact gradients from the dense-mask XLA restatement.
+
+
+def _grad_pair(make_loss_flash, make_loss_ref, args):
+    g_ours = jax.grad(make_loss_flash, argnums=(0, 1, 2))(*args)
+    g_ref = jax.grad(make_loss_ref, argnums=(0, 1, 2))(*args)
+    for ours, ref in zip(g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_grad_matches_xla_causal_gqa():
+    b, nq, nkv, t, d = 2, 4, 2, 96, 64
+    q, k, v = _rand(30, (b, nq, t, d)), _rand(31, (b, nkv, t, d)), \
+        _rand(32, (b, nkv, t, d))
+    mask = jnp.broadcast_to(make_causal_mask(t, t)[None, None], (b, 1, t, t))
+    _grad_pair(
+        lambda q_, k_, v_: jnp.sum(
+            flash_attention(q_, k_, v_, causal=True, interpret=True) ** 2),
+        lambda q_, k_, v_: jnp.sum(attend_xla(q_, k_, v_, mask=mask) ** 2),
+        (q, k, v))
+
+
+def test_grad_matches_xla_valid_range_window():
+    """Composite mask (left pad + right pad + encoder window blocks)."""
+    b, n, t, d = 2, 2, 150, 64
+    q, k, v = _rand(33, (b, n, t, d)), _rand(34, (b, n, t, d)), \
+        _rand(35, (b, n, t, d))
+    vf = jnp.asarray([3, 10], jnp.int32)
+    vt = jnp.asarray([140, 150], jnp.int32)
+    win = make_block_diagonal_mask(t, 50)[None, None]
+    rng = jnp.arange(t)[None, :]
+    mask = (win & (rng >= vf[:, None])[:, None, None, :]
+            & (rng < vt[:, None])[:, None, None, :])
+    _grad_pair(
+        lambda q_, k_, v_: jnp.sum(flash_attention(
+            q_, k_, v_, kv_valid_from=vf, kv_valid_to=vt, window_block=50,
+            interpret=True) ** 2),
+        lambda q_, k_, v_: jnp.sum(attend_xla(q_, k_, v_, mask=mask) ** 2),
+        (q, k, v))
+
+
+def test_grad_flows_through_residuals():
+    """m/l residuals feed the context-parallel combine — cotangents on all
+    three outputs must reach q/k/v (finite, not NotImplementedError)."""
+    b, n, t, d = 1, 2, 64, 64
+    q, k, v = _rand(36, (b, n, t, d)), _rand(37, (b, n, t, d)), \
+        _rand(38, (b, n, t, d))
+
+    def loss(q_, k_, v_):
+        out, m, l = flash_attention(q_, k_, v_, causal=True,
+                                    return_residuals=True, interpret=True)
+        return jnp.sum(out ** 2) + jnp.sum(m) * 1e-3 + jnp.sum(jnp.log(l))
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(np.abs(np.asarray(g)).max()) > 0
+
+
+def test_train_step_differentiates_flash_backend(monkeypatch, tmp_path):
+    """The round-2 gap this guards: on TPU the decoder/encoder auto-dispatch
+    to the Pallas kernel for training shapes, and grad through pallas_call
+    raises NotImplementedError without the custom VJP. Force the kernel via
+    ASR_ATTN_BACKEND=flash_interpret and run a real train step."""
+    monkeypatch.setenv("ASR_ATTN_BACKEND", "flash_interpret")
+    import optax
+
+    from tests.fixtures import load_tiny_model, write_tiny_checkpoint
+    from qwen3_asr_tpu.runtime.train import init_train_state, make_train_step
+
+    path = str(tmp_path / "ckpt")
+    write_tiny_checkpoint(path)
+    model = load_tiny_model(path)
+    rng = np.random.default_rng(1)
+    b, mel_frames = 2, 100
+    batch = {
+        "mel": jnp.asarray(rng.standard_normal((b, 32, mel_frames)),
+                           jnp.float32),
+        "feature_lens": jnp.full((b,), mel_frames, jnp.int32),
+        "prompt_ids": jnp.ones((b, 4), jnp.int32),
+        "target_ids": jnp.asarray(rng.integers(1, 400, (b, 6)), jnp.int32),
+        "target_mask": jnp.ones((b, 6), jnp.int32),
+    }
+    optimizer = optax.sgd(1e-3)
+    state = init_train_state(model.params, optimizer)
+    step = jax.jit(make_train_step(model.cfg, optimizer))
+    state2, loss = step(state, batch)
+    assert np.isfinite(float(loss))
+    # grads actually applied (the kernel path produced nonzero cotangents)
+    delta = jax.tree.reduce(
+        lambda acc, x: acc + float(jnp.sum(jnp.abs(x))),
+        jax.tree.map(lambda a, b_: a - b_, state2.params, state.params), 0.0)
+    assert delta > 0

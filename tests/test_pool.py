@@ -414,3 +414,60 @@ def test_pool_depth_covers_admission(engine):
         assert "t" in out, out.get("e")
     finally:
         pool.stop()
+
+
+def test_pool_recovers_after_segment_failure(engine):
+    """A failed decode segment must (a) error each in-flight request
+    exactly once, (b) reallocate the donated KV cache, and (c) leave the
+    pool serving follow-up requests normally."""
+    from qwen3_asr_tpu.runtime.pool import DecodePool
+    pool = DecodePool(engine, slots=2)
+    try:
+        real = pool._decode_segment_fn
+        blew = threading.Event()
+
+        def exploding(window):
+            fn = real(window)
+
+            def run(*args, **kw):
+                if not blew.is_set():
+                    blew.set()
+                    raise RuntimeError("injected segment failure")
+                return fn(*args, **kw)
+            return run
+
+        pool._decode_segment_fn = exploding
+        errors = []
+        done = threading.Event()
+        pool.submit(speech_like(0.6, seed=70), "en",
+                    lambda t, ids: (errors.append(("ok", t)), done.set()),
+                    lambda e: (errors.append(("err", str(e))), done.set()))
+        assert done.wait(timeout=120)
+        time.sleep(0.5)  # would catch a straggling double callback
+        assert errors == [("err", "injected segment failure")]
+
+        # the pool must still work: cache reallocated, slots clean
+        pool._decode_segment_fn = real
+        out = {}
+        ok = threading.Event()
+        pool.submit(speech_like(0.6, seed=70), "en",
+                    lambda t, ids: (out.setdefault("t", t), ok.set()),
+                    lambda e: (out.setdefault("e", e), ok.set()))
+        assert ok.wait(timeout=120)
+        assert "t" in out, out.get("e")
+        exp = engine.transcribe(speech_like(0.6, seed=70), 16000,
+                                language="en")[0].text
+        assert out["t"] == exp
+    finally:
+        pool.stop()
+
+
+def test_pool_submit_after_stop_errors_immediately(engine):
+    from qwen3_asr_tpu.runtime.pool import DecodePool
+    pool = DecodePool(engine, slots=2)
+    pool.stop()
+    got = []
+    pool.submit(speech_like(0.5, seed=71), "en",
+                lambda t, ids: got.append(("ok", t)),
+                lambda e: got.append(("err", str(e))))
+    assert got == [("err", "decode pool stopped")]
