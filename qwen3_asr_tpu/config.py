@@ -151,9 +151,19 @@ def _check_ws_window():
         return f"WS_WINDOW_MAX_S must be positive, got {value}"
 
 
+def _check_max_sessions():
+    raw = os.getenv("ASR_MAX_SESSIONS", "0") or "0"
+    try:
+        value = int(raw)
+    except ValueError as e:
+        return f"ASR_MAX_SESSIONS must be an integer: {e}"
+    if value < 0:
+        return f"ASR_MAX_SESSIONS must be >= 0 (0 = unlimited), got {value}"
+
+
 _VALIDATORS = (_check_model_id, _check_request_timeout, _check_idle_timeout,
                _check_log_level, _check_quantize, _check_worker_port,
-               _check_worker_fleet, _check_ws_window)
+               _check_worker_fleet, _check_ws_window, _check_max_sessions)
 
 
 def validate_env() -> None:

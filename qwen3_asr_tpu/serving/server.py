@@ -17,6 +17,7 @@ import time
 import uuid
 
 import numpy as np
+import aiohttp
 from aiohttp import WSMsgType, web
 
 from ..audio.codec import AudioDecodeError, decode_audio
@@ -64,7 +65,9 @@ def get_manager(request: web.Request) -> ModelManager:
 
 async def health(request: web.Request) -> web.Response:
     mgr = get_manager(request)
-    return web.json_response(mgr.health_info())
+    info = mgr.health_info()
+    info["active_ws_sessions"] = request.app.get("ws_sessions", 0)
+    return web.json_response(info)
 
 
 async def metrics_endpoint(request: web.Request) -> web.Response:
@@ -627,6 +630,7 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
         chunk_bytes = eng.model.cfg.encoder.n_window * 2 * 160 * 2
         return chunk_bytes if chunk_bytes <= WS_WINDOW_MAX_BYTES else 2
 
+    admitted = False
     try:
         if client_sr not in (8000, 16000):
             await ws.send_json({
@@ -635,6 +639,26 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
                 "statusCode": 400})
             await ws.close()
             return ws
+
+        # Admission control (net-new vs the reference; capacity numbers in
+        # docs/SCALING.md): past ASR_MAX_SESSIONS concurrent streaming
+        # sessions each added session degrades EVERY session's partial
+        # latency, so reject-with-retry beats silent backlog. 0 = off.
+        max_sessions = int(os.getenv("ASR_MAX_SESSIONS", "0") or 0)
+        if max_sessions > 0 and request.app.get("ws_sessions", 0) >= \
+                max_sessions:
+            log.warning("[WS] session limit reached ({}), rejecting",
+                        max_sessions)
+            await ws.send_json({
+                "code": "SESSION_LIMIT_REACHED",
+                "message": (f"server at capacity ({max_sessions} concurrent "
+                            "streaming sessions); retry later or add "
+                            "workers"),
+                "statusCode": 503})
+            await ws.close(code=aiohttp.WSCloseCode.TRY_AGAIN_LATER)
+            return ws
+        request.app["ws_sessions"] = request.app.get("ws_sessions", 0) + 1
+        admitted = True
 
         await mgr.ensure_loaded()
         await ws.send_json({
@@ -809,6 +833,8 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
         except Exception:
             pass
     finally:
+        if admitted:
+            request.app["ws_sessions"] -= 1
         reset_request_id(token)
         try:
             await ws.close()

@@ -533,3 +533,58 @@ def test_ws_vad_flush_single_tick(client, loop, monkeypatch):
         assert len(finals) == 1       # the FIRST silent tick flushed
         assert msgs[2].get("is_final")
     loop.run_until_complete(go())
+
+
+# ── WS admission control (ASR_MAX_SESSIONS; capacity in docs/SCALING.md) ─────
+
+def test_ws_session_limit_rejects_then_recovers(client, loop, monkeypatch):
+    import aiohttp
+    monkeypatch.setenv("ASR_MAX_SESSIONS", "1")
+
+    async def go():
+        ws1 = await client.ws_connect("/ws/transcribe")
+        hello = await ws1.receive_json()
+        assert hello["status"] == "connected"
+
+        # second concurrent session: structured 503 + Try Again Later close
+        ws2 = await client.ws_connect("/ws/transcribe")
+        msg = await ws2.receive_json()
+        assert msg["code"] == "SESSION_LIMIT_REACHED"
+        assert msg["statusCode"] == 503
+        closed = await ws2.receive()
+        assert closed.type == aiohttp.WSMsgType.CLOSE
+        assert closed.data == aiohttp.WSCloseCode.TRY_AGAIN_LATER
+
+        # health exposes the live count
+        health = await (await client.get("/health")).json()
+        assert health["active_ws_sessions"] == 1
+
+        # the admitted session still works end-to-end
+        await ws1.send_bytes(_pcm(speech_like(0.3, seed=11)))
+        await ws1.send_json({"action": "flush"})
+        final = await ws1.receive_json()
+        assert final["is_final"] is True
+        await ws1.close()
+
+        # slot released: a new session is admitted
+        ws3 = await client.ws_connect("/ws/transcribe")
+        hello3 = await ws3.receive_json()
+        assert hello3["status"] == "connected"
+        await ws3.close()
+
+    loop.run_until_complete(go())
+
+
+def test_ws_session_limit_off_by_default(client, loop, monkeypatch):
+    monkeypatch.delenv("ASR_MAX_SESSIONS", raising=False)
+
+    async def go():
+        sockets = [await client.ws_connect("/ws/transcribe")
+                   for _ in range(3)]
+        for ws in sockets:
+            hello = await ws.receive_json()
+            assert hello["status"] == "connected"
+        for ws in sockets:
+            await ws.close()
+
+    loop.run_until_complete(go())
