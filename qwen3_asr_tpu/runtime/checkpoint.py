@@ -23,13 +23,26 @@ Array = np.ndarray
 
 
 def _find_prefix(sd: Dict[str, Array], marker: str) -> str:
-    """Locate the key prefix for a submodule (e.g. 'model.', 'thinker.model.')."""
-    for key in sd:
-        idx = key.find(marker)
-        if idx >= 0:
-            return key[:idx]
-    raise KeyError(f"no parameter key contains {marker!r}; keys like: "
-                   f"{list(sd)[:5]}")
+    """Locate the key prefix for a submodule (e.g. 'model.', 'thinker.model.').
+
+    Combined checkpoints can hold SEVERAL submodules matching the marker
+    (Qwen3-Omni ships a talker decoder with its own layers.*.mlp.gate_proj
+    next to the thinker's): first-match would silently convert whichever
+    tower a shard happened to list first. Collect every candidate and
+    prefer the thinker (the ASR text tower); anything else ambiguous is an
+    error, not a guess."""
+    prefixes = {key[:idx] for key in sd
+                if (idx := key.find(marker)) >= 0}
+    if not prefixes:
+        raise KeyError(f"no parameter key contains {marker!r}; keys like: "
+                       f"{list(sd)[:5]}")
+    if len(prefixes) == 1:
+        return next(iter(prefixes))
+    thinker = [p for p in prefixes if "thinker" in p]
+    if len(thinker) == 1:
+        return thinker[0]
+    raise KeyError(f"marker {marker!r} matches multiple submodules "
+                   f"{sorted(prefixes)}; pass prefix= explicitly")
 
 
 def _stack(sd: Dict[str, Array], pattern: str, n: int,
@@ -167,6 +180,17 @@ def save_asr_checkpoint(path: str, cfg: AsrConfig, params: dict) -> str:
     """
     import jax
 
+    def _quantized(tree) -> bool:
+        if isinstance(tree, dict):
+            if "q" in tree and "s" in tree:   # ops/quant.py leaf layout
+                return True
+            return any(_quantized(v) for v in tree.values())
+        return False
+
+    if _quantized(params):
+        raise ValueError("params contain quantized {'q','s'} leaves "
+                         "(ops/quant.py) — save before quantizing")
+
     os.makedirs(path, exist_ok=True)
     host = jax.tree.map(
         lambda x: np.asarray(jax.device_get(x), dtype=np.float32), params)
@@ -292,7 +316,12 @@ def load_asr_checkpoint(path: str, dtype=jnp.bfloat16, cache: bool = True):
             log.info("Checkpoint restored from converted cache {}", cache_path)
             return cfg, params
         except Exception as e:
+            # A half-written dir (process killed mid-save) would otherwise
+            # wedge the cache permanently: restore fails every load and the
+            # re-save below refuses the existing path. Clear it.
             log.warning("converted-cache restore failed ({}); reconverting", e)
+            import shutil
+            shutil.rmtree(cache_path, ignore_errors=True)
 
     sd = load_safetensors_dir(path)
     dec = convert_decoder_state_dict(sd, cfg.decoder, dtype)
@@ -304,8 +333,16 @@ def load_asr_checkpoint(path: str, dtype=jnp.bfloat16, cache: bool = True):
         try:
             import orbax.checkpoint as ocp
             os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+            # Write-then-rename: a kill mid-save must never leave a
+            # half-written dir AT the cache path (see restore handler).
+            tmp_path = f"{cache_path}.tmp-{os.getpid()}"
             with ocp.PyTreeCheckpointer() as ckptr:
-                ckptr.save(cache_path, params)
+                ckptr.save(tmp_path, params)
+            try:
+                os.rename(tmp_path, cache_path)
+            except OSError:  # concurrent loader won the race — keep theirs
+                import shutil
+                shutil.rmtree(tmp_path, ignore_errors=True)
             log.info("Converted checkpoint cached at {}", cache_path)
         except Exception as e:
             log.warning("converted-cache save failed: {}", e)

@@ -134,6 +134,72 @@ class TranscriptionEngine:
                   // self._chunk_frames) * self._chunk_frames
         return frames, frames / 100.0
 
+    def _prompt_builder(self, bucket_frames: int, model=None):
+        """Traceable audio → [prefix, audio, suffix] inputs_embeds builder
+        shared by EVERY fused executable. Parity-critical single source:
+        mel clamp semantics, s16 wire-format convert, and the prompt
+        layout live here only (CLAUDE.md: WS prefix caching is token-exact
+        against this layout — tests/test_stream.py guards it).
+
+        The returned `build` also exposes `.mel_of` and `.assemble` so the
+        speculative path can compute the mel once and assemble per-model."""
+        model = model or self.model
+        cfg = model.cfg
+        n_samples = bucket_frames * HOP_LENGTH
+        window = self.frontend.window
+        mel_fb = self.frontend.mel_fb
+        n_mels = self.frontend.n_mels
+        suffix = jnp.asarray(self._suffix_ids, jnp.int32)
+        dtype = self.dtype
+
+        def mel_of(audio):
+            """[B, n_samples] f32 OR s16 PCM (converted on device — halves
+            the host→device transfer, the wire format is s16 anyway)."""
+            if audio.dtype == jnp.int16:
+                audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
+
+            def mel_one(a):
+                m, _ = _log_mel_impl(a, jnp.int32(n_samples), window, mel_fb,
+                                     n_mels)
+                return m
+            return jax.vmap(mel_one)(audio).astype(dtype)      # [B, M, T]
+
+        def assemble(params, audio_embeds, prefix_ids):
+            """prefix_ids: [B, PREFIX_BUDGET] (left-padded with pad_id)."""
+            b = audio_embeds.shape[0]
+            pre = embed_tokens(params["decoder"], cfg.decoder, prefix_ids)
+            suf = embed_tokens(params["decoder"], cfg.decoder,
+                               jnp.broadcast_to(suffix[None, :],
+                                                (b, suffix.shape[0])))
+            return jnp.concatenate(
+                [pre.astype(dtype), audio_embeds.astype(dtype),
+                 suf.astype(dtype)], axis=1)
+
+        def build(params, audio, prefix_ids):
+            mel = mel_of(audio)
+            flens = jnp.full((audio.shape[0],), bucket_frames, jnp.int32)
+            audio_embeds, _ = encoder_forward(params["encoder"], cfg.encoder,
+                                              mel, flens)
+            return assemble(params, audio_embeds, prefix_ids)
+
+        build.mel_of = mel_of
+        build.assemble = assemble
+        return build
+
+    def padded_prefix(self, language: Optional[str], context: str = "",
+                      batch: int = 1) -> Tuple[np.ndarray, np.ndarray]:
+        """PREFIX_BUDGET-left-padded prompt prefix + valid_from, shared by
+        the fused batch path and the WS prefix-cache session
+        (runtime/stream.py) — single-sourced so the two stay token-exact."""
+        prefix_ids, _, _ = self.model.prompt_ids(0, language, context)
+        if len(prefix_ids) > PREFIX_BUDGET:
+            prefix_ids = prefix_ids[-PREFIX_BUDGET:]
+        pad_count = PREFIX_BUDGET - len(prefix_ids)
+        prefix = np.full((batch, PREFIX_BUDGET), self.model.pad_id, np.int32)
+        prefix[:, pad_count:] = prefix_ids
+        valid_from = np.full((batch,), pad_count, np.int32)
+        return prefix, valid_from
+
     def _fused_fn(self, bucket_frames: int, bucket_s: float):
         """ONE jitted executable per bucket: raw audio samples → generated
         token ids. Fuses log-mel frontend, AuT encoder, prompt embedding,
@@ -147,43 +213,13 @@ class TranscriptionEngine:
             return fn
 
         cfg = self.model.cfg
-        n_samples = bucket_frames * HOP_LENGTH
-        window = self.frontend.window
-        mel_fb = self.frontend.mel_fb
-        n_mels = self.frontend.n_mels
-        suffix = jnp.asarray(self._suffix_ids, jnp.int32)
-        dtype = self.dtype
+        build = self._prompt_builder(bucket_frames)
         eos_id, pad_id = self.model.eos_id, self.model.pad_id
         cache_dtype = self.cache_dtype
 
         @jax.jit
         def run(params, audio, prefix_ids, valid_from):
-            """audio: [B, n_samples] f32 OR s16 PCM (converted on device —
-            halves the host→device transfer, the wire format is s16 anyway);
-            prefix_ids: [B, PREFIX_BUDGET] (left-padded with pad_id);
-            valid_from: [B] first-real-token idx."""
-            b = audio.shape[0]
-            if audio.dtype == jnp.int16:
-                audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
-
-            def mel_one(a):
-                m, _ = _log_mel_impl(a, jnp.int32(n_samples), window, mel_fb,
-                                     n_mels)
-                return m
-            mel = jax.vmap(mel_one)(audio).astype(dtype)       # [B, M, T]
-
-            feature_lens = jnp.full((b,), bucket_frames, jnp.int32)
-            audio_embeds, _ = encoder_forward(params["encoder"], cfg.encoder,
-                                              mel, feature_lens)
-
-            pre = embed_tokens(params["decoder"], cfg.decoder, prefix_ids)
-            suf = embed_tokens(params["decoder"], cfg.decoder,
-                               jnp.broadcast_to(suffix[None, :],
-                                                (b, suffix.shape[0])))
-            inputs = jnp.concatenate(
-                [pre.astype(dtype), audio_embeds.astype(dtype),
-                 suf.astype(dtype)], axis=1)
-
+            inputs = build(params, audio, prefix_ids)
             return greedy_generate(params["decoder"], cfg.decoder, inputs,
                                    valid_from, max_new=max_new, eos_id=eos_id,
                                    pad_id=pad_id, cache_dtype=cache_dtype)
@@ -211,48 +247,24 @@ class TranscriptionEngine:
         from ..models.encoder import encoder_forward as enc_fwd
 
         verify, draft = self.model, self.draft_model
-        n_samples = bucket_frames * HOP_LENGTH
-        window = self.frontend.window
-        mel_fb = self.frontend.mel_fb
-        n_mels = self.frontend.n_mels
-        suffix_v = jnp.asarray(self._suffix_ids, jnp.int32)
-        # attach_draft guarantees the tokenizers agree on prompt ids — both
-        # models consume the same prefix AND suffix ids.
-        suffix_d = suffix_v
-        dtype = self.dtype
         cache_dtype = self.cache_dtype
-
-        def build_prompt(model, params, audio_embeds, prefix_ids, suffix):
-            bb = audio_embeds.shape[0]
-            pre = embed_tokens(params["decoder"], model.cfg.decoder,
-                               prefix_ids)
-            suf = embed_tokens(params["decoder"], model.cfg.decoder,
-                               jnp.broadcast_to(suffix[None, :],
-                                                (bb, suffix.shape[0])))
-            return jnp.concatenate(
-                [pre.astype(dtype), audio_embeds.astype(dtype),
-                 suf.astype(dtype)], axis=1)
+        # attach_draft guarantees the tokenizers agree on prompt ids — both
+        # models consume the same prefix AND suffix ids, so the builders
+        # differ only in which model's decoder embeds them.
+        build_v = self._prompt_builder(bucket_frames, verify)
+        build_d = self._prompt_builder(bucket_frames, draft)
 
         @jax.jit
         def run(verify_params, draft_params, audio, prefix_ids, valid_from):
-            if audio.dtype == jnp.int16:
-                audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
-
-            def mel_one(a):
-                m, _ = _log_mel_impl(a, jnp.int32(n_samples), window, mel_fb,
-                                     n_mels)
-                return m
-            mel = jax.vmap(mel_one)(audio).astype(dtype)
+            mel = build_v.mel_of(audio)
             flens = jnp.full((audio.shape[0],), bucket_frames, jnp.int32)
 
             emb_v, _ = enc_fwd(verify_params["encoder"], verify.cfg.encoder,
                                mel, flens)
             emb_d, _ = enc_fwd(draft_params["encoder"], draft.cfg.encoder,
                                mel, flens)
-            inputs_v = build_prompt(verify, verify_params, emb_v, prefix_ids,
-                                    suffix_v)
-            inputs_d = build_prompt(draft, draft_params, emb_d, prefix_ids,
-                                    suffix_d)
+            inputs_v = build_v.assemble(verify_params, emb_v, prefix_ids)
+            inputs_d = build_d.assemble(draft_params, emb_d, prefix_ids)
             return speculative_generate(
                 draft_params["decoder"], verify_params["decoder"],
                 draft.cfg.decoder, verify.cfg.decoder, inputs_d, inputs_v,
@@ -275,34 +287,13 @@ class TranscriptionEngine:
             return fn
 
         cfg = self.model.cfg
-        n_samples = bucket_frames * HOP_LENGTH
-        window = self.frontend.window
-        mel_fb = self.frontend.mel_fb
-        n_mels = self.frontend.n_mels
-        suffix = jnp.asarray(self._suffix_ids, jnp.int32)
-        dtype = self.dtype
+        build = self._prompt_builder(bucket_frames)
         eos_id, pad_id = self.model.eos_id, self.model.pad_id
         cache_dtype = self.cache_dtype
 
         @jax.jit
         def run(params, audio, prefix_ids, valid_from, prev_tokens, prev_len):
-            if audio.dtype == jnp.int16:
-                audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
-
-            def mel_one(a):
-                m, _ = _log_mel_impl(a, jnp.int32(n_samples), window, mel_fb,
-                                     n_mels)
-                return m
-            mel = jax.vmap(mel_one)(audio).astype(dtype)
-            feature_lens = jnp.full((1,), bucket_frames, jnp.int32)
-            audio_embeds, _ = encoder_forward(params["encoder"], cfg.encoder,
-                                              mel, feature_lens)
-            pre = embed_tokens(params["decoder"], cfg.decoder, prefix_ids)
-            suf = embed_tokens(params["decoder"], cfg.decoder,
-                               suffix[None, :])
-            inputs = jnp.concatenate(
-                [pre.astype(dtype), audio_embeds.astype(dtype),
-                 suf.astype(dtype)], axis=1)
+            inputs = build(params, audio, prefix_ids)
             return resume_generate(params["decoder"], cfg.decoder, inputs,
                                    valid_from, prev_tokens, prev_len,
                                    max_new=max_new, eos_id=eos_id,
@@ -362,13 +353,7 @@ class TranscriptionEngine:
                 c = c.astype(np.float32) / 32768.0  # mixed batch: rescale
             audio[i, :len(c)] = c
 
-        prefix_ids, _, _ = self.model.prompt_ids(0, language, context)
-        if len(prefix_ids) > PREFIX_BUDGET:
-            prefix_ids = prefix_ids[-PREFIX_BUDGET:]
-        pad_count = PREFIX_BUDGET - len(prefix_ids)
-        prefix = np.full((batch, PREFIX_BUDGET), self.model.pad_id, np.int32)
-        prefix[:, pad_count:] = prefix_ids
-        valid_from = np.full((batch,), pad_count, np.int32)
+        prefix, valid_from = self.padded_prefix(language, context, batch)
 
         audio = self._place_batch(audio)
         prefix = self._place_batch(prefix)
@@ -479,9 +464,21 @@ class TranscriptionEngine:
     def transcribe_batch(self, clips: Sequence[Tuple[np.ndarray, int]],
                          language: Optional[str] = None
                          ) -> List[TranscriptionResult]:
-        """Batch same-bucket clips into single device dispatches."""
+        """Batch same-bucket clips into single device dispatches.
+
+        Clips must fit one segment (≤ MAX_SEGMENT_S); `transcribe` handles
+        longer audio via silence-boundary splitting. Rejecting here beats
+        the old behavior (silent clip[:bucket] truncation with an end_time
+        claiming full coverage)."""
         self.last_used = time.time()
         prepped = [_prep_audio(audio, sr) for audio, sr in clips]
+        max_samples = int(MAX_SEGMENT_S * TARGET_SR)
+        too_long = [i for i, a in enumerate(prepped) if len(a) > max_samples]
+        if too_long:
+            raise ValueError(
+                f"clips {too_long} exceed MAX_SEGMENT_S={MAX_SEGMENT_S}s — "
+                "use transcribe() (silence-boundary segmentation) for long "
+                "audio")
 
         lang_code, _ = normalize_language(language)
         by_bucket = {}

@@ -32,9 +32,14 @@ from ..ops.attention import AttnSpec
 
 
 class GenerateResult(NamedTuple):
-    tokens: jax.Array    # [B, max_new] int32, pad_id beyond EOS
+    tokens: jax.Array    # [B, max_new] int32, pad_id beyond end-of-text
     lengths: jax.Array   # [B] int32 tokens generated incl. EOS
-    steps: jax.Array     # scalar int32: loop iterations executed
+    # Path-local progress counter — NOT comparable across decode paths:
+    # greedy = emitted-token frontier (1 even when the prefill token ended
+    # the row), resume = continuation steps past the accepted prefix,
+    # speculative = verifier rounds. Consumers use it only within one path
+    # (tools_perf/speculative_eval.py rounds, resume probe tests).
+    steps: jax.Array
 
 
 class _Carry(NamedTuple):
@@ -71,8 +76,13 @@ def greedy_generate(params, cfg: DecoderConfig, inputs_embeds: jax.Array,
     first = jnp.argmax(lm_logits(params, cfg, hidden[:, -1]),
                        axis=-1).astype(jnp.int32)
 
+    # pad_id emission also terminates (for real Qwen3 checkpoints pad is
+    # <|endoftext|>, an alternate end-of-text): pad_id doubles as the
+    # "beyond end" sentinel in `tokens`, so letting decode continue past
+    # an emitted pad would make `lengths` (counted as != pad_id) undercount
+    # and strip live tokens.
     tokens0 = jnp.full((b, max_new), pad_id, jnp.int32).at[:, 0].set(first)
-    done0 = first == eos_id
+    done0 = (first == eos_id) | (first == pad_id)
 
     # ---- decode loop -----------------------------------------------------------
     def cond(c: _Carry):
@@ -93,7 +103,8 @@ def greedy_generate(params, cfg: DecoderConfig, inputs_embeds: jax.Array,
                          axis=-1).astype(jnp.int32)
         nxt = jnp.where(c.done, pad_id, nxt)
         tokens = jax.lax.dynamic_update_slice(c.tokens, nxt[:, None], (0, c.i))
-        return _Carry(cache, nxt, c.done | (nxt == eos_id), tokens, c.i + 1)
+        done = c.done | (nxt == eos_id) | (nxt == pad_id)
+        return _Carry(cache, nxt, done, tokens, c.i + 1)
 
     final = jax.lax.while_loop(
         cond, body, _Carry(cache, first, done0, tokens0, jnp.int32(1)))

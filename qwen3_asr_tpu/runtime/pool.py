@@ -460,16 +460,14 @@ class DecodePool:
         buf = np.zeros((1, n_samples), dtype=in_dtype)
         buf[0, :min(len(audio), n_samples)] = audio[:n_samples]
 
-        prefix_ids, _, _ = self.model.prompt_ids(0, req.language)
-        prefix_ids = prefix_ids[-PREFIX_BUDGET:]
-        pad_count = PREFIX_BUDGET - len(prefix_ids)
-        prefix = np.full((1, PREFIX_BUDGET), self.model.pad_id, np.int32)
-        prefix[0, pad_count:] = prefix_ids
+        # Single-sourced with the fused path (engine.padded_prefix) — the
+        # pool must stay token-identical to engine.transcribe.
+        prefix, valid_from = self.engine.padded_prefix(req.language)
 
         run, prompt_len, s_pad = self._prefill_fn(bucket_frames)
         seg_cache, first = run(self.model.params, jnp.asarray(buf),
                                jnp.asarray(prefix),
-                               jnp.asarray([pad_count], jnp.int32))
+                               jnp.asarray(valid_from))
         insert = self._insert_fn(s_pad)
         # self._cache may be an IN-FLIGHT segment's output handle: the
         # insert is dispatched on it without a host sync and XLA orders it
@@ -481,7 +479,7 @@ class DecodePool:
         self._tokens[slot] = []
         self._pending_first[slot] = first
         self._pos[slot] = prompt_len
-        self._valid_from[slot] = pad_count
+        self._valid_from[slot] = int(valid_from[0])
         self._limit[slot] = prompt_len + max_new_tokens_for(bucket_s) - 1
         # Optimistic: if the first token is already EOS the slot decodes
         # masked (device-side join knows) and retires at its first drain.

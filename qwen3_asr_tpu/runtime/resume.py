@@ -105,6 +105,7 @@ def verify_and_continue(params, cfg: DecoderConfig, cache: KVCache,
                    prev == jnp.roll(preds, 1))
     eq &= slot < m
     eq &= prev != eos_id           # stop reuse at an emitted EOS
+    eq &= prev != pad_id           # pad = alternate end-of-text (generate.py)
     accepted = jnp.cumprod(eq.astype(jnp.int32))
     n = jnp.sum(accepted)          # accepted previous tokens (0..m)
     n = jnp.minimum(n, max_new - 1)  # saturated window: keep last slot free
@@ -115,7 +116,7 @@ def verify_and_continue(params, cfg: DecoderConfig, cache: KVCache,
     tokens0 = jnp.where((slot < n) & (accepted > 0), prev, pad_id)
     tokens0 = tokens0.at[n].set(g_n)[None, :]                       # [1, max_new]
     emitted = n + 1
-    done0 = (g_n == eos_id)[None]
+    done0 = ((g_n == eos_id) | (g_n == pad_id))[None]
 
     # ---- continue greedy decode from position plen + n ---------------------------
     def cond(c: _Carry):
@@ -139,7 +140,7 @@ def verify_and_continue(params, cfg: DecoderConfig, cache: KVCache,
         # is always writable.
         tokens = jax.lax.dynamic_update_slice(c.tokens, nxt[:, None],
                                               (0, c.i))
-        done = c.done | (nxt == eos_id)
+        done = c.done | (nxt == eos_id) | (nxt == pad_id)
         return _Carry(cache, nxt, done, tokens, c.i + 1)
 
     init = _Carry(cache, jnp.broadcast_to(g_n[None], (b,)), done0, tokens0,

@@ -87,7 +87,7 @@ def speculative_generate(draft_params, verify_params,
                              valid_from_v, cache_v, plen_v)
 
     tokens0 = jnp.full((b, buf_len), pad_id, jnp.int32).at[:, 0].set(first)
-    done0 = first == eos_id
+    done0 = (first == eos_id) | (first == pad_id)
 
     def decode_step(params, cfg, cache, valid_from, token, pos):
         """Single-token step at per-row positions pos [B] → (cache, logits)."""
@@ -149,8 +149,10 @@ def speculative_generate(draft_params, verify_params,
                                        correction, pad_id))         # [B, γ]
         n_accept = jnp.where(n_s == gamma, gamma, n_s + 1)          # [B]
 
-        # EOS truncation inside each row's window
-        hit_eos = (accepted == eos_id) & (slot[None, :] < n_accept[:, None])
+        # end-of-text truncation inside each row's window (pad_id is an
+        # alternate end-of-text — see generate.py)
+        hit_eos = (((accepted == eos_id) | (accepted == pad_id))
+                   & (slot[None, :] < n_accept[:, None]))
         any_eos = jnp.any(hit_eos, axis=1)                          # [B]
         first_eos = jnp.argmax(hit_eos, axis=1)                     # [B]
         n_eff = jnp.where(any_eos, first_eos + 1, n_accept)

@@ -110,13 +110,9 @@ class StreamSession:
                              for lo, hi in self.spans]
         self.max_new = max_new_tokens_for(self.bucket_s)
 
-        prefix_ids, _, _ = self.model.prompt_ids(0, language, context)
-        if len(prefix_ids) > PREFIX_BUDGET:
-            prefix_ids = prefix_ids[-PREFIX_BUDGET:]
-        pad_count = PREFIX_BUDGET - len(prefix_ids)
-        self.prefix = np.full((1, PREFIX_BUDGET), self.model.pad_id, np.int32)
-        self.prefix[0, pad_count:] = prefix_ids
-        self.valid_from = np.asarray([pad_count], np.int32)
+        # Single-sourced with the fused batch path (engine.padded_prefix):
+        # any divergence in truncation/pad policy breaks token parity.
+        self.prefix, self.valid_from = engine.padded_prefix(language, context)
         self.prompt_len = (PREFIX_BUDGET + sum(self.block_tokens)
                            + len(engine._suffix_ids))
         self._prefix_budget = PREFIX_BUDGET

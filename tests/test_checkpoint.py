@@ -177,3 +177,59 @@ def test_save_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(leaf),
                                       np.asarray(flat2[path]),
                                       err_msg=str(path))
+
+
+def test_corrupt_converted_cache_self_heals(tmp_path, monkeypatch):
+    """A half-written cache dir (process killed mid-save) must not wedge
+    the cache: the loader clears it, reconverts, and RE-CACHES so the
+    next load is a cache hit again."""
+    import os
+
+    from qwen3_asr_tpu.runtime.checkpoint import _cache_dir_for
+
+    monkeypatch.setenv("ASR_CONVERTED_CACHE", str(tmp_path / "cache"))
+    ckpt = str(tmp_path / "ckpt")
+    write_tiny_checkpoint(ckpt)
+
+    cache_dir = _cache_dir_for(ckpt, jnp.float32)
+    os.makedirs(cache_dir)  # exists but holds no valid orbax payload
+    with open(os.path.join(cache_dir, "junk"), "w") as f:
+        f.write("partial write")
+
+    cfg, params = load_asr_checkpoint(ckpt, dtype=jnp.float32)
+    assert "decoder" in params
+    # healed: the corrupt dir was replaced by a restorable cache
+    cfg2, params2 = load_asr_checkpoint(ckpt, dtype=jnp.float32)
+    import jax
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ambiguous_submodule_prefix_rejected(tmp_path):
+    """Omni-style combined checkpoints can hold TWO decoders matching the
+    marker (thinker + talker): conversion must pick the thinker, never
+    first-match; with no thinker it must refuse, not guess."""
+    from qwen3_asr_tpu.runtime.checkpoint import _find_prefix
+
+    keys = ["thinker.model.layers.0.mlp.gate_proj.weight",
+            "talker.model.layers.0.mlp.gate_proj.weight"]
+    sd = {k: np.zeros(1) for k in keys}
+    assert _find_prefix(sd, "layers.0.mlp.gate_proj") == "thinker.model."
+
+    sd2 = {k: np.zeros(1) for k in
+           ["a.model.layers.0.mlp.gate_proj.weight",
+            "b.model.layers.0.mlp.gate_proj.weight"]}
+    with pytest.raises(KeyError, match="multiple submodules"):
+        _find_prefix(sd2, "layers.0.mlp.gate_proj")
+
+
+def test_save_checkpoint_rejects_quantized(tmp_path):
+    from qwen3_asr_tpu.ops.quant import quantize_params
+    from qwen3_asr_tpu.runtime.checkpoint import save_asr_checkpoint
+
+    ckpt = str(tmp_path / "ckpt")
+    write_tiny_checkpoint(ckpt)
+    cfg, params = load_asr_checkpoint(ckpt, dtype=jnp.float32, cache=False)
+    qparams = quantize_params(params, "int8")
+    with pytest.raises(ValueError, match="save before quantizing"):
+        save_asr_checkpoint(str(tmp_path / "out"), cfg, qparams)

@@ -181,3 +181,16 @@ def test_bucket_budget_matches_rounded_coverage(engine):
                                    frames * 160)  # covers the clip
         if dur <= 30.0:
             assert int(dur * 100) <= frames
+
+
+def test_transcribe_batch_rejects_oversize_clips(engine):
+    """transcribe_batch must refuse clips past MAX_SEGMENT_S rather than
+    silently truncating to the largest bucket while reporting an end_time
+    that claims full coverage (transcribe() handles long audio by
+    silence-boundary segmentation)."""
+    import pytest as _pytest
+
+    from qwen3_asr_tpu.runtime.engine import MAX_SEGMENT_S
+    long_audio = np.zeros(int((MAX_SEGMENT_S + 2) * 16000), np.float32)
+    with _pytest.raises(ValueError, match="MAX_SEGMENT_S"):
+        engine.transcribe_batch([(long_audio, 16000)], language="en")
