@@ -74,7 +74,12 @@ class Bandpass:
 
 
 def num_frames(n_samples: int, hop: int = HOP_LENGTH) -> int:
-    """Whisper-style frame count: centered STFT, last frame dropped."""
+    """Whisper-style TOTAL frame count of an exact-length clip: centered
+    STFT, last frame dropped (480000 samples → 3000 frames, matching HF).
+
+    NOT the valid-frame count of a clip inside a LONGER padded buffer —
+    that is ceil(n_valid/hop), returned by `_log_mel_impl` as
+    `valid_frames` (the two differ for non-hop-aligned lengths)."""
     return n_samples // hop
 
 
@@ -107,9 +112,14 @@ def _log_mel_impl(audio: jax.Array, n_valid: jax.Array, window: jax.Array,
 
     valid_frames = jnp.minimum((n_valid + HOP_LENGTH - 1) // HOP_LENGTH, t)
     frame_mask = jnp.arange(t)[:, None] < valid_frames     # [T, 1]
-    # Max over valid frames only (padding is exact silence ⇒ -10, never the max
-    # for real audio, but masking makes bucket padding bit-exact).
-    masked = jnp.where(frame_mask, log_spec, -1e30)
+    # The clamp max counts every frame whose window overlaps a real sample
+    # (frame k reads [k·hop − n_fft/2, k·hop + n_fft/2)): up to one frame
+    # past valid_frames still holds real clip-tail energy, and Whisper's
+    # reference computes its max over ALL frames of the padded clip —
+    # beyond that the windows see pure zeros (-10), never the max.
+    max_frames = jnp.minimum((n_valid + pad + HOP_LENGTH - 1) // HOP_LENGTH,
+                             t)
+    masked = jnp.where(jnp.arange(t)[:, None] < max_frames, log_spec, -1e30)
     global_max = jnp.max(masked)
     log_spec = jnp.maximum(log_spec, global_max - 8.0)
     log_spec = (log_spec + 4.0) / 4.0

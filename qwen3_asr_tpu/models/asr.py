@@ -153,11 +153,27 @@ class PromptTemplate:
                 audio_token=self.audio_token, audio_bos_token=self.audio_bos,
                 audio_eos_token=self.audio_eos)
             if text.count(self.audio_token) != 1:
+                self._warn_template_fallback(
+                    f"rendered {text.count(self.audio_token)} audio "
+                    "placeholders (need exactly 1)")
                 return None
             prefix, suffix = text.split(self.audio_token)
             return prefix, suffix
-        except Exception:
+        except Exception as e:
+            # Falling back silently would mask a real fidelity problem: the
+            # builtin prompt format is an approximation the checkpoint may
+            # not have been trained with.
+            self._warn_template_fallback(f"render failed: {e!r}")
             return None
+
+    def _warn_template_fallback(self, reason: str) -> None:
+        if getattr(self, "_template_warned", False):
+            return
+        self._template_warned = True
+        from ..utils.logging import log
+        log.warning("checkpoint chat template unusable ({}); using the "
+                    "builtin prompt format — transcripts may differ from "
+                    "the upstream SDK's", reason)
 
     def _suffix_is_static(self) -> bool:
         """The engine bakes suffix ids into each fused executable at load, so
@@ -228,19 +244,8 @@ class AsrModel:
         suffix = self.tokenizer.encode(suffix_t)
         return prefix, suffix, n_audio_tokens
 
-    def build_inputs_embeds(self, prefix_ids: List[int], suffix_ids: List[int],
-                            audio_embeds: jax.Array) -> jax.Array:
-        """audio_embeds: [B, n_audio, H] → [B, T_prompt, H]."""
-        b = audio_embeds.shape[0]
-        dec = self.cfg.decoder
-        pre = embed_tokens(self.params["decoder"], dec,
-                           jnp.asarray(prefix_ids)[None, :])
-        suf = embed_tokens(self.params["decoder"], dec,
-                           jnp.asarray(suffix_ids)[None, :])
-        pre = jnp.broadcast_to(pre, (b, pre.shape[1], pre.shape[2]))
-        suf = jnp.broadcast_to(suf, (b, suf.shape[1], suf.shape[2]))
-        return jnp.concatenate(
-            [pre, audio_embeds.astype(pre.dtype), suf], axis=1)
+    # Prompt-embed assembly lives in ONE place — engine._prompt_builder
+    # (traceable, takes params as an argument for sharded/donated trees).
 
     # -- encoder ----------------------------------------------------------------
     def encode_audio(self, mel: jax.Array, feature_lens: jax.Array):

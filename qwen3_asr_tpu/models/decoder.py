@@ -322,9 +322,10 @@ def decoder_forward(params: dict, cfg: DecoderConfig,
                     attn_spec: AttnSpec) -> Tuple[jax.Array, KVCache]:
     """Run all layers. inputs_embeds: [B,T,H]; positions: [B,T];
     cache: KVCache [L,B,n_kv,S,D]; write_pos: scalar int32 (segment offset
-    in cache) or int32 [B] (per-row offsets — continuous-batching decode
-    steps, T must be 1); attn_spec: structured mask descriptor
-    (ops.attention.AttnSpec).
+    in cache) or int32 [B] (per-row offsets: continuous-batching decode
+    steps at T=1, AND batched speculative verify windows at T=γ — the
+    per-row scatter in _layer._write handles both); attn_spec: structured
+    mask descriptor (ops.attention.AttnSpec).
 
     Returns (final_hidden [B,T,H], updated cache). The cache travels through
     the layer scan as CARRY state (not xs/ys) so updates stay in-place.

@@ -60,6 +60,42 @@ class AttnSpec(NamedTuple):
         return mask
 
 
+def _resolve_backend(backend: str, *, is_decode_step: bool, on_tpu: bool,
+                     has_scales: bool, s_len: int, head_dim: int,
+                     t: int) -> str:
+    """Backend decision, pure so the dispatch invariants are unit-testable
+    (tests/test_decode_attention.py::test_backend_resolution)."""
+    if backend in ("decode", "decode_interpret") and not is_decode_step:
+        # The decode-kernel opt-in only covers decode STEPS; prefill and
+        # encoder attention keep the auto (flash/XLA) dispatch — otherwise
+        # setting it would silently downgrade every other attention to a
+        # dense-mask XLA path.
+        backend = "auto"
+    if backend in ("decode", "flash") and not on_tpu:
+        # Non-interpret Pallas kernels only lower on TPU — an explicit
+        # opt-in on a CPU host falls back rather than crashing pallas_call
+        # (mirrors models/decoder._decode_kernel_choice).
+        backend = "auto"
+    if backend != "auto":
+        return backend
+    # A/B on v5e: for short caches (≤~512) XLA's fused einsum beats the
+    # manual-DMA decode kernel (82× vs 61× RT at S=508); the kernel's
+    # block skipping pays off once the padded cache is long. Sub-byte
+    # caches (scales present) must stay on XLA for decode STEPS: only the
+    # scores-side scale path avoids materializing the widened K/V in HBM —
+    # folding the scales for a Pallas decode kernel recreates the exact
+    # 3× HBM-traffic pathology the int4 design exists to avoid
+    # (attend_spec docstring). Prefill (t > 1) folds deliberately: once
+    # per request and MXU-bound.
+    if on_tpu and is_decode_step and s_len >= 2048 and not has_scales:
+        return "decode"
+    if on_tpu and head_dim >= 64 and t > 1:
+        # head_dim < 64 (tiny test models) hits Mosaic layout limits and
+        # is XLA-friendly anyway.
+        return "flash"
+    return "xla"
+
+
 def attend_spec(q: jax.Array, k: jax.Array, v: jax.Array, spec: AttnSpec,
                 *, scale: Optional[float] = None,
                 backend: Optional[str] = None,
@@ -77,25 +113,11 @@ def attend_spec(q: jax.Array, k: jax.Array, v: jax.Array, spec: AttnSpec,
     backend = backend or os.getenv("ASR_ATTN_BACKEND", "auto")
     is_decode_step = (q.shape[-2] == 1 and not spec.causal
                       and spec.window_block == 0)
-    if backend in ("decode", "decode_interpret") and not is_decode_step:
-        # The decode-kernel opt-in only covers decode STEPS; prefill and
-        # encoder attention keep the auto (flash/XLA) dispatch — otherwise
-        # setting it would silently downgrade every other attention to a
-        # dense-mask XLA path.
-        backend = "auto"
-    if backend == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        # A/B on v5e: for short caches (≤~512) XLA's fused einsum beats the
-        # manual-DMA decode kernel (82× vs 61× RT at S=508); the kernel's
-        # block skipping pays off once the padded cache is long.
-        if on_tpu and is_decode_step and k.shape[-2] >= 2048:
-            backend = "decode"
-        elif on_tpu and q.shape[-1] >= 64 and q.shape[-2] > 1:
-            # head_dim < 64 (tiny test models) hits Mosaic layout limits and
-            # is XLA-friendly anyway.
-            backend = "flash"
-        else:
-            backend = "xla"
+    backend = _resolve_backend(
+        backend, is_decode_step=is_decode_step,
+        on_tpu=jax.default_backend() == "tpu",
+        has_scales=k_scale is not None or v_scale is not None,
+        s_len=k.shape[-2], head_dim=q.shape[-1], t=q.shape[-2])
     if backend != "xla" and (k_scale is not None or v_scale is not None):
         # Pallas backends take plain K/V: fold the scales in. Only prefill
         # (MXU-bound, once per request) and the opt-in decode kernels land

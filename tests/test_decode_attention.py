@@ -171,3 +171,34 @@ def test_decode_bf16():
     np.testing.assert_allclose(np.asarray(ours, np.float32),
                                np.asarray(ref, np.float32),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_backend_resolution():
+    """Dispatch invariants (regression: the careful scores-side-scales
+    gating in models/decoder was not binding — attend_spec's own auto
+    branch re-selected the Pallas decode kernel at S>=2048 and FOLDED the
+    int4 scales into K/V, materializing the widened cache in HBM)."""
+    from qwen3_asr_tpu.ops.attention import _resolve_backend
+
+    def r(backend="auto", **kw):
+        base = dict(is_decode_step=True, on_tpu=True, has_scales=False,
+                    s_len=4096, head_dim=128, t=1)
+        base.update(kw)
+        return _resolve_backend(backend, **base)
+
+    # long-cache decode step on TPU: the decode kernel — UNLESS the cache
+    # carries sub-byte dequant scales, which must ride the XLA scores side
+    assert r() == "decode"
+    assert r(has_scales=True) == "xla"
+    # prefill folds scales deliberately (once per request, MXU-bound)
+    assert r(is_decode_step=False, t=256, has_scales=True) == "flash"
+    # explicit Pallas opt-ins decline on non-TPU hosts instead of crashing
+    assert r(backend="decode", on_tpu=False) == "xla"
+    assert r(backend="flash", on_tpu=False, is_decode_step=False,
+             t=256) == "xla"
+    # interpret-mode opt-ins are honored anywhere (CPU tests rely on it)
+    assert r(backend="flash_interpret", on_tpu=False) == "flash_interpret"
+    # short caches stay on the fused XLA einsum (measured faster)
+    assert r(s_len=512) == "xla"
+    # the decode opt-in never downgrades prefill/encoder attention
+    assert r(backend="decode", is_decode_step=False, t=256) == "flash"
