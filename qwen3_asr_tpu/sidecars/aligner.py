@@ -8,11 +8,13 @@ objective — proj2 maps into text-embedding space), the target text is
 embedded with the decoder's token table, and a forced-alignment Viterbi
 partition over cosine similarity assigns each text token an exclusive span
 of acoustic frames (silence edges trimmed). Frame rate is 12.5 tokens/s
-(80 ms), but word edges are refined BELOW the frame grid from the edge
-frames' partial-occupancy similarity (_fractional_edges): a clean signal
-recovers known word boundaries exactly (measured 0 ms mean), and heavy
-per-frame noise (σ = 25% of peak) stays ≤48 ms worst-case mean — past the
-reference ForcedAligner's claimed ~33 ms (README.md:18; measured in
+(80 ms), but word edges are refined BELOW the frame grid by a joint
+least-squares fit of the partial-occupancy model around each boundary
+(_fit_boundary/_fractional_edges): a clean signal recovers known word
+boundaries exactly (measured 0 ms mean/max), moderate per-frame noise
+(σ = 15% of peak) stays ≤30 ms worst-case mean — inside the reference
+ForcedAligner's claimed ~33 ms (README.md:18) — and adversarial noise
+(σ = 25% of peak) stays ≤38 ms (measured over 30 seeds in
 tests/test_aligner.py::test_alignment_accuracy_*).
 
 FORCED_ALIGNER_ID may point at any ASR-format checkpoint directory
@@ -189,6 +191,35 @@ def _token_spans(sim: np.ndarray, trim_frac: float = 0.3) -> np.ndarray:
     return spans
 
 
+_B_GRID = 1.0 / 64  # boundary search resolution, frames (1.25 ms at 80 ms)
+
+
+def _fit_boundary(measurements, b_lo: float, b_hi: float) -> float:
+    """Least-squares sub-frame boundary position.
+
+    ``measurements`` is a list of (value, plateau, side, frame): observed
+    similarity of one token in one frame, the token's full-occupancy
+    plateau, and which side of the boundary the token lies on ('left' =
+    token covers time before the boundary). The occupancy model is
+    value ≈ plateau · coverage(frame; b) with coverage = clip(b - frame)
+    for left tokens and clip(frame + 1 - b) for right tokens — exactly the
+    partial-occupancy signature described in _fractional_edges. Grid-search
+    b over [b_lo, b_hi] minimizing the summed squared residual across ALL
+    measurements: every frame the boundary could touch, from both adjacent
+    tokens, constrains the same scalar, which is what makes this robust to
+    per-frame noise where a single edge-frame ratio is not."""
+    bs = np.arange(b_lo, b_hi + 1e-9, _B_GRID, dtype=np.float32)
+    sse = np.zeros_like(bs)
+    for value, plateau, side, frame in measurements:
+        if side == "left":
+            cov = np.clip(bs - frame, 0.0, 1.0)
+        else:
+            cov = np.clip(frame + 1.0 - bs, 0.0, 1.0)
+        r = value - plateau * cov
+        sse += r * r
+    return float(bs[int(np.argmin(sse))])
+
+
 def _fractional_edges(sim: np.ndarray, spans: np.ndarray) -> np.ndarray:
     """Sub-frame token edges from partial-occupancy similarity.
 
@@ -196,48 +227,78 @@ def _fractional_edges(sim: np.ndarray, spans: np.ndarray) -> np.ndarray:
     claims ~33 ms, README.md:18): a token boundary falling INSIDE a frame
     leaves a partial-occupancy signature — that frame's similarity to the
     token is proportional to how much of the frame the token actually
-    covers. Each span edge is therefore refined by the edge frame's
-    similarity relative to the span plateau: a start frame at fraction f of
-    the plateau means the token begins (1-f) of the way into it; a
-    full-strength edge whose OUTSIDE neighbor carries residual fraction f
-    (the trim step removes mostly-empty edge frames) extends f into that
-    neighbor. Silence neighbors carry ~0 similarity, so edges at real
-    silence stay on the frame grid. Returns float [n_tok, 2] in frame
-    units, end exclusive."""
+    covers, and frames wholly inside/outside the token sit at the plateau
+    / at zero. Each boundary is recovered by a joint least-squares fit of
+    that occupancy model (_fit_boundary) over a ±1-frame window: a
+    boundary SHARED by adjacent tokens is fit once from BOTH tokens'
+    rows (the left token's similarity falls as the right token's rises —
+    up to ~8 noisy measurements constrain one scalar), while an edge at
+    real silence is fit from the one row against a zero-outside model.
+    Clean signals recover boundaries exactly; the fit window lets a
+    Viterbi/trim placement that is off by a whole frame be pulled back.
+    Returns float [n_tok, 2] in frame units, end exclusive."""
     n_tok, n_frames = sim.shape
-    edges = np.zeros((n_tok, 2), np.float32)
+    plateaus = np.zeros(n_tok, np.float32)
     for i, (lo, hi) in enumerate(spans):
-        lo, hi = int(lo), int(hi)
-        row = sim[i]
         # Plateau = typical full-occupancy strength. Median of the interior
         # (edge frames excluded — they're the partial ones being measured)
         # resists per-frame noise; short spans fall back to the max.
-        interior = row[lo + 1:hi]
-        plateau = (float(np.median(interior)) if len(interior) >= 2
-                   else float(row[lo:hi + 1].max()))
-        start, end = float(lo), float(hi + 1)
-        if plateau > 1e-6:
-            f_in = min(max(float(row[lo]) / plateau, 0.0), 1.0)
-            if f_in < 1.0 - 1e-3:
-                start = lo + (1.0 - f_in)
-            elif lo > 0:
-                f_out = min(max(float(row[lo - 1]) / plateau, 0.0), 1.0)
-                start = lo - f_out
-            f_in = min(max(float(row[hi]) / plateau, 0.0), 1.0)
-            if f_in < 1.0 - 1e-3:
-                end = hi + f_in
-            elif hi + 1 < n_frames:
-                f_out = min(max(float(row[hi + 1]) / plateau, 0.0), 1.0)
-                end = hi + 1 + f_out
-        edges[i] = (start, max(start + 1e-3, end))
-    # A boundary shared by adjacent tokens is measured twice (previous
-    # token's end, next token's start) with independent noise — averaging
-    # the two estimates halves the variance. Distant edges (real silence
-    # gaps) stay independent.
-    for i in range(1, n_tok):
-        if abs(edges[i, 0] - edges[i - 1, 1]) <= 1.0:
-            mid = 0.5 * (edges[i, 0] + edges[i - 1, 1])
-            edges[i - 1, 1] = edges[i, 0] = mid
+        # (Measured alternatives: occupancy-weighted LS over the span is
+        # badly biased by the edge-coverage guess; re-estimating from the
+        # fitted edges, EM-style, destabilizes the tail.)
+        interior = sim[i, lo + 1:hi]
+        plateaus[i] = (float(np.median(interior)) if interior.size >= 2
+                       else float(sim[i, lo:hi + 1].max()))
+
+    edges = np.asarray(spans, np.float32).copy()
+    edges[:, 1] += 1.0  # grid default: [lo, hi+1)
+
+    def _single(i: int, side: str, b_lo: float, b_hi: float) -> float:
+        """One token's edge against silence: fit its own row, zero model
+        outside the token (silence frames carry ~0 similarity)."""
+        w_lo = max(0, int(np.floor(b_lo)) - 1)
+        w_hi = min(n_frames - 1, int(np.ceil(b_hi)))
+        meas = [(float(sim[i, j]), plateaus[i], side, float(j))
+                for j in range(w_lo, w_hi + 1)]
+        return _fit_boundary(meas, b_lo, b_hi)
+
+    # A trim-induced hole of ≤ GAP_JOINT frames between spans is treated as
+    # a shared boundary (the joint fit recovers where in the hole it falls);
+    # larger holes are real silence and each side fits independently.
+    GAP_JOINT, WIDE = 1, 2.0
+    for i in range(n_tok):
+        lo, hi = int(spans[i, 0]), int(spans[i, 1])
+        if plateaus[i] <= 1e-6:
+            continue
+        prev_gap = lo - int(spans[i - 1, 1]) - 1 if i > 0 else n_frames
+        next_gap = int(spans[i + 1, 0]) - hi - 1 if i + 1 < n_tok else n_frames
+        # -- start edge (silence side only; shared edges are set by the
+        # previous token's end fit) ---------------------------------------
+        if prev_gap > GAP_JOINT:
+            # Utterance start or silence gap: the boundary may sit up to
+            # WIDE frames before the span (trim removed mostly-empty
+            # frames) or inside its first frame.
+            floor = float(int(spans[i - 1, 1]) + 1) if i > 0 else 0.0
+            edges[i, 0] = _single(i, "right", max(floor, lo - WIDE), lo + 1.0)
+        # -- end edge ------------------------------------------------------
+        if next_gap <= GAP_JOINT and plateaus[i + 1] > 1e-6:
+            # Shared boundary: joint fit over both tokens' rows, searched
+            # across both edge frames and the trim hole between them.
+            nlo, nhi = int(spans[i + 1, 0]), int(spans[i + 1, 1])
+            b_lo, b_hi = max(float(lo), hi - 1.0), min(float(nhi + 1),
+                                                       nlo + 2.0)
+            meas = []
+            for j in range(max(lo, int(b_lo)), min(nhi, int(np.ceil(b_hi))) + 1):
+                meas.append((float(sim[i, j]), plateaus[i], "left", float(j)))
+                meas.append((float(sim[i + 1, j]), plateaus[i + 1],
+                             "right", float(j)))
+            b = _fit_boundary(meas, b_lo, b_hi)
+            edges[i, 1] = edges[i + 1, 0] = b
+        elif next_gap > GAP_JOINT:
+            ceil = float(spans[i + 1, 0]) if i + 1 < n_tok else float(n_frames)
+            edges[i, 1] = _single(i, "left", float(hi),
+                                  min(ceil, hi + 1.0 + WIDE))
+        edges[i, 1] = max(edges[i, 1], edges[i, 0] + 1e-3)
     return edges
 
 

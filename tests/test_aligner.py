@@ -160,24 +160,39 @@ def test_alignment_accuracy_ground_truth_on_grid():
     assert errs.max() <= frame_s + 1e-6, f"max {errs.max()*1e3:.0f}ms"
 
 
-def test_alignment_accuracy_noisy_similarity():
-    """Ground truth with heavy per-frame noise (σ = 25% of peak): the
-    refinement + shared-boundary averaging keeps worst mean boundary
-    error ≤ 48 ms — roughly half the 80 ms grid-era bound. Measured
-    2026-08 over these seeds: means 22–45 ms."""
+def _worst_mean_under_noise(noise: float, seeds: int) -> float:
     from qwen3_asr_tpu.sidecars.aligner import _spans_to_words, _token_spans
     boundaries = [("alpha", 0.05, 0.52, 2), ("beta", 0.52, 1.11, 2),
                   ("gamma", 1.30, 1.88, 3), ("delta", 1.88, 2.50, 2)]
     worst_mean = 0.0
-    for seed in range(5):
+    for seed in range(seeds):
         words, word_ids, sim, frame_s, duration = _ground_truth_case(
-            boundaries, peak=4.0, noise=1.0, seed=seed)
+            boundaries, peak=4.0, noise=noise, seed=seed)
         spans = _token_spans(sim)
         aligned = _spans_to_words(words, word_ids, spans, frame_s, duration,
                                   sim=sim)
         errs = _boundary_errors(aligned, boundaries)
         worst_mean = max(worst_mean, float(errs.mean()))
-    assert worst_mean <= 0.048 + 1e-6, f"worst mean {worst_mean*1e3:.0f}ms"
+    return worst_mean
+
+
+def test_alignment_accuracy_moderate_noise_beats_reference_claim():
+    """Moderate per-frame noise (σ = 15% of peak), 30 seeds: the joint
+    boundary fit keeps worst mean error ≤ 33 ms — the reference
+    ForcedAligner's claimed word accuracy (README.md:18). Measured
+    2026-08: worst 29.6 ms, average 12.1 ms."""
+    worst_mean = _worst_mean_under_noise(noise=0.6, seeds=30)
+    assert worst_mean <= 0.033 + 1e-6, f"worst mean {worst_mean*1e3:.1f}ms"
+
+
+def test_alignment_accuracy_noisy_similarity():
+    """Adversarial per-frame noise (σ = 25% of peak), 30 seeds: the joint
+    least-squares boundary fit (both adjacent tokens' rows constrain one
+    scalar; trim holes ≤1 frame rejoined) keeps worst mean boundary error
+    ≤ 38 ms — was ≤48 ms with the single-edge-frame ratio, half the 80 ms
+    grid-era bound. Measured 2026-08: worst 38.0 ms, average 21.9 ms."""
+    worst_mean = _worst_mean_under_noise(noise=1.0, seeds=30)
+    assert worst_mean <= 0.038 + 1e-6, f"worst mean {worst_mean*1e3:.1f}ms"
 
 
 def test_engine_timestamps_use_aligner_when_loaded(monkeypatch):
