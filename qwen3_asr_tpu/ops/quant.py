@@ -108,6 +108,24 @@ def dequantize(w: dict, dtype=jnp.bfloat16) -> jax.Array:
     return (w["q"].astype(jnp.float32) * w["s"].astype(jnp.float32)).astype(dtype)
 
 
+def _int8_act_min_tokens() -> int:
+    """Row threshold for dynamic int8 activation quantization (W8A8).
+
+    0 (default) disables. When ``ASR_INT8_ACT=true``, matmuls whose
+    STATIC token count (product of x's leading dims) is at least this
+    many rows quantize activations per-row and run the MXU in
+    int8×int8→int32 — measured 1.9× over the dequant-in-matmul form on a
+    scanned layer stack (v5e, 2026-08-18; /tmp probe recorded in
+    CHANGELOG). Decode steps (rows == batch ≤ ~128) stay on the dequant
+    path: they are HBM-bound, and the per-row quantize is pure VPU
+    overhead there. The threshold is a trace-time Python branch — no
+    device-side dynamism."""
+    import os
+    if os.getenv("ASR_INT8_ACT", "").lower() != "true":
+        return 0
+    return int(os.getenv("ASR_INT8_ACT_MIN_TOKENS", "1024"))
+
+
 def qdot(x: jax.Array, w: Union[jax.Array, dict]) -> jax.Array:
     """x @ w for plain or quantized weights.
 
@@ -116,9 +134,29 @@ def qdot(x: jax.Array, w: Union[jax.Array, dict]) -> jax.Array:
     scales on the small output tile. int4: group-wise scales along the
     contraction don't commute; the dot decomposes into G partial dots
     (one reshape, XLA batches them on the MXU) summed with scales.
+    With ASR_INT8_ACT=true, large (prefill/encoder-sized) int8 matmuls
+    additionally quantize the ACTIVATIONS per-row — W8A8, the reference's
+    bitsandbytes int8 compute mode (src/server.py:311-318) — so the MXU
+    runs at its int8 rate; see _int8_act_min_tokens.
     """
     if not is_quantized(w):
         return x @ w
+    min_rows = _int8_act_min_tokens()
+    if (min_rows and w["q"].dtype == jnp.int8 and w["q"].ndim == 2
+            and jnp.issubdtype(x.dtype, jnp.floating)):
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= int(d)
+        if rows >= min_rows:
+            xf = x.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+            xs = jnp.maximum(amax / 127.0, 1e-10)
+            xi = jnp.clip(jnp.round(xf / xs), -128, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xi, w["q"], (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            out = acc.astype(jnp.float32) * xs * w["s"].astype(jnp.float32)
+            return out.astype(x.dtype)
     if is_packed_int4(w):
         wq = unpack_int4(w["q"], axis=-2)                   # [K, N] int8
         s = w["s"]                                          # [G, N]

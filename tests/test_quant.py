@@ -295,3 +295,51 @@ def test_int4_untied_lm_head():
     logits = lm_logits(q, cfg, h)
     ref = h @ dequantize(q["lm_head"], jnp.float32)
     assert float(jnp.max(jnp.abs(logits - ref))) < 1e-3
+
+
+def test_w8a8_matches_float_matmul(monkeypatch):
+    """ASR_INT8_ACT routes big int8 matmuls through int8×int8→int32 with
+    per-row dynamic activation scales; error stays within the combined
+    weight+activation quantization step."""
+    monkeypatch.setenv("ASR_INT8_ACT", "true")
+    monkeypatch.setenv("ASR_INT8_ACT_MIN_TOKENS", "8")
+    w = jax.random.normal(jax.random.PRNGKey(3), (64, 96)) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(4), (16, 64))
+    q = quantize_array(w, "int8")
+    got = np.asarray(qdot(x, q))
+    ref = np.asarray(x @ w)
+    # per-row act step × sqrt(K) accumulation + weight step contribution
+    denom = np.abs(ref).max()
+    assert np.abs(got - ref).max() / denom < 0.02
+    # 3-D activations (B, T, K) hit the same path
+    x3 = x.reshape(2, 8, 64)
+    got3 = np.asarray(qdot(x3, q))
+    assert np.allclose(got3.reshape(16, 96), got, atol=1e-6)
+
+
+def test_w8a8_threshold_keeps_decode_on_dequant_path(monkeypatch):
+    """Below ASR_INT8_ACT_MIN_TOKENS rows the dequant-in-matmul form is
+    used — bitwise-identical to the flag being off (decode steps must not
+    pay the per-row quantize)."""
+    w = jax.random.normal(jax.random.PRNGKey(5), (64, 96)) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(6), (4, 64))  # 4 rows
+    q = quantize_array(w, "int8")
+    monkeypatch.delenv("ASR_INT8_ACT", raising=False)
+    off = np.asarray(qdot(x, q))
+    monkeypatch.setenv("ASR_INT8_ACT", "true")
+    monkeypatch.setenv("ASR_INT8_ACT_MIN_TOKENS", "1024")
+    gated = np.asarray(qdot(x, q))
+    assert np.array_equal(off, gated)
+
+
+def test_w8a8_ignores_fp8_and_int4_weights(monkeypatch):
+    """W8A8 applies to int8 weights only; fp8/int4 keep their own paths."""
+    monkeypatch.setenv("ASR_INT8_ACT", "true")
+    monkeypatch.setenv("ASR_INT8_ACT_MIN_TOKENS", "1")
+    w = jax.random.normal(jax.random.PRNGKey(7), (64, 96)) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(8), (16, 64))
+    for mode in ("fp8", "int4"):
+        q = quantize_array(w, mode)
+        got = np.asarray(qdot(x, q))
+        ref = np.asarray(x @ dequantize(q, jnp.float32))
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 0.02
