@@ -42,6 +42,7 @@ DURATION_SLAS = {
     "test_idle_unload_and_lazy_reload": 180,
     "test_realtime_streaming_accuracy": 90,
     "test_accuracy_wer_gate": 300,
+    "test_accuracy_auto_language_detect": 120,
     "test_subtitles_accurate_real_speech": 120,
 }
 

@@ -482,6 +482,61 @@ def test_realtime_streaming_accuracy(ensure_server, clip, metric, gate):
         assert result["chunk_latency_ms_p50"] < 30_000
 
 
+def test_accuracy_auto_language_detect(ensure_server):
+    """Auto-detect tier: transcribe real clips WITHOUT a language param —
+    the prompt carries no language line (reference SDK behavior when
+    `language` is omitted) — and gate both the text and the detected
+    language code. Needs a checkpoint trained with auto-prompt rows
+    (tools/overfit.py writes `auto_prompt_rows` into its manifest; real
+    Qwen3-ASR weights qualify by construction)."""
+    import pathlib
+    data_dir = _accuracy_data_dir()
+    if not data_dir:
+        pytest.skip("no accuracy fixtures")
+    health = _server_health()
+    first = _accuracy_first_wav(data_dir)
+    if not health.get("model_loaded"):
+        if first is None:
+            pytest.skip(f"no wav files under {data_dir}")
+        _post_multipart(BASE_URL + "/v1/audio/transcriptions", first,
+                        {"language": "en"})
+        health = _server_health()
+    _skip_unless_real_text(health)
+    model_id = health.get("model_id") or ""
+    manifest = os.path.join(model_id, "overfit_manifest.json")
+    if os.path.exists(manifest) and not json.load(
+            open(manifest)).get("auto_prompt_rows"):
+        pytest.skip("trained checkpoint predates auto-prompt rows — "
+                    "retrain with tools/overfit.py")
+
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    from qwen3_asr_tpu.utils.metrics import cer, wer
+
+    checked, failures = 0, []
+    for name, lang, metric_fn, gate in [("english_01", "en", wer, 0.15),
+                                        ("chinese_01", "zh", cer, 0.20)]:
+        wav = pathlib.Path(data_dir) / f"{name}.wav"
+        txt = wav.with_suffix(".txt")
+        if not wav.exists() or not txt.exists():
+            continue
+        status, body, _ = _post_multipart(
+            BASE_URL + "/v1/audio/transcriptions", str(wav), {})
+        assert status == 200, body
+        payload = json.loads(body)
+        m = metric_fn(txt.read_text().strip(), payload["text"])
+        if m > gate:
+            failures.append(f"{name}: {m:.1%} > {gate:.0%} "
+                            f"(got: {payload['text']!r})")
+        if payload.get("language") != lang:
+            failures.append(f"{name}: detected language "
+                            f"{payload.get('language')!r} != {lang!r}")
+        checked += 1
+    if not checked:
+        pytest.skip("auto-detect fixtures not present")
+    assert not failures, "\n".join(failures)
+
+
 def test_subtitles_accurate_real_speech(ensure_server):
     """Aligner-backed (accurate-mode) SRT on real speech: the trained
     checkpoint doubles as the forced aligner (encoder-similarity

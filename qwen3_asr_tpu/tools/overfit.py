@@ -209,6 +209,12 @@ def main():
         with open(wav, "rb") as f:
             audio, sr = decode_audio(f.read())
         add_item(wav, text, lang, int(len(audio) * 16000 / sr))
+        # Auto-detect row: the same clip under the NO-language prompt
+        # (language omitted → the prompt carries no "Language:" line), so
+        # the auto-detect serving path is in-distribution too — without
+        # it the tiny model collapses to one memorized transcript whenever
+        # the language hint is absent.
+        add_item(wav, text, None, int(len(audio) * 16000 / sr))
 
         if sr != 16000:
             from ..audio.resample import resample
@@ -297,7 +303,9 @@ def main():
             "purpose": "e2e real-text checkpoint (memorizes the listed "
                        "clips; NOT a general ASR model)",
             "data_dir": os.path.abspath(args.data_dir),
-            "clips": [os.path.basename(i["wav"]) for i, _, _, _ in items],
+            "clips": sorted({os.path.basename(i["wav"])
+                             for i, _, _, _ in items}),
+            "auto_prompt_rows": True,  # no-language prompts trained too
             "exact": final_ok, "total_strict": n_strict,
             "total": len(items),
             "worst_cer": round(final_worst[1], 4),
