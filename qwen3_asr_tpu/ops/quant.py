@@ -119,7 +119,12 @@ def _int8_act_min_tokens() -> int:
     CHANGELOG). Decode steps (rows == batch ≤ ~128) stay on the dequant
     path: they are HBM-bound, and the per-row quantize is pure VPU
     overhead there. The threshold is a trace-time Python branch — no
-    device-side dynamism."""
+    device-side dynamism. Note the numerics become (static) shape-
+    dependent under this flag: paths that batch the same request
+    differently (fused batch vs decode-pool admission) may round
+    differently, exactly as the reference's bitsandbytes int8 differs
+    from its bf16 — the accuracy gates, not bitwise path-identity, are
+    the contract when it is on."""
     import os
     if os.getenv("ASR_INT8_ACT", "").lower() != "true":
         return 0
