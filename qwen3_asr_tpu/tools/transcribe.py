@@ -58,12 +58,25 @@ def _parse_args(argv):
     return p.parse_args(argv)
 
 
-def _out_path(audio_path: str, ext: str, output_dir):
-    base = os.path.splitext(os.path.basename(audio_path))[0] + ext
-    if output_dir:
-        os.makedirs(output_dir, exist_ok=True)
-        return os.path.join(output_dir, base)
-    return os.path.join(os.path.dirname(audio_path) or ".", base)
+def _out_paths(audio_paths, ext: str, output_dir):
+    """Artifact path per input. Inside --output-dir, same-named inputs from
+    different directories get disambiguated stems (clip.txt, clip_2.txt, ...)
+    instead of silently overwriting each other."""
+    out, used = {}, set()
+    for path in audio_paths:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        if output_dir:
+            candidate, n = stem, 1
+            while candidate in used:
+                n += 1
+                candidate = f"{stem}_{n}"
+            used.add(candidate)
+            os.makedirs(output_dir, exist_ok=True)
+            out[path] = os.path.join(output_dir, candidate + ext)
+        else:
+            out[path] = os.path.join(
+                os.path.dirname(path) or ".", stem + ext)
+    return out
 
 
 def main(argv=None) -> int:
@@ -79,15 +92,25 @@ def main(argv=None) -> int:
     from ..audio.codec import AudioDecodeError, decode_audio
     from ..runtime.engine import MAX_SEGMENT_S, TARGET_SR
     from ..runtime.lifecycle import _load_engine_sync
+    from ..serving.server import merge_results
     from ..text.repetition import detect_and_fix_repetitions
+
+    # Fail fast on a missing aligner checkpoint BEFORE the (slow) engine
+    # load — the server degrades gracefully mid-request; a CLI should just
+    # exit with a clean message.
+    if args.srt and args.srt_mode == "accurate":
+        from ..sidecars.subtitle import FORCED_ALIGNER_ID, load_aligner
+        try:
+            load_aligner()
+        except (OSError, ValueError) as e:
+            print(f"error: --srt-mode accurate needs a loadable aligner "
+                  f"checkpoint (FORCED_ALIGNER_ID={FORCED_ALIGNER_ID}): {e}",
+                  file=sys.stderr)
+            return 2
 
     t0 = time.time()
     engine = _load_engine_sync(args.model)
     load_s = time.time() - t0
-
-    if args.srt and args.srt_mode == "accurate":
-        from ..sidecars.subtitle import load_aligner
-        load_aligner()
 
     # Decode everything up front so batchable clips are known before the
     # first dispatch. Failures are reported per file, not fatal.
@@ -100,18 +123,23 @@ def main(argv=None) -> int:
             failures[path] = str(e)
 
     from ..runtime.engine import _prep_audio
+    # Prep once here (resample/mono/float); the engine's own _prep_audio is
+    # a no-op on already-16 kHz mono arrays, so nothing is converted twice.
+    clips = {path: (_prep_audio(audio, sr), TARGET_SR)
+             for path, (audio, sr) in clips.items()}
     # Word timestamps aren't batchable (per-clip aligner pass), so
     # --timestamps routes every clip through the single-clip path.
     short, long_ = [], []
-    for path, (audio, sr) in clips.items():
-        n16 = len(_prep_audio(audio, sr))
-        batchable = n16 <= MAX_SEGMENT_S * TARGET_SR and not args.timestamps
+    for path, (audio, _) in clips.items():
+        batchable = (len(audio) <= MAX_SEGMENT_S * TARGET_SR
+                     and not args.timestamps)
         (short if batchable else long_).append(path)
 
     results = {}
     t1 = time.time()
-    for i in range(0, len(short), max(1, args.batch_size)):
-        batch = short[i:i + args.batch_size]
+    bs = max(1, args.batch_size)
+    for i in range(0, len(short), bs):
+        batch = short[i:i + bs]
         out = engine.transcribe_batch([clips[p] for p in batch],
                                       language=args.language)
         for path, res in zip(batch, out):
@@ -122,8 +150,10 @@ def main(argv=None) -> int:
                                           return_timestamps=args.timestamps)
     infer_s = time.time() - t1
 
-    audio_s = sum(len(_prep_audio(a, sr)) / TARGET_SR
-                  for a, sr in clips.values())
+    audio_s = sum(len(a) / TARGET_SR for a, _ in clips.values())
+    ok_files = [p for p in args.files if p not in failures]
+    srt_paths = _out_paths(ok_files, ".srt", args.output_dir)
+    txt_paths = _out_paths(ok_files, ".txt", args.output_dir)
     exit_code = 0
     for path in args.files:
         if path in failures:
@@ -133,28 +163,26 @@ def main(argv=None) -> int:
             exit_code = 1
             continue
         res = results[path]
-        text = detect_and_fix_repetitions(
-            " ".join(r.text for r in res if r.text).strip())
-        record = {"file": path, "text": text,
-                  "language": res[0].language if res else None}
+        # Clean each segment in place BEFORE any use, exactly like the
+        # server's SRT path (serving/server.py), so .srt and .txt agree.
+        for r in res:
+            r.text = detect_and_fix_repetitions(r.text)
+        text, language, stamps = merge_results(res)
+        record = {"file": path, "text": text, "language": language or None}
         if args.timestamps:
-            record["words"] = [w for r in res
-                               for w in (getattr(r, "timestamps", None)
-                                         or [])]
+            record["words"] = stamps or []
         if args.srt:
             from ..sidecars.subtitle import generate_srt_from_results
             audio, sr = clips[path]
             srt = generate_srt_from_results(res, audio, sr,
                                             mode=args.srt_mode)
-            srt_path = _out_path(path, ".srt", args.output_dir)
-            with open(srt_path, "w") as fh:
+            with open(srt_paths[path], "w") as fh:
                 fh.write(srt)
-            record["srt"] = srt_path
+            record["srt"] = srt_paths[path]
         if args.output_dir:
-            txt_path = _out_path(path, ".txt", args.output_dir)
-            with open(txt_path, "w") as fh:
+            with open(txt_paths[path], "w") as fh:
                 fh.write(text + "\n")
-            record["txt"] = txt_path
+            record["txt"] = txt_paths[path]
         print(json.dumps(record, ensure_ascii=False)
               if args.as_json else f"{path}\t{text}")
 
