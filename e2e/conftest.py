@@ -76,6 +76,73 @@ def ensure_server():
     return BASE_URL
 
 
+def _post_wav(path: str, timeout_s: float):
+    """Minimal multipart POST of a WAV to /v1/audio/transcriptions."""
+    import uuid
+    boundary = uuid.uuid4().hex
+    with open(path, "rb") as f:
+        data = f.read()
+    body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+            f'name="file"; filename="a.wav"\r\n'
+            f"Content-Type: audio/wav\r\n\r\n").encode() + data + \
+        f"\r\n--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        BASE_URL + "/v1/audio/transcriptions", data=body,
+        headers={"Content-Type":
+                 f"multipart/form-data; boundary={boundary}"})
+    with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+        return resp.status
+
+
+@pytest.fixture(scope="session")
+def ensure_model_loaded(ensure_server, audio_fixtures):
+    """Trigger real transcriptions and WAIT for them before any SLA-timed
+    test runs (reference conftest.py:760-782 `ensure_model_loaded`). The
+    first request pays lazy model load and — on a tunnel-attached TPU whose
+    persistent compile cache is cold (e.g. after a quantization-flag change
+    re-keys every executable) — a multi-minute remote bucket compile. Paying
+    that here, in session-fixture setup that the report hook never times,
+    keeps the per-test SLAs measuring steady-state serving. Primes every
+    audio-length bucket the suite touches plus one WS flush roundtrip."""
+    budget = float(os.getenv("ASR_E2E_LOAD_TIMEOUT_S", "900"))
+    deadline = time.time() + budget
+    last_err = None
+    # First clip retries until the model is up; the rest are bucket warmers.
+    for name in ("speech_2s", "short_5s", "medium_20s"):
+        while True:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                pytest.fail(f"model not ready after {budget:.0f}s "
+                            f"(ASR_E2E_LOAD_TIMEOUT_S): {last_err}")
+            try:
+                _post_wav(audio_fixtures[name], min(remaining, 600))
+                break
+            except Exception as e:  # noqa: BLE001 — retry anything transient
+                last_err = e
+                time.sleep(2)
+
+    async def _ws_prime():
+        import aiohttp
+        import numpy as np
+        pcm = (np.zeros(16000, dtype="<i2") + 100).tobytes()
+        async with aiohttp.ClientSession() as s:
+            async with s.ws_connect(WS_URL) as ws:
+                await ws.receive_json()
+                await ws.send_bytes(pcm)
+                await ws.send_json({"action": "flush"})
+                while True:
+                    msg = await ws.receive_json()
+                    if msg.get("is_final") or msg.get("error"):
+                        return
+    import asyncio
+    try:
+        asyncio.run(asyncio.wait_for(
+            _ws_prime(), max(10.0, deadline - time.time())))
+    except Exception as e:  # noqa: BLE001 — WS warmup is best-effort
+        last_err = e
+    return BASE_URL
+
+
 @pytest.fixture(scope="session")
 def audio_fixtures(tmp_path_factory):
     """Synthetic WAV fixtures (reference E2Etest/utils/audio.py families)."""

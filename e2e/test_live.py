@@ -45,7 +45,7 @@ def test_health(ensure_server):
     assert "model_loaded" in body
 
 
-def test_transcribe_short(ensure_server, audio_fixtures):
+def test_transcribe_short(ensure_model_loaded, audio_fixtures):
     status, body, headers = _post_multipart(
         BASE_URL + "/v1/audio/transcriptions", audio_fixtures["speech_2s"],
         {"language": "en"})
@@ -55,7 +55,7 @@ def test_transcribe_short(ensure_server, audio_fixtures):
     assert "X-Request-ID" in headers or "x-request-id" in headers
 
 
-def test_transcribe_medium(ensure_server, audio_fixtures):
+def test_transcribe_medium(ensure_model_loaded, audio_fixtures):
     status, body, _ = _post_multipart(
         BASE_URL + "/v1/audio/transcriptions", audio_fixtures["medium_20s"],
         {"language": "en"})
@@ -74,7 +74,7 @@ def test_error_garbage(ensure_server, tmp_path):
     assert data["statusCode"] == 422
 
 
-def test_sse_stream(ensure_server, audio_fixtures):
+def test_sse_stream(ensure_model_loaded, audio_fixtures):
     status, body, headers = _post_multipart(
         BASE_URL + "/v1/audio/transcriptions/stream",
         audio_fixtures["medium_20s"], {"language": "en"})
@@ -86,7 +86,7 @@ def test_sse_stream(ensure_server, audio_fixtures):
     assert len(chunked) >= 2  # 20s audio → several 5s chunks
 
 
-def test_subtitles_fast(ensure_server, audio_fixtures):
+def test_subtitles_fast(ensure_model_loaded, audio_fixtures):
     status, body, headers = _post_multipart(
         BASE_URL + "/v1/audio/subtitles", audio_fixtures["speech_2s"],
         {"language": "en", "mode": "fast"})
@@ -95,7 +95,7 @@ def test_subtitles_fast(ensure_server, audio_fixtures):
     assert "subtitles.srt" in cd
 
 
-def test_ws_flush_roundtrip(ensure_server, audio_fixtures):
+def test_ws_flush_roundtrip(ensure_model_loaded, audio_fixtures):
     import aiohttp
     import numpy as np
     from util_audio import speech_like
@@ -117,7 +117,7 @@ def test_ws_flush_roundtrip(ensure_server, audio_fixtures):
     asyncio.run(go())
 
 
-def test_ws_partial_latency(ensure_server):
+def test_ws_partial_latency(ensure_model_loaded):
     """Paced 450 ms streaming; asserts the server keeps up (no backlog)."""
     import aiohttp
     import sys
@@ -149,7 +149,7 @@ def test_ws_partial_latency(ensure_server):
     asyncio.run(go())
 
 
-def test_ws_cumulative_partials_monotonic(ensure_server):
+def test_ws_cumulative_partials_monotonic(ensure_model_loaded):
     """Partials are cumulative — each contains the transcript so far, so
     lengths generally grow; allow ≤30% of steps to shrink (window revision)
     — reference E2Etest/test_websocket.py:279-321."""
@@ -187,7 +187,7 @@ def test_ws_cumulative_partials_monotonic(ensure_server):
     asyncio.run(go())
 
 
-def test_concurrent_http_requests(ensure_server, audio_fixtures):
+def test_concurrent_http_requests(ensure_model_loaded, audio_fixtures):
     """N concurrent uploads all succeed (micro-batcher / queue path) —
     reference E2Etest/test_integration.py concurrency tier."""
     import concurrent.futures
@@ -204,7 +204,7 @@ def test_concurrent_http_requests(ensure_server, audio_fixtures):
         assert "text" in json.loads(body)
 
 
-def test_ws_not_blocked_by_http(ensure_server, audio_fixtures):
+def test_ws_not_blocked_by_http(ensure_model_loaded, audio_fixtures):
     """WS flush stays responsive while a long HTTP upload is in flight
     (priority queue: WS preempts HTTP) — reference test_integration.py:32-62."""
     import aiohttp
@@ -236,7 +236,7 @@ def test_ws_not_blocked_by_http(ensure_server, audio_fixtures):
     asyncio.run(go())
 
 
-def test_ws_recovery_after_error(ensure_server):
+def test_ws_recovery_after_error(ensure_model_loaded):
     """Invalid command → structured error; reset resyncs; session still
     works — reference test_integration.py:301-338."""
     import aiohttp
@@ -264,7 +264,7 @@ def test_ws_recovery_after_error(ensure_server):
     asyncio.run(go())
 
 
-def test_http_recovery_after_error(ensure_server, audio_fixtures, tmp_path):
+def test_http_recovery_after_error(ensure_model_loaded, audio_fixtures, tmp_path):
     """A failed request (422) must not poison the next one."""
     bad = tmp_path / "bad.wav"
     bad.write_bytes(b"\x00" * 64)
@@ -278,7 +278,7 @@ def test_http_recovery_after_error(ensure_server, audio_fixtures, tmp_path):
     assert "text" in json.loads(body)
 
 
-def test_memory_stable_after_repeats(ensure_server, audio_fixtures):
+def test_memory_stable_after_repeats(ensure_model_loaded, audio_fixtures):
     """Device memory must not grow across repeated identical requests
     (reference test_performance.py:183-204). Skips when the backend
     exposes no memory stats (CPU)."""
@@ -298,7 +298,7 @@ def test_memory_stable_after_repeats(ensure_server, audio_fixtures):
     assert growth < 500, f"device memory grew by {growth} MB"
 
 
-def test_performance_warm_latency(ensure_server, audio_fixtures):
+def test_performance_warm_latency(ensure_model_loaded, audio_fixtures):
     """Warm repeat latency: second identical request must be fast(er)."""
     path = audio_fixtures["speech_2s"]
     _post_multipart(BASE_URL + "/v1/audio/transcriptions", path,
@@ -362,7 +362,7 @@ def _skip_unless_real_text(health):
             f"server).")
 
 
-def test_accuracy_wer_gate(ensure_server):
+def test_accuracy_wer_gate(ensure_model_loaded):
     """Accuracy gate (reference E2Etest/test_accuracy.py:283-335).
 
     Fixtures: ASR_E2E_DATA=<dir> of <name>.wav/<name>.txt(/.lang) pairs, or
@@ -429,7 +429,7 @@ def test_accuracy_wer_gate(ensure_server):
     ("english_01", "wer", 0.55),
     ("chinese_01", "cer", 0.45),
 ])
-def test_realtime_streaming_accuracy(ensure_server, clip, metric, gate):
+def test_realtime_streaming_accuracy(ensure_model_loaded, clip, metric, gate):
     """Streaming (paced) accuracy tier: stream a known FLEURS clip at
     real-time rate over the WebSocket and gate WER/CER of the final flush
     text (reference E2Etest/test_realtime_accuracy.py:57-144; gates :284,
@@ -482,7 +482,7 @@ def test_realtime_streaming_accuracy(ensure_server, clip, metric, gate):
         assert result["chunk_latency_ms_p50"] < 30_000
 
 
-def test_accuracy_auto_language_detect(ensure_server):
+def test_accuracy_auto_language_detect(ensure_model_loaded):
     """Auto-detect tier: transcribe real clips WITHOUT a language param —
     the prompt carries no language line (reference SDK behavior when
     `language` is omitted) — and gate both the text and the detected
@@ -537,7 +537,7 @@ def test_accuracy_auto_language_detect(ensure_server):
     assert not failures, "\n".join(failures)
 
 
-def test_subtitles_accurate_real_speech(ensure_server):
+def test_subtitles_accurate_real_speech(ensure_model_loaded):
     """Aligner-backed (accurate-mode) SRT on real speech: the trained
     checkpoint doubles as the forced aligner (encoder-similarity
     alignment works on any ASR-format checkpoint). Gates SRT structure,
@@ -595,7 +595,7 @@ def test_subtitles_accurate_real_speech(ensure_server):
     assert not missing, f"words missing from SRT: {missing}"
 
 
-def test_translations_json_and_srt(ensure_server, audio_fixtures):
+def test_translations_json_and_srt(ensure_model_loaded, audio_fixtures):
     """/v1/audio/translations end-to-end against a local OpenAI-compatible
     fake LLM (reference src/server.py:647-742 + translator contract): json
     mode returns original+translated text; srt mode returns translated
