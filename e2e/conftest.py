@@ -122,13 +122,20 @@ def ensure_model_loaded(ensure_server, audio_fixtures):
                 time.sleep(2)
 
     async def _ws_prime():
+        # Walk the full partial-tick ladder (every window-growth bucket up
+        # to the cap), unpaced — so the paced WS tests measure warm serving,
+        # not per-bucket first compiles. 8 s of speech-like audio = ~17
+        # ticks at the 450 ms buffer trigger, window capped at 6 s.
         import aiohttp
         import numpy as np
-        pcm = (np.zeros(16000, dtype="<i2") + 100).tobytes()
+        from util_audio import speech_like
+        pcm = np.clip(speech_like(8.0, seed=7) * 32767, -32768,
+                      32767).astype("<i2").tobytes()
         async with aiohttp.ClientSession() as s:
             async with s.ws_connect(WS_URL) as ws:
                 await ws.receive_json()
-                await ws.send_bytes(pcm)
+                for i in range(0, len(pcm), 14400):
+                    await ws.send_bytes(pcm[i:i + 14400])
                 await ws.send_json({"action": "flush"})
                 while True:
                     msg = await ws.receive_json()
