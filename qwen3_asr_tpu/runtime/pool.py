@@ -51,7 +51,6 @@ import numpy as np
 
 from ..models.decoder import (KVCache, decoder_forward, embed_tokens,
                               init_kv_cache, lm_logits)
-from ..models.encoder import encoder_forward
 from ..ops.attention import AttnSpec
 from ..utils.logging import log
 
@@ -179,10 +178,14 @@ class DecodePool:
     def submit(self, audio: np.ndarray, language: Optional[str],
                set_result, set_error) -> None:
         """Queue one clip; set_result(text, token_ids) fires off-thread."""
-        if not self._running:
-            set_error(RuntimeError("decode pool stopped"))
-            return
         with self._cv:
+            # Checked under the cv: stop() flips the flag before the drive
+            # thread's final _fail_all drain (also under the cv), so an
+            # append either sees False here or is drained by _fail_all —
+            # never orphaned.
+            if not self._running:
+                set_error(RuntimeError("decode pool stopped"))
+                return
             self._pending.append(_Request(audio, language, set_result,
                                           set_error))
             self._cv.notify()
@@ -233,35 +236,18 @@ class DecodePool:
         fn = self._prefill_fns.get(bucket_frames)
         if fn is not None:
             return fn
-        from ..audio.frontend import _log_mel_impl
-        from .engine import PREFIX_BUDGET
-
         cfg = self.model.cfg
-        n_samples = bucket_frames * self._hop
-        window = self.engine.frontend.window
-        mel_fb = self.engine.frontend.mel_fb
-        n_mels = self.engine.frontend.n_mels
-        suffix = jnp.asarray(self._suffix, jnp.int32)
-        dtype = self.engine.dtype
         cache_dtype = self.cache_dtype
         prompt_len = self._prompt_len(bucket_frames)
         s_pad = -(-prompt_len // 128) * 128
+        # The parity-critical single source for mel clamp semantics, s16
+        # convert, and [prefix|audio|suffix] layout (engine._prompt_builder
+        # docstring) — pooled prompts must match the fused path exactly.
+        build = self.engine._prompt_builder(bucket_frames)
 
         @jax.jit
         def run(params, audio, prefix_ids, valid_from):
-            if audio.dtype == jnp.int16:
-                audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
-            mel, _ = _log_mel_impl(audio[0], jnp.int32(n_samples), window,
-                                   mel_fb, n_mels)
-            flens = jnp.full((1,), bucket_frames, jnp.int32)
-            audio_embeds, _ = encoder_forward(params["encoder"], cfg.encoder,
-                                              mel[None].astype(dtype), flens)
-            pre = embed_tokens(params["decoder"], cfg.decoder, prefix_ids)
-            suf = embed_tokens(params["decoder"], cfg.decoder,
-                               suffix[None, :])
-            inputs = jnp.concatenate(
-                [pre.astype(dtype), audio_embeds.astype(dtype),
-                 suf.astype(dtype)], axis=1)
+            inputs = build(params, audio, prefix_ids)
             cache = init_kv_cache(cfg.decoder, 1, s_pad, dtype=cache_dtype)
             positions = jnp.broadcast_to(jnp.arange(prompt_len),
                                          (1, prompt_len))
@@ -336,7 +322,10 @@ class DecodePool:
                 tokens = jax.lax.dynamic_update_slice(
                     tokens, nxt[:, None], (0, i))
                 ps = jnp.where(act, ps + 1, ps)
-                act = act & (nxt != eos_id) & (ps < lim)
+                # pad_id is an alternate end-of-text on real Qwen3
+                # checkpoints — terminal exactly like the fused path
+                # (generate.py body: done | eos | pad).
+                act = act & (nxt != eos_id) & (nxt != pad_id) & (ps < lim)
                 lst = jnp.where(nxt == pad_id, lst, nxt)
                 return cache, lst, ps, act, tokens
 
@@ -362,13 +351,14 @@ class DecodePool:
         if self._join_fn is not None:
             return self._join_fn
         eos_id = self.model.eos_id
+        pad_id = self.model.pad_id
 
         @jax.jit
         def run(last, pos, active, slot, first, prompt_len):
             f = first[0]
             return (last.at[slot].set(f),
                     pos.at[slot].set(prompt_len),
-                    active.at[slot].set(f != eos_id))
+                    active.at[slot].set((f != eos_id) & (f != pad_id)))
 
         self._join_fn = run
         return run
@@ -494,7 +484,7 @@ class DecodePool:
             return
         ids = []
         for t in self._tokens[slot]:
-            if t == self.model.eos_id:
+            if t in (self.model.eos_id, self.model.pad_id):
                 break
             ids.append(t)
         text = self.model.tokenizer.decode(ids).strip()
@@ -551,7 +541,12 @@ class DecodePool:
             self._drive_loop(inflight, state)
         finally:
             # Sole owner of slot state fails all outstanding work on the
-            # way out — stop() never mutates concurrently.
+            # way out — stop() never mutates concurrently. Flip _running
+            # BEFORE the drain (matters when the loop died on an internal
+            # error with stop() never called): submit() checks the flag
+            # under the same cv the drain takes, so no request can be
+            # appended after the drain yet see _running True.
+            self._running = False
             self._fail_all(RuntimeError("decode pool stopped"))
 
     def _drive_loop(self, inflight, state) -> None:

@@ -201,6 +201,19 @@ class StreamSession:
         first_block = self._block_of_sample(max(0,
                                                 first_changed - N_FFT // 2))
         changed = list(range(first_block, frontier_block + 1))
+        # A quantized trim can SHRINK the window across a block boundary
+        # (e.g. a 2 s encoder-chunk trim against a 0.45 s append at a cap
+        # that isn't block-aligned): blocks between the new and the old
+        # frontier still encode trimmed-out audio, while the fused path at
+        # the pinned bucket sees zeros there. Re-encode them from the
+        # (zero-padded) signal; beyond the OLD frontier the invariant
+        # "None or zeros-encoding" already holds by induction.
+        if m:
+            prev_frontier = self._block_of_sample(
+                min(m - 1 + N_FFT // 2, self.pinned_samples - 1))
+            changed += [b for b in range(frontier_block + 1,
+                                         prev_frontier + 1)
+                        if self.blocks[b] is not None]
         missing = [b for b in range(len(self.spans))
                    if self.blocks[b] is None and b not in changed]
 
@@ -279,10 +292,20 @@ class StreamSession:
         prev = np.full((1, self.max_new), self.model.pad_id, np.int32)
         usable = self.prev_tokens[:self.max_new]
         prev[0, :len(usable)] = usable
-        self.cache, out_tokens, out_lengths = tick(
-            self.model.params, self.cache, tuple(self.blocks),
-            jnp.asarray(self.prefix), jnp.asarray(self.valid_from),
-            jnp.asarray(prev), jnp.asarray([len(usable)], jnp.int32))
+        try:
+            self.cache, out_tokens, out_lengths = tick(
+                self.model.params, self.cache, tuple(self.blocks),
+                jnp.asarray(self.prefix), jnp.asarray(self.valid_from),
+                jnp.asarray(prev), jnp.asarray([len(usable)], jnp.int32))
+        except Exception:
+            # The tick DONATES self.cache; a failed execution (transient
+            # tunnel/device error) may have consumed the buffer, leaving a
+            # deleted handle that would poison every later tick. Rebuild
+            # session state from scratch (the pool handles this same
+            # failure mode by reallocating unconditionally).
+            self.reset()
+            self.cache = self._init_cache()
+            raise
 
         # ONE sync: tokens + lengths + the changed blocks' raw maxes.
         fetched = jax.device_get(

@@ -153,6 +153,11 @@ class WorkerSupervisor:
                 async with aiohttp.ClientSession() as session:
                     while time.time() < deadline:
                         await asyncio.sleep(1)
+                        if self.proc is not None and not self.alive():
+                            # Crashed at startup (import error, bad device,
+                            # bound port): fail fast instead of polling a
+                            # dead port for the full startup timeout.
+                            break
                         try:
                             async with session.get(
                                     self.url("/health"),
@@ -201,10 +206,18 @@ class WorkerSupervisor:
             except subprocess.TimeoutExpired:
                 log.warning("worker PID {} unreaped after SIGKILL", proc.pid)
 
-    async def kill(self):
+    async def kill(self, only_if_idle: bool = False):
         if not self.managed:
             return
         async with self._lock:
+            if only_if_idle and (
+                    self.inflight > 0
+                    or time.time() - self.last_used <= IDLE_TIMEOUT):
+                # The idle decision was made before we got the lock; an
+                # ensure() that held it through a slow startup just marked
+                # the worker used — killing now would yank it out from
+                # under the request that waited for it.
+                return
             if self.alive():
                 log.info("Killing worker process {} (idle timeout)...",
                          self.index)
@@ -222,7 +235,7 @@ class WorkerSupervisor:
                 self.last_used = time.time()
                 continue
             if self.alive() and time.time() - self.last_used > IDLE_TIMEOUT:
-                await self.kill()
+                await self.kill(only_if_idle=True)
 
 
 class WorkerFleet:
@@ -330,9 +343,9 @@ async def _proxy_error(resp: aiohttp.ClientResponse, url: str) -> web.Response:
     log.error("Gateway proxy error | url={} status={}", url, resp.status)
     try:
         worker_error = json.loads(body)
-        if "code" in worker_error:
+        if isinstance(worker_error, dict) and "code" in worker_error:
             return web.json_response(worker_error, status=resp.status)
-    except (json.JSONDecodeError, KeyError):
+    except json.JSONDecodeError:
         pass
     return error_response("WORKER_ERROR", body, resp.status)
 

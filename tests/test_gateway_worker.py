@@ -8,6 +8,7 @@ CPU with the tiny checkpoint, requests flow through both hops.
 import asyncio
 import json
 import os
+import time
 
 import pytest
 from aiohttp.test_utils import TestClient, TestServer
@@ -319,4 +320,29 @@ def test_gateway_two_worker_fleet(tmp_path):
                     s.proc.kill()
             except Exception:
                 pass
+        loop.close()
+
+
+def test_gateway_startup_crash_fails_fast(monkeypatch):
+    """A worker that dies during startup (bad config: empty MODEL_ID makes
+    validate_env exit(1)) must fail ensure() as soon as the process exits
+    — not after polling a dead port for the full WORKER_STARTUP_TIMEOUT."""
+    monkeypatch.setenv("WORKER_STARTUP_TIMEOUT", "60")
+    from qwen3_asr_tpu.serving import gateway as gw
+
+    loop = asyncio.new_event_loop()
+    sup = gw.WorkerSupervisor(port=18411,
+                              spawn_env={"MODEL_ID": "",
+                                         "JAX_PLATFORMS": "cpu"})
+    try:
+        t0 = time.time()
+        with pytest.raises(gw.WorkerStartupError, match="failed to become"):
+            loop.run_until_complete(asyncio.wait_for(sup.ensure(), 55))
+        assert time.time() - t0 < 45, "polled a dead worker too long"
+    finally:
+        try:
+            if sup.proc is not None and sup.proc.poll() is None:
+                sup.proc.kill()
+        except Exception:
+            pass
         loop.close()

@@ -471,3 +471,51 @@ def test_pool_submit_after_stop_errors_immediately(engine):
                 lambda t, ids: got.append(("ok", t)),
                 lambda e: got.append(("err", str(e))))
     assert got == [("err", "decode pool stopped")]
+
+
+def test_pool_retire_stops_at_pad_and_eos(engine):
+    """pad_id is an alternate end-of-text on real Qwen3 checkpoints: the
+    fused path (generate.py) terminates on eos OR pad, so the pool's
+    host-side retire must truncate at whichever comes first — a pad first
+    token (or mid-stream pad) must never reach detokenize."""
+    from qwen3_asr_tpu.runtime.pool import DecodePool
+    pool = DecodePool(engine, slots=1, segment=2)
+    try:
+        got = {}
+
+        def claim(tag):
+            from qwen3_asr_tpu.runtime.pool import _Request
+            pool._owner[0] = _Request(
+                np.zeros(1, np.float32), None,
+                lambda text, ids: got.__setitem__(tag, (text, ids)),
+                lambda e: got.__setitem__(tag, ("err", e)))
+
+        pad, eos = pool.model.pad_id, pool.model.eos_id
+        some = [t for t in range(32) if t not in (pad, eos)][:3]
+        claim("mid_pad")
+        pool._tokens[0] = [some[0], pad, some[1]]
+        pool._retire(0)
+        claim("first_pad")
+        pool._tokens[0] = [pad, some[2]]
+        pool._retire(0)
+        claim("eos")
+        pool._tokens[0] = [some[0], eos, some[1]]
+        pool._retire(0)
+        assert got["mid_pad"][1] == [some[0]]
+        assert got["first_pad"][1] == []
+        assert got["eos"][1] == [some[0]]
+    finally:
+        pool.stop()
+
+
+def test_pool_submit_after_stop_fails_fast(engine):
+    """A submit that loses the race with stop() must still resolve (the
+    drive thread's final drain or the under-lock flag check), never hang."""
+    from qwen3_asr_tpu.runtime.pool import DecodePool
+    pool = DecodePool(engine, slots=1, segment=2)
+    pool.stop()
+    out = {}
+    pool.submit(np.zeros(160, np.float32), None,
+                lambda text, ids: out.setdefault("r", text),
+                lambda e: out.setdefault("r", e))
+    assert isinstance(out.get("r"), RuntimeError)

@@ -27,19 +27,19 @@ def engine(tmp_path_factory):
     return TranscriptionEngine(load_tiny_model(path), dtype=jnp.float32)
 
 
-def fused_reference(engine, window, language, prev):
+def fused_reference(engine, window, language, prev, cap_s=CAP_S):
     """The parity target: fused resume decoding at the PINNED cap bucket."""
-    frames, bucket_s = engine.bucket_frames(int(CAP_S * SR))
+    frames, bucket_s = engine.bucket_frames(int(cap_s * SR))
     texts, id_lists = engine._run_bucket(
         [window.astype(np.float32)], frames, bucket_s, language,
         resume_tokens=list(prev))
     return texts[0], id_lists[0]
 
 
-def run_paced(engine, session, audio, language, trim_quantum):
+def run_paced(engine, session, audio, language, trim_quantum, cap_s=CAP_S):
     """Feed audio in 450 ms ticks with trim-quantized sliding windows and
     assert per-tick token parity against the fused path."""
-    cap = int(CAP_S * SR)
+    cap = int(cap_s * SR)
     tick = int(TICK_S * SR)
     window = np.zeros(0, np.float32)
     prev = []
@@ -51,7 +51,8 @@ def run_paced(engine, session, audio, language, trim_quantum):
                 trim = -(-trim // trim_quantum) * trim_quantum
             window = window[trim:]
         text, ids = session.update(window)
-        exp_text, exp_ids = fused_reference(engine, window, language, prev)
+        exp_text, exp_ids = fused_reference(engine, window, language, prev,
+                                            cap_s)
         assert ids == exp_ids, (
             f"tick@{off}: stream={ids} fused={exp_ids} "
             f"(stats={session.stats})")
@@ -69,6 +70,48 @@ def test_stream_matches_fused_chunk_trim(engine):
     stats = run_paced(engine, session, audio, "en", chunk_samples)
     assert stats["tail"] > 0, f"no tail ticks: {stats}"
     assert stats["full"] > 0   # growth + trim ticks
+
+
+def test_stream_shrinking_window_trim_across_block_boundary(engine):
+    """A chunk-quantized trim larger than the tick's append SHRINKS the
+    window; when the shrink crosses an encoder-block boundary, the block
+    beyond the new frontier must be re-encoded as (zero-padded) silence —
+    not left holding tokens for trimmed-out audio. Cap 8.5 s pins the
+    10 s bucket (5×2 s blocks on the tiny config); tick 1 puts loud audio
+    in block 4 (8–8.4 s), tick 2's front-trim shrink moves the frontier
+    back into block 3."""
+    import jax.numpy as jnp
+    cap_s = 8.5
+    session = engine.stream_session(cap_s, "en")
+    # Loud burst at stream 7.9–8.3 s: fully inside BOTH windows (so the
+    # window max — hence the clamp — is identical across ticks and the
+    # redo path stays quiet; the trim is hop-aligned so mel frames shift
+    # without changing values). In w1 the burst reaches into block 4
+    # (frames 800+); in w2 it sits in block 3 and block 4 is pure padding.
+    stream = 0.1 * speech_like(9.0, seed=13).astype(np.float32)
+    stream[int(7.9 * SR):int(8.3 * SR)] = \
+        3.0 * speech_like(0.4, seed=14).astype(np.float32)
+    w1 = stream[:int(8.4 * SR)]                       # ends in block 4
+    _, ids1 = session.update(w1)
+    w2 = stream[int(1.45 * SR):int(8.85 * SR)]        # 7.4 s: shrink past
+    text, ids = session.update(w2)                    # the 8 s boundary
+    assert session.stats["redo"] <= 1, session.stats  # tick 2 must not redo
+    # paced-tick token parity with the fused path
+    exp_text, exp_ids = fused_reference(engine, w2, "en", ids1, cap_s)
+    assert ids == exp_ids, f"stream={ids} fused={exp_ids} ({session.stats})"
+    # and the invariant directly: block 4 now encodes zero-padded silence
+    lo, hi = session.spans[4]
+    from qwen3_asr_tpu.audio.frontend import HOP_LENGTH, N_FFT
+    padded = np.zeros(session.pinned_samples, np.float32)
+    padded[:len(w2)] = w2
+    halo = np.pad(padded, N_FFT // 2, mode="reflect")
+    seg = halo[lo * HOP_LENGTH:(hi - 1) * HOP_LENGTH + N_FFT]
+    enc = engine._stream_fn(("encode", hi - lo))
+    want, _ = enc(engine.model.params, jnp.asarray(seg),
+                  jnp.float32(session.clamp_max))
+    assert session.blocks[4] is not None
+    np.testing.assert_allclose(np.asarray(session.blocks[4]),
+                               np.asarray(want), rtol=0, atol=0)
 
 
 def test_stream_matches_fused_sample_exact_trim(engine):
