@@ -139,7 +139,7 @@ class ModelManager:
         self.engine = None
         self.fast_engine = None
         self.pool = None  # continuous-batching decode pool (opt-in)
-        self.last_stream_session = None  # newest WS prefix-cache session
+        self._last_stream_ref = None  # weakref: newest WS prefix-cache session
         self._stream_sessions = weakref.WeakSet()  # all live sessions
         # registrations happen on the event loop, release on the infer
         # thread — guard the WeakSet against mutation-during-iteration
@@ -250,7 +250,14 @@ class ModelManager:
         engine/device references (weak: sessions die with connections)."""
         with self._sessions_lock:
             self._stream_sessions.add(sess)
-        self.last_stream_session = sess
+        self._last_stream_ref = weakref.ref(sess)
+
+    @property
+    def last_stream_session(self):
+        """Newest WS prefix-cache session (observability/tests). WEAK:
+        a strong reference here would pin the session's device KV and
+        encoder blocks in HBM after its connection closed."""
+        return self._last_stream_ref() if self._last_stream_ref else None
 
     def _last_activity(self) -> float:
         """Most recent use across every inference path: manager-stamped
@@ -296,7 +303,7 @@ class ModelManager:
                 sess.release()
             except Exception:  # pragma: no cover - release must not block
                 pass
-        self.last_stream_session = None
+        self._last_stream_ref = None
         gc.collect()
         log.info("Model unloaded")
 
@@ -318,12 +325,16 @@ class ModelManager:
             if self.idle_timeout <= 0 or self.engine is None:
                 continue
             if time.time() - self._last_activity() > self.idle_timeout:
-                async with self._lock:
-                    if (self.engine is not None
-                            and time.time() - self._last_activity()
-                            > self.idle_timeout):
-                        await asyncio.get_event_loop().run_in_executor(
-                            infer_executor(), self._unload_sync)
+                try:
+                    async with self._lock:
+                        if (self.engine is not None
+                                and time.time() - self._last_activity()
+                                > self.idle_timeout):
+                            await asyncio.get_event_loop().run_in_executor(
+                                infer_executor(), self._unload_sync)
+                except Exception:  # noqa: BLE001 — one failed unload must
+                    # not silently kill the watchdog for the process's life
+                    log.exception("idle unload failed; watchdog continues")
 
     # -- inference entry -----------------------------------------------------------
     def transcribe_sync(self, audio, sr, lang_code, return_timestamps,
@@ -333,6 +344,14 @@ class ModelManager:
         (reference src/server.py:849-923) incl. speculative + dual-model;
         resume_tokens enables the streaming self-draft fast path."""
         self._last_used = time.time()
+        if self.engine is None:
+            # Lost a race with an idle unload: this job was admitted
+            # (ensure_loaded's lock-free fast path) before the unload's
+            # idleness re-check saw its activity stamp, and the single
+            # infer thread ran the unload first. We ARE that thread, so
+            # reloading here is serialized with every load/unload.
+            log.info("Reloading model: request admitted during idle unload")
+            self._load_sync()
         try:
             # Result-level speculation serves batch FINALS only: a streaming
             # tick (resume_tokens) or an explicit fast-engine request
@@ -364,8 +383,7 @@ class ModelManager:
             # watchdog unloads an engine that was busy the whole time.
             self._last_used = time.time()
 
-    def pool_eligible(self, audio, sr: int, return_timestamps: bool,
-                      resume_tokens=None) -> bool:
+    def pool_eligible(self, audio, sr: int, return_timestamps: bool) -> bool:
         """Requests the decode pool can serve: plain mono transcription up
         to one segment; everything else keeps the fused path."""
         from ..runtime.engine import MAX_SEGMENT_S, TARGET_SR
@@ -385,11 +403,16 @@ class ModelManager:
         from ..models.asr import normalize_language
         from ..runtime.engine import (TARGET_SR, TranscriptionResult,
                                       _prep_audio, _response_language)
+        from .pool import PoolStoppedError
 
         self._last_used = time.time()
         audio = _prep_audio(audio, sr)
         if len(audio) == 0:
             return []
+        # Snapshot: _unload_sync nulls self.pool from the infer thread.
+        pool = self.pool
+        if pool is None:
+            return await self._pooled_fallback(audio, language)
         loop = _aio.get_event_loop()
         fut = loop.create_future()
         lang_code, _ = normalize_language(language)
@@ -406,11 +429,27 @@ class ModelManager:
             loop.call_soon_threadsafe(
                 lambda: fut.done() or fut.set_exception(e))
 
-        self.pool.submit(audio, language, ok, err)
+        pool.submit(audio, language, ok, err)
         try:
             return await _aio.wait_for(fut, timeout=self.request_timeout)
+        except PoolStoppedError:
+            # Pool torn down (idle unload / reconfigure) after eligibility:
+            # the fused path serves the request instead of surfacing a 500.
+            return await self._pooled_fallback(audio, language)
         finally:
             self._last_used = time.time()
+
+    async def _pooled_fallback(self, audio, language) -> list:
+        """Fused-path service for a request that raced the pool teardown."""
+        import asyncio as _aio
+        from ..models.asr import normalize_language
+        from ..runtime.engine import TARGET_SR
+        lang_code, _ = normalize_language(language)
+        return await _aio.wait_for(
+            self.queue.submit(
+                lambda: self.transcribe_sync(audio, TARGET_SR, lang_code,
+                                             False)),
+            timeout=self.request_timeout)
 
     # -- health ---------------------------------------------------------------------
     def health_info(self) -> dict:

@@ -55,6 +55,11 @@ from ..ops.attention import AttnSpec
 from ..utils.logging import log
 
 
+class PoolStoppedError(RuntimeError):
+    """The decode pool is stopping/stopped; the caller should fall back to
+    the fused path (lifecycle.transcribe_pooled does)."""
+
+
 class _Request(NamedTuple):
     audio: np.ndarray          # f32/s16 mono 16 kHz, <= largest bucket
     language: Optional[str]
@@ -184,7 +189,7 @@ class DecodePool:
             # append either sees False here or is drained by _fail_all —
             # never orphaned.
             if not self._running:
-                set_error(RuntimeError("decode pool stopped"))
+                set_error(PoolStoppedError("decode pool stopped"))
                 return
             self._pending.append(_Request(audio, language, set_result,
                                           set_error))
@@ -547,7 +552,7 @@ class DecodePool:
             # under the same cv the drain takes, so no request can be
             # appended after the drain yet see _running True.
             self._running = False
-            self._fail_all(RuntimeError("decode pool stopped"))
+            self._fail_all(PoolStoppedError("decode pool stopped"))
 
     def _drive_loop(self, inflight, state) -> None:
         while self._running:

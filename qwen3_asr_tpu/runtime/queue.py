@@ -42,28 +42,54 @@ class PriorityInferQueue:
             collections.deque(), collections.deque())
         self._wakeup: Optional[asyncio.Event] = None
         self._dispatcher: Optional[asyncio.Task] = None
+        self._inflight: Optional[asyncio.Future] = None
+        self._stopped = False
 
     def start(self):
         # The wakeup event is (re)created here so a queue restarted on a
         # fresh event loop (process managers, tests) binds to that loop.
+        self._stopped = False
         self._wakeup = asyncio.Event()
         if any(self._lanes):
             self._wakeup.set()
         self._dispatcher = asyncio.create_task(self._dispatch_loop())
 
     def stop(self):
+        self._stopped = True
         if self._dispatcher is not None:
             self._dispatcher.cancel()
             self._dispatcher = None
+        # The job currently ON the device thread cannot be interrupted
+        # (abandon-and-return, like request timeouts) — but its submitter
+        # must not wait forever for a result the cancelled dispatcher will
+        # never deliver.
+        if self._inflight is not None:
+            self._resolve(self._inflight, cancel=True)
+            self._inflight = None
         # Whatever is still queued can never run — wake its submitters.
         for lane in self._lanes:
             while lane:
                 _, reply = lane.popleft()
-                try:
-                    if not reply.done():
-                        reply.cancel()
-                except RuntimeError:
-                    pass  # submitter's loop already closed; nobody waits
+                self._resolve(reply, cancel=True)
+
+    @staticmethod
+    def _resolve(reply: asyncio.Future, *, result=None, exc=None,
+                 cancel=False) -> None:
+        """Settle a reply future, tolerating a submitter whose event loop
+        already closed (scheduling the wakeup callback then raises
+        RuntimeError — nobody is waiting, so it must not kill the
+        dispatcher)."""
+        try:
+            if reply.done():
+                return
+            if cancel:
+                reply.cancel()
+            elif exc is not None:
+                reply.set_exception(exc)
+            else:
+                reply.set_result(result)
+        except RuntimeError:
+            pass
 
     def _take_next(self) -> Optional[_Entry]:
         for lane in self._lanes:
@@ -87,17 +113,22 @@ class PriorityInferQueue:
                 # cancels the awaiting handler, which cancels this future)
                 # — skip the device work entirely.
                 continue
+            self._inflight = reply
             try:
                 outcome = await loop.run_in_executor(_device_thread, fn)
             except Exception as exc:
-                if not reply.done():
-                    reply.set_exception(exc)
+                self._resolve(reply, exc=exc)
             else:
-                if not reply.done():
-                    reply.set_result(outcome)
+                self._resolve(reply, result=outcome)
+            finally:
+                self._inflight = None
 
     async def submit(self, fn: Callable, priority: int = STANDARD):
         """Queue a job for the device; resolves to the job's return value."""
+        if self._stopped:
+            # A lane no dispatcher will ever drain must fail fast, not
+            # strand the submitter.
+            raise RuntimeError("inference queue stopped")
         reply = asyncio.get_running_loop().create_future()
         lane = self._lanes[EXPRESS] if priority <= EXPRESS else \
             self._lanes[STANDARD]

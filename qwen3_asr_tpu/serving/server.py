@@ -52,9 +52,10 @@ ASR_USE_SERVER_VAD = os.getenv("ASR_USE_SERVER_VAD", "true").lower() == "true"
 # trigger (src/server.py:1216-1243). The spectral fallback misreads ~6%
 # of mid-speech ticks as silence (a premature final roughly every 7 s of
 # speech), so it debounces to 2 ticks (900 ms). Env overrides both.
-_ticks_env = os.getenv("ASR_VAD_FLUSH_TICKS", "")
-ASR_VAD_FLUSH_TICKS = max(1, int(_ticks_env) if _ticks_env else
-                          _vad_default_flush_ticks())
+from ..config import _safe_int as _cfg_safe_int
+
+ASR_VAD_FLUSH_TICKS = max(1, _cfg_safe_int(
+    "ASR_VAD_FLUSH_TICKS", str(_vad_default_flush_ticks())))
 
 
 def get_manager(request: web.Request) -> ModelManager:
@@ -365,6 +366,12 @@ async def sse_transcribe_generator(mgr: ModelManager, audio, sr, lang_code,
         if sr != TARGET_SR:
             chunk_samples = sr * SSE_CHUNK_SECONDS
             overlap_samples = sr * SSE_OVERLAP_SECONDS
+        if overlap_samples >= chunk_samples:
+            # Misconfiguration (overlap >= chunk) would advance the loop
+            # by zero samples and re-transcribe the same chunk forever.
+            log.warning("SSE_OVERLAP_SECONDS >= SSE_CHUNK_SECONDS; "
+                        "clamping overlap to half a chunk")
+            overlap_samples = chunk_samples // 2
 
         if len(audio) <= chunk_samples:
             results = await mgr.queue.submit(
@@ -722,7 +729,12 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
                     elif new_lang:
                         lang_code = new_lang
                     if new_lang:
-                        stream_session = None  # prompt changed: new session
+                        # Prompt changed: release the old session's device
+                        # caches NOW (dropping the reference alone would
+                        # leave them to the GC's whim) and bind a new one.
+                        if stream_session is not None:
+                            stream_session.release()
+                        stream_session = None
                     if "use_server_vad" in cmd:
                         use_vad = bool(cmd["use_server_vad"])
                     await ws.send_json({"status": "configured",
@@ -835,6 +847,13 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
     finally:
         if admitted:
             request.app["ws_sessions"] -= 1
+        if stream_session is not None:
+            # Free the session's device KV/encoder caches with the
+            # connection — they must not outlive it in HBM.
+            try:
+                stream_session.release()
+            except Exception:
+                pass
         reset_request_id(token)
         try:
             await ws.close()
@@ -845,7 +864,9 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
 
 # ── profiling (additive observability; SURVEY.md §5 tracing) ─────────────────
 
-_trace_active = asyncio.Lock()
+_trace_active = False  # plain bool, flipped with no await in between:
+                       # atomic on the single event loop, so two requests
+                       # can never both claim the process-global profiler
 
 
 async def debug_trace(request: web.Request) -> web.Response:
@@ -854,17 +875,19 @@ async def debug_trace(request: web.Request) -> web.Response:
     profiler integration. Single-flight: the jax profiler is process-global
     state, so a concurrent second request must not stop the first one's
     trace (or surface a raw 500 from start_trace)."""
+    global _trace_active
     try:
         seconds = min(float(request.query.get("seconds", "3")), 60.0)
     except ValueError:
         return error_response("INVALID_JSON", "seconds must be a number", 400)
-    if _trace_active.locked():
+    if _trace_active:
         return error_response("WORKER_ERROR",
                               "a profiler trace is already in progress", 409)
-    trace_dir = os.getenv("ASR_TRACE_DIR", "/tmp/qwen3_asr_traces")
-    os.makedirs(trace_dir, exist_ok=True)
-    import jax
-    async with _trace_active:
+    _trace_active = True
+    try:
+        trace_dir = os.getenv("ASR_TRACE_DIR", "/tmp/qwen3_asr_traces")
+        os.makedirs(trace_dir, exist_ok=True)
+        import jax
         try:
             jax.profiler.start_trace(trace_dir)
         except Exception as e:
@@ -877,6 +900,8 @@ async def debug_trace(request: web.Request) -> web.Response:
             except Exception as e:
                 return error_response("WORKER_ERROR", f"trace failed: {e}",
                                       500)
+    finally:
+        _trace_active = False
     log.info("Profiler trace captured | dir={} seconds={}", trace_dir, seconds)
     return web.json_response({"trace_dir": trace_dir, "seconds": seconds})
 

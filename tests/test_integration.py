@@ -231,3 +231,74 @@ def test_queue_cancelled_job_skips_device_work():
         q.stop()
         assert ran == ["first", "kept"]   # doomed never ran
     _run(go())
+
+
+def test_queue_stop_resolves_inflight_and_fails_new_submits():
+    """stop() must not strand submitters: the job ON the device thread is
+    abandoned (its reply cancelled) and submits after stop fail fast
+    instead of appending to a lane no dispatcher will drain."""
+    async def go():
+        q = PriorityInferQueue()
+        q.start()
+        started = threading.Event()
+        release = threading.Event()
+
+        def slow():
+            started.set()
+            release.wait(timeout=10)
+            return "done"
+
+        task = asyncio.ensure_future(q.submit(slow))
+        await asyncio.get_event_loop().run_in_executor(None,
+                                                       started.wait, 5)
+        q.stop()
+        release.set()
+        with pytest.raises(asyncio.CancelledError):
+            await task
+        with pytest.raises(RuntimeError, match="stopped"):
+            await q.submit(lambda: "never")
+        # restart recovers (process-manager semantics)
+        q.start()
+        assert await q.submit(lambda: 42) == 42
+        q.stop()
+
+    loop = asyncio.new_event_loop()
+    try:
+        loop.run_until_complete(asyncio.wait_for(go(), 30))
+    finally:
+        loop.close()
+
+
+def test_unload_race_reloads_on_infer_thread(tmp_path, monkeypatch):
+    """A job admitted just before an idle unload runs AFTER it on the
+    single infer thread; transcribe_sync must reload rather than crash
+    with engine=None (lock-free ensure_loaded fast path race)."""
+    import numpy as np
+    from tests.fixtures import write_tiny_checkpoint
+    from qwen3_asr_tpu.runtime.lifecycle import ModelManager
+
+    ckpt = str(tmp_path / "ckpt")
+    write_tiny_checkpoint(ckpt)
+    monkeypatch.setenv("MODEL_ID", ckpt)
+    monkeypatch.setenv("SKIP_WARMUP", "true")
+
+    async def go():
+        mgr = ModelManager()
+        mgr.queue.start()
+        await mgr.ensure_loaded()
+        # Simulate the unload winning the race: engine gone, job queued.
+        mgr.loaded_model_id = None
+        mgr.engine = None
+        mgr.fast_engine = None
+        audio = np.zeros(1600, np.float32) + 0.01
+        res = await mgr.queue.submit(
+            lambda: mgr.transcribe_sync(audio, 16000, "en", False))
+        assert mgr.engine is not None     # reloaded on the infer thread
+        assert isinstance(res, list)
+        mgr.queue.stop()
+
+    loop = asyncio.new_event_loop()
+    try:
+        loop.run_until_complete(asyncio.wait_for(go(), 120))
+    finally:
+        loop.close()
