@@ -3,10 +3,10 @@
 Replaces the reference's soundfile decode (src/server.py:200-203) for the
 formats we can parse natively: WAV (RIFF/RIFX, PCM 8/16/24/32-bit and
 float32/float64), AIFF/AIFC (uncompressed), AU/SND, W64/RF64 headers, and
-FLAC (full native decoder, audio/flac.py). MP3/OGG raise
-``UnsupportedFormatError`` with the supported-format list — the serving
-layer maps that to the same AUDIO_DECODE_FAILED error the reference
-returns for undecodable input.
+FLAC (full native decoder, audio/flac.py). MP3/OGG are delegated to the
+SDL_mixer-backed decoder in audio/compressed.py. Anything undecodable
+raises ``AudioDecodeError``/``UnsupportedFormatError`` — the serving layer
+maps those to the same AUDIO_DECODE_FAILED error the reference returns.
 
 Decoded audio is returned as mono float32 in [-1, 1] plus the sample rate.
 (W64 — the GUID-chunked Sony Wave64 container — is NOT handled; RF64 is.)
@@ -25,6 +25,23 @@ class AudioDecodeError(Exception):
 
 class UnsupportedFormatError(AudioDecodeError):
     """Recognized container, but the codec is not supported natively."""
+
+
+# Containers carry the sample rate as a raw (sometimes signed/80-bit) field;
+# an hostile header can claim sr=0 / negative / 2^32-ish, which would crash or
+# OOM the polyphase resampler downstream instead of returning the contractual
+# AUDIO_DECODE_FAILED. Bound it to the real-world range libsndfile accepts.
+_MAX_SAMPLE_RATE = 768_000
+_MAX_CHANNELS = 1024
+
+
+def check_stream_params(sr: int, channels: int | None = None) -> int:
+    """Validate header-declared stream parameters; returns sr unchanged."""
+    if not 1 <= int(sr) <= _MAX_SAMPLE_RATE:
+        raise AudioDecodeError(f"implausible sample rate in header: {sr}")
+    if channels is not None and not 1 <= int(channels) <= _MAX_CHANNELS:
+        raise AudioDecodeError(f"implausible channel count in header: {channels}")
+    return int(sr)
 
 
 def _pcm_to_float(data: np.ndarray, sampwidth: int, signed: bool = True) -> np.ndarray:
@@ -118,6 +135,7 @@ def _decode_wav(buf: bytes) -> Tuple[np.ndarray, int]:
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
     if fmt_tag is None or data is None:
         raise AudioDecodeError("missing fmt or data chunk")
+    check_stream_params(sr, channels)
     if fmt_tag == _WAVE_FORMAT_IEEE_FLOAT:
         audio = _decode_pcm_block(data, sampwidth, channels, "float", big_endian)
     elif fmt_tag == _WAVE_FORMAT_PCM:
@@ -166,6 +184,7 @@ def _decode_aiff(buf: bytes) -> Tuple[np.ndarray, int]:
         pos += 8 + csize + (csize & 1)
     if channels is None or data is None:
         raise AudioDecodeError("missing COMM or SSND chunk")
+    check_stream_params(sr, channels)
     if comp in (b"NONE", b"twos"):
         audio = _decode_pcm_block(data, sampwidth, channels, "pcm", big_endian=True)
     elif comp == b"sowt":
@@ -192,6 +211,7 @@ def _decode_au(buf: bytes) -> Tuple[np.ndarray, int]:
         raise AudioDecodeError("not an AU file")
     if encoding not in _AU_ENCODINGS:
         raise UnsupportedFormatError(f"AU encoding {encoding} not supported")
+    check_stream_params(sr, channels)
     sampwidth, fmt = _AU_ENCODINGS[encoding]
     audio = _decode_pcm_block(buf[hdr_size:], sampwidth, channels, fmt,
                               big_endian=True)

@@ -27,7 +27,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from .codec import AudioDecodeError, UnsupportedFormatError
+from .codec import AudioDecodeError, UnsupportedFormatError, check_stream_params
 
 _SUPPORTED = "supported formats: WAV, AIFF/AIFC, AU/SND, RF64, FLAC, MP3, OGG"
 
@@ -105,8 +105,13 @@ def _mixer(sr: int, channels: int):
         _mixer_state = None  # if quit/init raises, never claim the old state
         if prev is not None:
             pygame.mixer.quit()
-        pygame.mixer.init(frequency=sr, size=-16, channels=channels,
-                          buffer=512)
+        try:
+            pygame.mixer.init(frequency=sr, size=-16, channels=channels,
+                              buffer=512)
+        except Exception as e:
+            raise AudioDecodeError(
+                f"audio backend rejected stream format "
+                f"(rate={sr}, channels={channels}): {e}") from e
         _mixer_state = (sr, channels)
     return pygame
 
@@ -119,6 +124,7 @@ def decode_compressed(data: bytes, kind: str) -> Tuple[np.ndarray, int]:
     sniffed = sniff_mp3(data) if kind == "MP3" else sniff_ogg(data)
     sr, channels = sniffed if sniffed else (44100, 2)
     channels = max(1, min(2, int(channels)))  # SDL mixes down >2 itself
+    check_stream_params(sr)  # sniffed rate is attacker-controlled header data
     with _lock:
         pygame = _mixer(sr, channels)
         try:

@@ -151,7 +151,7 @@ def featurize(audio: np.ndarray, n_frames_padded: int) -> tuple:
 _params: Optional[dict] = None
 _loaded_from: Optional[str] = None
 
-_BUCKETS = (50, 100, 200, 400, 600, 1000, 3000)  # frames (0.5 s .. 30 s)
+from .vad import _BUCKETS  # one compiled-bucket ladder for both VAD backends
 
 
 def load_params(path: str = None) -> Optional[dict]:

@@ -19,7 +19,13 @@ from typing import NamedTuple, Optional, Union
 import jax
 import jax.numpy as jnp
 
-_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+# Masked-score sentinel shared by every attention backend. This is a
+# cross-kernel numeric contract: ops/context_parallel.py combines online-
+# softmax (m, l) residuals produced by DIFFERENT backends, so all kernels
+# must mask with the same finite value (not -inf, which breaks exp/alpha
+# arithmetic for fully-masked rows).
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+_MASK_VALUE = MASK_VALUE
 
 
 class AttnSpec(NamedTuple):
@@ -181,32 +187,6 @@ def attend_xla(q: jax.Array, k: jax.Array, v: jax.Array, *,
             b, nkv, 1, 1, -1)
     out = jnp.einsum("bhgts,bhsd->bhgtd", weights.astype(v.dtype), v)
     return out.reshape(b, nq, t, d)
-
-
-def attend(q, k, v, *, mask=None, scale=None, backend: str = "auto"):
-    """Dispatch to the best attention backend for the platform/shape."""
-    if backend in ("auto", "xla"):
-        if backend == "auto" and _should_use_flash(q, k):
-            from .flash_attention import flash_attend
-            return flash_attend(q, k, v, mask=mask, scale=scale)
-        return attend_xla(q, k, v, mask=mask, scale=scale)
-    if backend == "flash":
-        from .flash_attention import flash_attend
-        return flash_attend(q, k, v, mask=mask, scale=scale)
-    raise ValueError(f"unknown attention backend: {backend}")
-
-
-def _should_use_flash(q, k) -> bool:
-    try:
-        platform = q.devices().pop().platform if hasattr(q, "devices") else \
-            jax.default_backend()
-    except Exception:
-        platform = jax.default_backend()
-    if platform != "tpu":
-        return False
-    # Flash pays off once the scores tile stops fitting comfortably in VMEM.
-    t, s = q.shape[-2], k.shape[-2]
-    return t >= 256 and s >= 256
 
 
 def make_causal_mask(t: int, s: int, offset: int = 0) -> jax.Array:

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+from .attention import MASK_VALUE  # shared masked-score sentinel
 
 
 def _kernel(valid_from_ref, valid_to_ref, layer_ref, q_ref, k_hbm, v_hbm,
@@ -144,7 +144,11 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     if sm_scale is None:
         sm_scale = d ** -0.5
 
-    block_k = min(block_k, s_len)
+    # The m/l softmax-stat scratches are lane-width (128) rows; an effective
+    # block_k below 128 would broadcast [G, block_k] scores against [G, 128]
+    # stats at trace time. Clamp to [128, ceil128(s_len)] — short caches pad
+    # up to one 128-wide block and the valid-range mask covers the tail.
+    block_k = max(128, min(block_k, -(-s_len // 128) * 128))
     s_pad = -(-s_len // block_k) * block_k
     if s_pad != s_len:
         assert not stacked, \

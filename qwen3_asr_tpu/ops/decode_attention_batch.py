@@ -56,7 +56,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+from .attention import MASK_VALUE  # shared masked-score sentinel
 
 
 def _kernel(layer_ref, vf_ref, vt_ref, q_ref, k_ref, v_ref, o_ref,

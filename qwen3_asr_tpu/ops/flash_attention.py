@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+from .attention import MASK_VALUE  # shared masked-score sentinel
 
 
 def _kernel(valid_from_ref, valid_to_ref, q_offset_ref, q_ref, k_ref, v_ref,
@@ -304,10 +304,3 @@ def _flash_pallas(q, k, v, kv_valid_from, kv_valid_to, q_offset, *,
     l_res = l_res.reshape(b, nq, t_pad)[:, :, :t]
     return out, m_res, l_res
 
-
-def flash_attend(q, k, v, *, mask=None, scale=None):
-    """Dense-mask compatibility shim for ops.attention.attend: falls back to
-    XLA when given an arbitrary dense mask (structured callers should use
-    flash_attention directly)."""
-    from .attention import attend_xla
-    return attend_xla(q, k, v, mask=mask, scale=scale)

@@ -86,24 +86,36 @@ def shard_params_pp(params: dict, mesh: Mesh) -> dict:
     specs = decoder_param_specs_pp()
     rep = NamedSharding(mesh, P())
     pp = mesh.shape["pp"]
+
+    def put(x, sharding):
+        # Quantized leaves are {"q","s"} dicts (ops/quant.py storage): both
+        # the values tensor and its scales keep the leading L axis, so both
+        # take the layer-stack placement.
+        if isinstance(x, dict) and set(x.keys()) == {"q", "s"}:
+            return {"q": jax.device_put(x["q"], sharding),
+                    "s": jax.device_put(x["s"], sharding)}
+        return jax.device_put(x, sharding)
+
+    def lead_dim(x) -> int:
+        return (x["q"] if isinstance(x, dict) else x).shape[0]
+
     dec = {}
     for k, v in params["decoder"].items():
         if k == "layers":
-            n_layers = {x.shape[0] for x in v.values()}
+            n_layers = {lead_dim(x) for x in v.values()}
             assert all(n % pp == 0 for n in n_layers), (
                 f"decoder layer count {sorted(n_layers)} not divisible by "
                 f"pp={pp} — pipeline stages must hold equal layer slices")
             dec[k] = {
-                name: jax.device_put(x, NamedSharding(mesh,
-                                                      specs["layers"][name]))
+                name: put(x, NamedSharding(mesh, specs["layers"][name]))
                 for name, x in v.items()}
         else:
-            dec[k] = jax.device_put(v, rep)
+            dec[k] = put(v, rep)
     out = dict(params)
     out["decoder"] = dec
     if "encoder" in params:
-        out["encoder"] = jax.tree.map(
-            lambda x: jax.device_put(x, rep), params["encoder"])
+        out["encoder"] = jax.tree.map(lambda x: jax.device_put(x, rep),
+                                      params["encoder"])
     return out
 
 

@@ -126,3 +126,42 @@ def test_rf64_decode():
     assert sr == 16000
     assert len(decoded) == len(audio)
     assert np.max(np.abs(decoded - audio)) < 1e-3
+
+
+def test_wav_zero_sample_rate_rejected():
+    """A header-declared sr of 0 must be AUDIO_DECODE_FAILED material, not an
+    OverflowError deep inside the resampler."""
+    audio = tone(0.1)
+    pcm = np.clip(audio * 32767, -32768, 32767).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 0, 0, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    with pytest.raises(AudioDecodeError):
+        decode_audio(hdr + pcm)
+
+
+def test_wav_implausible_sample_rate_rejected():
+    """A ~2^32 rate would make the Kaiser lowpass allocate tens of GB."""
+    audio = tone(0.01)
+    pcm = np.clip(audio * 32767, -32768, 32767).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 4294967291, 0, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    with pytest.raises(AudioDecodeError):
+        decode_audio(hdr + pcm)
+
+
+def test_aiff_negative_sample_rate_rejected():
+    """AIFF encodes the rate as an 80-bit float; a set sign bit must not
+    reach np.empty(negative) in the resampler."""
+    pcm = np.zeros(160, dtype=">i2").tobytes()
+    # float80 for -16000: sign bit | exponent for 2^14, mantissa normalized
+    f80 = struct.pack(">H", 0x8000 | (16383 + 13)) + struct.pack(
+        ">II", 0xFA000000, 0)
+    comm = struct.pack(">HIH", 1, 160, 16) + f80
+    ssnd = struct.pack(">II", 0, 0) + pcm
+    buf = (b"FORM" + struct.pack(">I", 4 + 8 + len(comm) + 8 + len(ssnd))
+           + b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+           + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    with pytest.raises(AudioDecodeError):
+        decode_audio(buf)

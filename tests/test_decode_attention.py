@@ -202,3 +202,33 @@ def test_backend_resolution():
     assert r(s_len=512) == "xla"
     # the decode opt-in never downgrades prefill/encoder attention
     assert r(backend="decode", is_decode_step=False, t=256) == "flash"
+
+
+def test_decode_short_cache():
+    """Caches shorter than one 128-lane block must pad up, not break the
+    [G, block_k] vs [G, 128] softmax-stat broadcast at trace time."""
+    b, nq, nkv, s, d = 2, 8, 4, 64, 64
+    q = _rand(20, (b, nq, 1, d))
+    k, v = _rand(21, (b, nkv, s, d)), _rand(22, (b, nkv, s, d))
+    vf = jnp.asarray([0, 5], jnp.int32)
+    vt = jnp.asarray([64, 40], jnp.int32)
+    ours = decode_attention(q, k, v, kv_valid_from=vf, kv_valid_to=vt,
+                            interpret=True)
+    ref = _ref(q, k, v, vf, vt)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_decode_sub_lane_block_k_clamped():
+    """An explicit block_k below the 128-lane scratch width is clamped, not
+    a trace-time broadcast error."""
+    b, nq, nkv, s, d = 1, 4, 2, 256, 32
+    q = _rand(23, (b, nq, 1, d))
+    k, v = _rand(24, (b, nkv, s, d)), _rand(25, (b, nkv, s, d))
+    vf = jnp.zeros((b,), jnp.int32)
+    vt = jnp.asarray([256], jnp.int32)
+    ours = decode_attention(q, k, v, kv_valid_from=vf, kv_valid_to=vt,
+                            block_k=64, interpret=True)
+    ref = _ref(q, k, v, vf, vt)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)

@@ -150,3 +150,26 @@ def test_pp_second_step_decreases_loss(devices):
     for _ in range(4):
         state, loss = step(state, batch)
     assert float(loss) < float(first)
+
+
+def test_shard_params_pp_quantized_leaves(devices):
+    """Quantized {'q','s'} dict leaves must place on the pp axis like the
+    dp-tp path does (parallel/mesh._tree_shard), not AttributeError."""
+    from qwen3_asr_tpu.ops.quant import quantize_params
+    cfg = _tiny_cfg().decoder
+    params = init_decoder_params(cfg, jax.random.PRNGKey(2))
+    qparams = quantize_params({"decoder": params}, "int8")
+    mesh = make_mesh_pp(devices, pp=4)
+    sharded = shard_params_pp(qparams, mesh)["decoder"]
+    wq = sharded["layers"]["wq"]
+    assert set(wq.keys()) == {"q", "s"}
+    # layer-stack axis sharded over pp on both values and scales
+    assert "pp" in str(wq["q"].sharding.spec)
+    # pipelined forward consumes the quantized leaves through qdot
+    b, t = 8, 12
+    embeds = jax.random.normal(jax.random.PRNGKey(3),
+                               (b, t, cfg.hidden_size)) * 0.3
+    vf = jnp.zeros((b,), jnp.int32)
+    got = pipelined_decoder_hidden(cfg, sharded["layers"], embeds, vf,
+                                   mesh, 2)
+    assert np.isfinite(np.asarray(got)).all()
