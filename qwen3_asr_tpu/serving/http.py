@@ -45,7 +45,11 @@ async def request_id_middleware(request: web.Request,
         return response
     except web.HTTPException as e:
         # Router-raised 404/405 etc. — real statuses, not server errors.
+        # These bypass the normal-response branch above, so the request-ID
+        # header (attached to every response, incl. routing errors) is set
+        # here too.
         status = str(e.status)
+        e.headers["X-Request-ID"] = req_id
         raise
     finally:
         reset_request_id(token)

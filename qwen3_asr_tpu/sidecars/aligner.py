@@ -67,7 +67,7 @@ class AlignerEngine:
               ) -> List[AlignedWord]:
         import jax.numpy as jnp
         from ..audio.resample import resample
-        from ..sidecars.subtitle import _tokenize
+        from ..sidecars.subtitle import _is_cjk, _tokenize
 
         audio = np.asarray(audio)
         if audio.dtype == np.int16:  # wire-format PCM → [-1, 1] float
@@ -110,10 +110,15 @@ class AlignerEngine:
                               int(np.ceil(duration / self.FRAME_SECONDS))))
         acoustic = np.asarray(acoustic[0, :n_frames], dtype=np.float32)
 
-        # Text token embeddings from the decoder table.
+        # Text token embeddings from the decoder table. Tokens are encoded
+        # exactly as they appear in the running transcript: the subtitle
+        # layer joins CJK tokens with no separator (subtitle.py joiner=""),
+        # so a leading space there would inject whitespace tokens that have
+        # no acoustic counterpart and steal frames from real words.
         from ..models.decoder import embed_tokens
+        joiner = "" if _is_cjk(text) else " "
         word_ids = [self.model.tokenizer.encode(
-            w if i == 0 else " " + w, allow_special=False) or [0]
+            w if i == 0 else joiner + w, allow_special=False) or [0]
             for i, w in enumerate(words)]
         flat = [i for ids in word_ids for i in ids]
         text_emb = np.asarray(embed_tokens(
@@ -281,7 +286,7 @@ def _fractional_edges(sim: np.ndarray, spans: np.ndarray) -> np.ndarray:
             floor = float(int(spans[i - 1, 1]) + 1) if i > 0 else 0.0
             edges[i, 0] = _single(i, "right", max(floor, lo - WIDE), lo + 1.0)
         # -- end edge ------------------------------------------------------
-        if next_gap <= GAP_JOINT and plateaus[i + 1] > 1e-6:
+        if i + 1 < n_tok and next_gap <= GAP_JOINT and plateaus[i + 1] > 1e-6:
             # Shared boundary: joint fit over both tokens' rows, searched
             # across both edge frames and the trim hole between them.
             nlo, nhi = int(spans[i + 1, 0]), int(spans[i + 1, 1])

@@ -8,7 +8,8 @@ from __future__ import annotations
 
 import functools
 import json
-from typing import Dict, Iterable, List, Optional, Tuple
+import unicodedata
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import regex as _re
 
@@ -42,17 +43,44 @@ def bytes_to_unicode() -> Dict[int, str]:
     return dict(zip(bs, map(chr, cs)))
 
 
+_UNICODE_NORM_TYPES = ("NFC", "NFD", "NFKC", "NFKD")
+
+
+def _unicode_norm_forms(norm: Optional[dict]) -> List[str]:
+    """Unicode-normalization forms declared by a tokenizer.json
+    ``normalizer`` block, in application order (flattens Sequence)."""
+    if not norm:
+        return []
+    kind = norm.get("type")
+    if kind in _UNICODE_NORM_TYPES:
+        return [kind]
+    if kind == "Sequence":
+        out: List[str] = []
+        for sub in norm.get("normalizers", []):
+            out.extend(_unicode_norm_forms(sub))
+        return out
+    return []
+
+
 class BpeTokenizer:
     def __init__(self, vocab: Dict[str, int], merges: List[Tuple[str, str]],
                  special_tokens: Optional[Dict[str, int]] = None,
                  pattern: str = _QWEN_PATTERN,
-                 added_tokens: Optional[Dict[str, int]] = None):
+                 added_tokens: Optional[Dict[str, int]] = None,
+                 norm_forms: Sequence[str] = ()):
         """special_tokens: added tokens with HF ``special: true`` — matched
         atomically on encode AND skipped by decode(skip_special=True).
         added_tokens: ``special: false`` entries (<think>, <tool_call>, …) —
         matched atomically on encode but ALWAYS emitted by decode, exactly
-        like the HF tokenizers runtime."""
+        like the HF tokenizers runtime.
+        norm_forms: Unicode normalization forms ("NFC", …) applied, in
+        order, to ordinary text before pre-tokenization — the tokenizer.json
+        ``normalizer`` stage (Qwen2/Qwen3 declare NFC; HF's slow tokenizer
+        likewise NFC-normalizes before BPE). Applied per non-special chunk,
+        matching the runtime's handling of ``normalized: false`` added
+        tokens (they are split out of the RAW text)."""
         self.vocab = dict(vocab)
+        self.norm_forms = tuple(norm_forms)
         self.special_tokens = dict(special_tokens or {})
         self.added_tokens = dict(added_tokens or {})
         self.vocab.update(self.special_tokens)
@@ -99,7 +127,9 @@ class BpeTokenizer:
                 pattern = _GPT2_PATTERN
                 break
         return BpeTokenizer(model["vocab"], merges, special, pattern,
-                            added_tokens=added)
+                            added_tokens=added,
+                            norm_forms=_unicode_norm_forms(
+                                blob.get("normalizer")))
 
     # -- BPE core -------------------------------------------------------------
     def _bpe(self, token: str) -> List[str]:
@@ -124,6 +154,8 @@ class BpeTokenizer:
         return parts
 
     def _encode_ordinary(self, text: str) -> List[int]:
+        for form in self.norm_forms:
+            text = unicodedata.normalize(form, text)
         ids: List[int] = []
         for piece in self.pattern.findall(text):
             mapped = "".join(self._byte_enc[b] for b in piece.encode("utf-8"))

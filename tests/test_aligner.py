@@ -195,6 +195,49 @@ def test_alignment_accuracy_noisy_similarity():
     assert worst_mean <= 0.038 + 1e-6, f"worst mean {worst_mean*1e3:.1f}ms"
 
 
+def test_fractional_edges_single_frame_clip():
+    """1 encoder frame + a token (≤80 ms clip with a hallucinated word):
+    the last token's shared-boundary probe must not index past the end.
+    Reproduced pre-fix: IndexError on plateaus[i+1]."""
+    from qwen3_asr_tpu.sidecars.aligner import (_fractional_edges,
+                                                _spans_to_words, _token_spans)
+    sim = np.array([[0.9]], np.float32)
+    spans = _token_spans(sim)
+    edges = _fractional_edges(sim, spans)
+    assert edges.shape == (1, 2)
+    assert edges[0, 1] > edges[0, 0]
+    words = _spans_to_words(["hi"], [[0]], spans, 0.08, 0.05, sim=sim)
+    assert len(words) == 1 and words[0].end <= 0.05 + 1e-6
+
+
+def test_align_tiny_clip_no_crash(aligner):
+    """align() on sub-80 ms audio (n_frames == 1) must not raise."""
+    words = aligner.align(speech_like(0.06, seed=4), 16000, "hi", "en")
+    assert len(words) <= 1
+    for w in words:
+        assert 0.0 <= w.start <= w.end
+
+
+def test_align_cjk_tokens_encode_without_space_joiner(aligner, monkeypatch):
+    """CJK transcripts are joined with an empty joiner downstream
+    (subtitle.py joiner=""), so align() must embed tokens WITHOUT a
+    leading space — a space-prefixed encoding would inject whitespace
+    tokens with no acoustic counterpart and shift every word span."""
+    seen = []
+    orig = aligner.model.tokenizer.encode
+
+    def spy(text, **kw):
+        seen.append(text)
+        return orig(text, **kw)
+
+    monkeypatch.setattr(aligner.model.tokenizer, "encode", spy)
+    aligner.align(speech_like(1.0, seed=2), 16000, "你好吗", "zh")
+    assert seen == ["你", "好", "吗"]
+    seen.clear()
+    aligner.align(speech_like(1.0, seed=2), 16000, "one two", "en")
+    assert seen == ["one", " two"]  # Latin keeps the space joiner
+
+
 def test_engine_timestamps_use_aligner_when_loaded(monkeypatch):
     """return_timestamps routes through the aligner when loaded and
     falls back to char-proportional estimates otherwise."""

@@ -78,6 +78,21 @@ def test_request_id_echo(client, loop):
     loop.run_until_complete(go())
 
 
+def test_request_id_on_router_errors(client, loop):
+    """404/405 come from aiohttp's router as HTTPException — the reference
+    attaches X-Request-ID to EVERY response, routing errors included
+    (src/server.py:561-565)."""
+    async def go():
+        resp = await client.get("/nonexistent",
+                                headers={"X-Request-ID": "trace-404"})
+        assert resp.status == 404
+        assert resp.headers["X-Request-ID"] == "trace-404"
+        resp = await client.request("DELETE", "/health")
+        assert resp.status == 405
+        assert resp.headers.get("X-Request-ID")
+    loop.run_until_complete(go())
+
+
 def test_docs_and_openapi(client, loop):
     async def go():
         resp = await client.get("/docs")

@@ -79,6 +79,36 @@ def test_bytes_to_unicode_reversible():
     assert len(set(m.values())) == 256
 
 
+def test_nfc_normalizer_matches_rust(tmp_path):
+    """The Qwen2/Qwen3 tokenizer.json declares an NFC normalizer; the HF
+    runtime NFC-normalizes before BPE. Decomposed input (e + combining
+    acute) must encode identically to its composed form."""
+    from tokenizers import Tokenizer, models, normalizers, pre_tokenizers, \
+        trainers, decoders
+    tok = Tokenizer(models.BPE())
+    tok.normalizer = normalizers.NFC()
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=400, special_tokens=SPECIALS,
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet())
+    tok.train_from_iterator(CORPUS + ["café résumé naïve"] * 50, trainer)
+    path = str(tmp_path / "tokenizer.json")
+    tok.save(path)
+    ours = BpeTokenizer.from_file(path)
+    assert ours.norm_forms == ("NFC",)
+    decomposed = "café résumé"
+    composed = "café résumé"
+    assert ours.encode(decomposed) == tok.encode(decomposed).ids
+    assert ours.encode(decomposed) == ours.encode(composed)
+    # Sequence-wrapped normalizers flatten in order.
+    from qwen3_asr_tpu.text.tokenizer import _unicode_norm_forms
+    assert _unicode_norm_forms(
+        {"type": "Sequence",
+         "normalizers": [{"type": "NFC"}, {"type": "Lowercase"}]}) == ["NFC"]
+    assert _unicode_norm_forms(None) == []
+
+
 def test_non_special_added_tokens_survive_decode(tmp_path):
     """HF semantics: added_tokens with special:false (<think>, <tool_call>)
     are matched atomically on encode but are NOT dropped by
