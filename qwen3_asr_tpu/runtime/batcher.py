@@ -31,6 +31,134 @@ class _Pending:
         self.submit_time = time.time()
 
 
+class _PendingTick:
+    __slots__ = ("audio", "resume", "future")
+
+    def __init__(self, audio, resume, future):
+        self.audio = audio
+        self.resume = resume
+        self.future = future
+
+
+class TickBatcher:
+    """Cross-session WS tick batching (``ASR_WS_TICK_BATCH=true``).
+
+    Partial ticks from concurrent streaming sessions that land in the same
+    (engine, bucket, language) within a few ms execute as ONE batched
+    resume dispatch (engine._run_bucket resume_rows=...): every row keeps
+    its own window audio and its own previous-partial self-draft, and
+    per-row accept frontiers diverge on-device
+    (runtime/resume.resume_generate_batch). Device work per tick cadence
+    becomes one dispatch per GROUP instead of one per session — the
+    sessions-per-chip multiplier — while each session's tokens stay
+    identical to its solo resume path. Collection window default 6 ms:
+    invisible next to the 450 ms cadence, wide enough that paced sessions
+    which drifted into the same tick slot coalesce (under device backlog,
+    queued ticks coalesce regardless of the window).
+    """
+
+    def __init__(self, manager, window_ms: Optional[float] = None,
+                 max_batch: Optional[int] = None):
+        self.manager = manager
+        self.window_s = (window_ms if window_ms is not None else
+                         float(os.getenv("ASR_WS_TICK_WINDOW_MS", "6"))) / 1000
+        self.max_batch = max_batch or int(os.getenv("ASR_WS_TICK_MAX_BATCH",
+                                                    "8"))
+        self._groups: dict = {}
+        self._lock = asyncio.Lock()
+
+    async def transcribe_tick(self, audio: np.ndarray,
+                              language: Optional[str],
+                              resume_tokens, use_fast: bool):
+        """One session's partial tick → (raw_text, token_ids)."""
+        mgr = self.manager
+        await mgr.ensure_loaded()  # idempotent; an idle unload can race us
+        use_fast = bool(use_fast and mgr.fast_engine is not None)
+        engine = mgr.fast_engine if use_fast else mgr.engine
+        from ..models.asr import normalize_language
+        language, _ = normalize_language(language)
+        bucket = engine.bucket_frames(len(audio))
+        key = (use_fast, bucket, language or "")
+
+        loop = asyncio.get_event_loop()
+        future = loop.create_future()
+        pending = _PendingTick(audio, resume_tokens, future)
+        async with self._lock:
+            group = self._groups.get(key)
+            if group is None:
+                group = []
+                self._groups[key] = group
+                asyncio.create_task(self._flush_later(key, group))
+            group.append(pending)
+            full = None
+            if len(group) >= self.max_batch:
+                full = self._groups.pop(key, None)
+        if full:
+            asyncio.create_task(self._submit(key, full))
+        return await future
+
+    async def _flush_later(self, key, group):
+        await asyncio.sleep(self.window_s)
+        async with self._lock:
+            if self._groups.get(key) is group:
+                self._groups.pop(key, None)
+            else:
+                group = None  # already flushed by max_batch
+        if group:
+            await self._submit(key, group)
+
+    async def _submit(self, key, group: List[_PendingTick]):
+        use_fast, (bucket_frames, bucket_s), language = \
+            key[0], key[1], key[2] or None
+        mgr = self.manager
+        if len(group) > 1:
+            log.debug("tick batch: {} sessions in bucket {}s", len(group),
+                      bucket_s)
+
+        def run():
+            mgr._last_used = time.time()
+            try:
+                if mgr.engine is None:  # admitted during an idle unload
+                    mgr._load_sync()
+                eng = (mgr.fast_engine
+                       if use_fast and mgr.fast_engine is not None
+                       else mgr.engine)
+                eng.last_used = time.time()
+                clips = [p.audio for p in group]
+                rows = [p.resume for p in group]
+                if len(group) == 1:
+                    # Solo tick: the proven batch-1 resume executable
+                    # (identical to the unbatched WS path).
+                    texts, ids = eng._run_bucket(
+                        clips, bucket_frames, bucket_s, language,
+                        resume_tokens=list(rows[0] or []))
+                else:
+                    # Power-of-two batch shapes only (compile-cache
+                    # discipline, same as MicroBatcher).
+                    padded_n = 1
+                    while padded_n < len(clips):
+                        padded_n *= 2
+                    while len(clips) < padded_n:
+                        clips.append(np.zeros(1600, dtype=np.float32))
+                        rows.append(None)
+                    texts, ids = eng._run_bucket(
+                        clips, bucket_frames, bucket_s, language,
+                        resume_rows=rows)
+                return list(zip(texts[:len(group)], ids[:len(group)]))
+            finally:
+                mgr._last_used = time.time()
+
+        try:
+            results = await mgr.queue.submit(run, priority=0)
+            for p, res in zip(group, results):
+                if not p.future.done():
+                    p.future.set_result(res)
+        except Exception as e:
+            for p in group:
+                if not p.future.done():
+                    p.future.set_exception(e)
+
+
 class MicroBatcher:
     """Collects same-(bucket, language) transcriptions for a few ms, then
     submits one batched job to the priority queue."""

@@ -302,6 +302,35 @@ class TranscriptionEngine:
         self._generate_fns[key] = run
         return run
 
+    def _fused_resume_batch_fn(self, bucket_frames: int, bucket_s: float):
+        """Cross-session batched resume executable: B sessions' ticks in
+        one dispatch (runtime/resume.resume_generate_batch) — rows carry
+        independent windows and self-drafts; per-row frontiers diverge
+        on-device. One executable per (bucket, max_new, B) like every
+        fused path."""
+        from .resume import resume_generate_batch
+        max_new = max_new_tokens_for(bucket_s)
+        key = ("resume_batch", bucket_frames, max_new)
+        fn = self._generate_fns.get(key)
+        if fn is not None:
+            return fn
+
+        cfg = self.model.cfg
+        build = self._prompt_builder(bucket_frames)
+        eos_id, pad_id = self.model.eos_id, self.model.pad_id
+        cache_dtype = self.cache_dtype
+
+        @jax.jit
+        def run(params, audio, prefix_ids, valid_from, prev_tokens, prev_len):
+            inputs = build(params, audio, prefix_ids)
+            return resume_generate_batch(
+                params["decoder"], cfg.decoder, inputs, valid_from,
+                prev_tokens, prev_len, max_new=max_new, eos_id=eos_id,
+                pad_id=pad_id, cache_dtype=cache_dtype)
+
+        self._generate_fns[key] = run
+        return run
+
     # -- WS prefix caching (runtime/stream.py) -----------------------------------
     def _stream_fn(self, key):
         """Memoized stream executables, shared by every session."""
@@ -335,9 +364,15 @@ class TranscriptionEngine:
     def _run_bucket(self, clips: Sequence[np.ndarray], bucket_frames: int,
                     bucket_s: float, language: Optional[str],
                     context: str = "",
-                    resume_tokens: Optional[Sequence[int]] = None
+                    resume_tokens: Optional[Sequence[int]] = None,
+                    resume_rows: Optional[Sequence[
+                        Optional[Sequence[int]]]] = None
                     ) -> Tuple[List[str], List[List[int]]]:
-        """All clips already ≤ bucket. Returns (texts, token_id_lists)."""
+        """All clips already ≤ bucket. Returns (texts, token_id_lists).
+
+        resume_tokens: one stream's previous tokens (batch-1 resume path).
+        resume_rows: per-row previous tokens for a CROSS-SESSION tick batch
+        (None entries = no draft); len must equal len(clips)."""
         n_samples = bucket_frames * HOP_LENGTH
         batch = len(clips)
 
@@ -360,7 +395,20 @@ class TranscriptionEngine:
         valid_from = self._place_batch(valid_from)
 
         max_new = max_new_tokens_for(bucket_s)
-        if resume_tokens is not None and batch == 1:
+        if resume_rows is not None:
+            assert len(resume_rows) == batch, "one resume row per clip"
+            prev = np.full((batch, max_new), self.model.pad_id, np.int32)
+            prev_lens = np.zeros(batch, np.int32)
+            for i, row in enumerate(resume_rows):
+                usable = list(row or [])[:max_new]
+                prev[i, :len(usable)] = usable
+                prev_lens[i] = len(usable)
+            fn = self._fused_resume_batch_fn(bucket_frames, bucket_s)
+            result = fn(self.model.params, jnp.asarray(audio),
+                        jnp.asarray(prefix), jnp.asarray(valid_from),
+                        self._place_batch(prev),
+                        self._place_batch(prev_lens))
+        elif resume_tokens is not None and batch == 1:
             prev = np.full((1, max_new), self.model.pad_id, np.int32)
             usable = list(resume_tokens)[:max_new]
             prev[0, :len(usable)] = usable

@@ -147,8 +147,9 @@ class ModelManager:
         self._sessions_lock = _threading.Lock()
         self.loaded_model_id: Optional[str] = None
         self.queue = PriorityInferQueue()
-        from .batcher import MicroBatcher
+        from .batcher import MicroBatcher, TickBatcher
         self.batcher = MicroBatcher(self)
+        self.tick_batcher = TickBatcher(self)
         self._lock = asyncio.Lock()
         self._last_used = 0.0
         self.idle_timeout = int(os.getenv("IDLE_TIMEOUT", "120"))

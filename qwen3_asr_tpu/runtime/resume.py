@@ -72,6 +72,105 @@ def resume_generate(params, cfg: DecoderConfig, inputs_embeds: jax.Array,
     return result
 
 
+class _BatchCarry(NamedTuple):
+    cache: KVCache
+    last: jax.Array      # [B] frontier token (unprocessed)
+    done: jax.Array      # [B]
+    tokens: jax.Array    # [B, max_new]
+    text_len: jax.Array  # [B] emitted tokens incl. frontier
+
+
+def resume_generate_batch(params, cfg: DecoderConfig,
+                          inputs_embeds: jax.Array, valid_from: jax.Array,
+                          prev_tokens: jax.Array, prev_len: jax.Array, *,
+                          max_new: int, eos_id: int, pad_id: int,
+                          cache_dtype=jnp.bfloat16) -> GenerateResult:
+    """Cross-session batched resume: B independent streams' ticks in ONE
+    executable. Each row carries its own window prompt and its own
+    previous-partial self-draft; rows accept different prefix lengths, so
+    the continuation runs speculative-style per-row frontiers (per-row
+    cache write offsets + valid_to masks — runtime/speculative.py's
+    invariants). Per row the output is token-identical to
+    resume_generate / greedy_generate of that row alone.
+
+    This is what lets concurrent WS sessions share one device dispatch per
+    tick cadence instead of one dispatch per session (serving/server.py
+    tick batching, ASR_WS_TICK_BATCH).
+    """
+    b, plen, _ = inputs_embeds.shape
+    total = -(-(plen + max_new) // 128) * 128
+    cache = init_kv_cache(cfg, b, total, dtype=cache_dtype)
+
+    # ---- prefill (batched, identical to greedy_generate) -----------------------
+    positions = jnp.broadcast_to(jnp.arange(plen), (b, plen))
+    hidden, cache = decoder_forward(
+        params, cfg, inputs_embeds, positions, cache, jnp.int32(0),
+        AttnSpec(causal=True, valid_from=valid_from))
+    first = jnp.argmax(lm_logits(params, cfg, hidden[:, -1]),
+                       axis=-1).astype(jnp.int32)                      # [B]
+
+    # ---- verify every row's previous tokens in one forward ----------------------
+    # All rows' drafts sit at the same positions plen..plen+max_new-1
+    # (same bucket ⇒ same prompt budget), so the verify window needs no
+    # per-row offsets — only the accept math is per-row.
+    hidden = embed_tokens(params, cfg, prev_tokens)
+    positions = plen + jnp.broadcast_to(jnp.arange(max_new), (b, max_new))
+    hidden, cache = decoder_forward(
+        params, cfg, hidden, positions, cache, jnp.int32(plen),
+        AttnSpec(causal=True, q_offset=plen, valid_from=valid_from))
+    preds = jnp.argmax(lm_logits(params, cfg, hidden),
+                       axis=-1).astype(jnp.int32)                      # [B, max_new]
+
+    rows = jnp.arange(b)
+    slot = jnp.arange(max_new)[None, :]                                # [1, max_new]
+    eq = jnp.where(slot == 0, prev_tokens[:, :1] == first[:, None],
+                   prev_tokens == jnp.roll(preds, 1, axis=1))
+    eq &= slot < prev_len[:, None]
+    eq &= prev_tokens != eos_id
+    eq &= prev_tokens != pad_id
+    accepted = jnp.cumprod(eq.astype(jnp.int32), axis=1)               # [B, max_new]
+    n = jnp.minimum(jnp.sum(accepted, axis=1), max_new - 1)            # [B]
+
+    g_n = jnp.where(n == 0, first,
+                    preds[rows, jnp.maximum(n - 1, 0)])                # [B]
+    tokens0 = jnp.where((slot < n[:, None]) & (accepted > 0),
+                        prev_tokens, pad_id)
+    tokens0 = tokens0.at[rows, n].set(g_n)                             # [B, max_new]
+    text_len0 = n + 1
+    done0 = (g_n == eos_id) | (g_n == pad_id)
+
+    # ---- per-row greedy continuation ---------------------------------------------
+    def cond(c: _BatchCarry):
+        return ~jnp.all(c.done | (c.text_len >= max_new))
+
+    def body(c: _BatchCarry):
+        # Row r's frontier token c.last[r] sits at position plen+text_len-1.
+        # Finished/full rows freeze: they re-write identical KV at their
+        # frozen position and their (masked-to-pad) logits are discarded.
+        pos = plen + c.text_len - 1                                    # [B]
+        hidden = embed_tokens(params, cfg, c.last[:, None])
+        spec = AttnSpec(valid_from=valid_from, valid_to=pos + 1)
+        hidden, cache = decoder_forward(params, cfg, hidden, pos[:, None],
+                                        c.cache, pos, spec)
+        nxt = jnp.argmax(lm_logits(params, cfg, hidden[:, -1]),
+                         axis=-1).astype(jnp.int32)
+        live = ~c.done & (c.text_len < max_new)
+        nxt = jnp.where(live, nxt, pad_id)
+        idx = jnp.minimum(c.text_len, max_new - 1)
+        keep = c.tokens[rows, idx]
+        tokens = c.tokens.at[rows, idx].set(jnp.where(live, nxt, keep))
+        done = c.done | (nxt == eos_id) | (nxt == pad_id)
+        last = jnp.where(live, nxt, c.last)
+        text_len = jnp.where(live, c.text_len + 1, c.text_len)
+        return _BatchCarry(cache, last, done, tokens, text_len)
+
+    final = jax.lax.while_loop(
+        cond, body, _BatchCarry(cache, g_n, done0, tokens0, text_len0))
+
+    lengths = jnp.sum((final.tokens != pad_id).astype(jnp.int32), axis=-1)
+    return GenerateResult(final.tokens, lengths, final.text_len - text_len0)
+
+
 def verify_and_continue(params, cfg: DecoderConfig, cache: KVCache,
                         plen: int, first: jax.Array, valid_from: jax.Array,
                         prev_tokens: jax.Array, prev_len: jax.Array, *,

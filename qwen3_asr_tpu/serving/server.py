@@ -508,6 +508,23 @@ async def _transcribe_with_context(mgr: ModelManager, audio_bytes: bytes,
                      len(text))
             return text, token_ids
 
+        # Cross-session tick batching (ASR_WS_TICK_BATCH=true): concurrent
+        # sessions' partial ticks coalesce into one batched resume dispatch
+        # (runtime/batcher.TickBatcher) — one device call per tick cadence
+        # per bucket instead of per session. Flushes keep the solo path
+        # (padded silence changes the audio and the window clears after).
+        if (not pad_silence
+                and os.getenv("ASR_WS_TICK_BATCH", "").lower() == "true"):
+            raw, token_ids = await asyncio.wait_for(
+                mgr.tick_batcher.transcribe_tick(audio, lang_code,
+                                                 resume_tokens,
+                                                 use_fast=True),
+                timeout=mgr.request_timeout)
+            text = detect_and_fix_repetitions(raw)
+            log.info("_transcribe_with_context | done elapsed={:.2f}s "
+                     "text_len={} (tick-batch)", time.time() - t0, len(text))
+            return text, token_ids
+
         # WS ticks default to the fused resume path even in pool mode:
         # measured on-chip (CHANGELOG r3), resume self-drafting holds
         # 16.1 aggregate partials/s over 8 paced sessions vs the pool's

@@ -90,6 +90,70 @@ def test_different_buckets_not_batched(manager):
     _run(go())
 
 
+def test_tick_batch_one_dispatch_matches_solo(manager):
+    """Cross-session tick batching: concurrent WS partial ticks coalesce
+    into ONE batched resume dispatch, and every session's text equals its
+    solo transcribe() — steady-state, first-tick, and garbage drafts."""
+    from qwen3_asr_tpu.runtime.batcher import TickBatcher
+
+    async def go():
+        manager.queue.start()
+        batcher = TickBatcher(manager, window_ms=50, max_batch=4)
+        clips = [speech_like(0.6, seed=s) for s in (11, 12, 13)]
+        solo = [manager.engine.transcribe(c, 16000, "en") for c in clips]
+        drafts = [solo[0][0].token_ids,   # own previous output
+                  None,                   # first tick
+                  [5, 9, 2]]              # garbage
+        dispatches = []
+        orig = manager.engine._run_bucket
+
+        def counting(clips_, *a, **k):
+            dispatches.append((len(clips_), "resume_rows" in k))
+            return orig(clips_, *a, **k)
+
+        manager.engine._run_bucket = counting
+        try:
+            got = await asyncio.gather(*[
+                batcher.transcribe_tick(c, "en", d, use_fast=True)
+                for c, d in zip(clips, drafts)])
+        finally:
+            manager.engine._run_bucket = orig
+            manager.queue.stop()
+        assert dispatches == [(4, True)]  # one call, pow2-padded, batched
+        assert [t for t, _ in got] == [r[0].text for r in solo]
+        assert [ids for _, ids in got] == [r[0].token_ids for r in solo]
+    _run(go())
+
+
+def test_tick_batch_solo_tick_keeps_batch1_resume(manager):
+    """A lone tick takes the proven batch-1 resume executable."""
+    from qwen3_asr_tpu.runtime.batcher import TickBatcher
+
+    async def go():
+        manager.queue.start()
+        batcher = TickBatcher(manager, window_ms=5, max_batch=4)
+        clip = speech_like(0.6, seed=14)
+        solo = manager.engine.transcribe(clip, 16000, "en")
+        dispatches = []
+        orig = manager.engine._run_bucket
+
+        def counting(clips_, *a, **k):
+            dispatches.append((len(clips_),
+                               k.get("resume_tokens") is not None))
+            return orig(clips_, *a, **k)
+
+        manager.engine._run_bucket = counting
+        try:
+            text, ids = await batcher.transcribe_tick(
+                clip, "en", solo[0].token_ids, use_fast=True)
+        finally:
+            manager.engine._run_bucket = orig
+            manager.queue.stop()
+        assert dispatches == [(1, True)]
+        assert text == solo[0].text and ids == solo[0].token_ids
+    _run(go())
+
+
 def test_timestamps_fall_back_to_solo(manager):
     async def go():
         manager.queue.start()

@@ -97,6 +97,107 @@ def test_resume_streaming_scenario(params):
         prev_len = int(res.lengths[0])
 
 
+def test_resume_batch_rows_match_per_row_greedy(params):
+    """Batched cross-session resume: 4 rows with different windows and
+    different self-drafts (own output / empty / garbage / other-stream
+    tokens) in ONE call — every row must equal ITS OWN greedy decode."""
+    from qwen3_asr_tpu.runtime.resume import resume_generate_batch
+
+    seeds = (21, 22, 23, 24)
+    embeds_rows = [_embeds(s) for s in seeds]
+    refs = [_greedy(params, e) for e in embeds_rows]
+
+    prev = np.full((4, MAX_NEW), PAD, np.int32)
+    prev_len = np.zeros(4, np.int32)
+    # row 0: its own previous output (steady-state tick)
+    prev[0] = np.asarray(refs[0].tokens)[0]
+    prev_len[0] = int(refs[0].lengths[0])
+    # row 1: empty draft (first tick)
+    # row 2: garbage draft
+    prev[2] = np.random.default_rng(7).integers(0, 99, MAX_NEW)
+    prev_len[2] = MAX_NEW
+    # row 3: another stream's output (partial/no match)
+    prev[3] = np.asarray(refs[0].tokens)[0]
+    prev_len[3] = int(refs[0].lengths[0])
+
+    batch = resume_generate_batch(
+        params, CFG, jnp.concatenate(embeds_rows, axis=0),
+        jnp.zeros((4,), jnp.int32), jnp.asarray(prev),
+        jnp.asarray(prev_len), max_new=MAX_NEW, eos_id=EOS, pad_id=PAD,
+        cache_dtype=jnp.float32)
+
+    for r in range(4):
+        got = [t for t in np.asarray(batch.tokens)[r].tolist() if t != PAD]
+        assert got == _strip(refs[r].tokens), f"row {r}"
+        assert int(batch.lengths[r]) == int(refs[r].lengths[0]), f"row {r}"
+
+
+def test_resume_batch_accepted_rows_take_few_steps(params):
+    """Rows resuming their own output keep the few-step property in batch:
+    steps counts continuation probes past the accepted prefix, so an
+    all-steady-state batch stays ≤2 even though rows share the loop."""
+    from qwen3_asr_tpu.runtime.resume import resume_generate_batch
+
+    embeds_rows = [_embeds(s) for s in (31, 32)]
+    refs = [_greedy(params, e) for e in embeds_rows]
+    prev = np.stack([np.asarray(r.tokens)[0] for r in refs])
+    prev_len = np.asarray([int(r.lengths[0]) for r in refs], np.int32)
+    batch = resume_generate_batch(
+        params, CFG, jnp.concatenate(embeds_rows, axis=0),
+        jnp.zeros((2,), jnp.int32), jnp.asarray(prev),
+        jnp.asarray(prev_len), max_new=MAX_NEW, eos_id=EOS, pad_id=PAD,
+        cache_dtype=jnp.float32)
+    for r in range(2):
+        got = [t for t in np.asarray(batch.tokens)[r].tolist() if t != PAD]
+        assert got == _strip(refs[r].tokens)
+        assert int(batch.steps[r]) <= 2
+
+
+def test_resume_batch_matches_batch1_resume(params):
+    """The batched kernel at B=1 agrees with the shipping batch-1 resume."""
+    from qwen3_asr_tpu.runtime.resume import resume_generate_batch
+
+    embeds = _embeds(41)
+    prev = np.asarray(_greedy(params, _embeds(42)).tokens)[0]
+    a = _resume(params, embeds, prev, MAX_NEW)
+    b = resume_generate_batch(
+        params, CFG, embeds, jnp.zeros((1,), jnp.int32),
+        jnp.asarray(prev, jnp.int32)[None, :],
+        jnp.asarray([MAX_NEW], jnp.int32), max_new=MAX_NEW, eos_id=EOS,
+        pad_id=PAD, cache_dtype=jnp.float32)
+    assert _strip(a.tokens) == _strip(b.tokens)
+    assert int(a.lengths[0]) == int(b.lengths[0])
+
+
+def test_engine_batched_ticks_match_solo(tmp_path):
+    """Engine cross-session tick batch (_run_bucket resume_rows=...): every
+    row — steady-state draft, no draft, garbage draft — must produce the
+    same text and token ids as that clip's solo transcribe()."""
+    import sys
+    sys.path.insert(0, "tests")
+    from tests.fixtures import load_tiny_model, write_tiny_checkpoint
+    from tests.util_audio import speech_like
+    from qwen3_asr_tpu.models.asr import normalize_language
+    from qwen3_asr_tpu.runtime.engine import TranscriptionEngine
+
+    ckpt = str(tmp_path / "ckpt")
+    write_tiny_checkpoint(ckpt)
+    engine = TranscriptionEngine(load_tiny_model(ckpt))
+    clips = [speech_like(1.0, seed=s) for s in (1, 2, 3, 4)]
+    refs = [engine.transcribe(c, 16000, language="en") for c in clips]
+
+    lang, _ = normalize_language("en")
+    bucket_frames, bucket_s = engine.bucket_frames(len(clips[0]))
+    resume_rows = [refs[0][0].token_ids,          # own previous output
+                   None,                          # first tick, no draft
+                   [5, 9, 2, 7],                  # garbage draft
+                   refs[0][0].token_ids]          # other stream's tokens
+    texts, id_lists = engine._run_bucket(clips, bucket_frames, bucket_s,
+                                         lang, resume_rows=resume_rows)
+    assert texts == [r[0].text for r in refs]
+    assert id_lists == [r[0].token_ids for r in refs]
+
+
 def test_engine_resume_equals_plain(tmp_path):
     """Engine path: resume_tokens (even garbage) never changes the output."""
     import sys

@@ -311,6 +311,41 @@ def test_ws_partials_cumulative(client, loop):
     loop.run_until_complete(go())
 
 
+def test_ws_tick_batching_two_sessions(client, loop, monkeypatch):
+    """ASR_WS_TICK_BATCH=true: two concurrent sessions' partials ride the
+    cross-session tick batcher (runtime/batcher.TickBatcher) end-to-end
+    through the WS protocol."""
+    monkeypatch.setenv("ASR_WS_TICK_BATCH", "true")
+    from qwen3_asr_tpu.runtime import batcher as batcher_mod
+    calls = []
+    orig = batcher_mod.TickBatcher.transcribe_tick
+
+    async def spy(self, audio, language, resume_tokens, use_fast):
+        calls.append(len(audio))
+        return await orig(self, audio, language, resume_tokens, use_fast)
+
+    monkeypatch.setattr(batcher_mod.TickBatcher, "transcribe_tick", spy)
+
+    async def session(seed):
+        ws = await client.ws_connect("/ws/transcribe?use_server_vad=false")
+        await ws.receive_json()  # handshake
+        pcm = _pcm(speech_like(1.2, seed=seed))
+        for i in range(0, len(pcm), 14400):
+            await ws.send_bytes(pcm[i:i + 14400])
+            try:
+                msg = await asyncio.wait_for(ws.receive_json(), timeout=30)
+                assert "error" not in msg.get("text", ""), msg
+            except asyncio.TimeoutError:
+                pass
+        await ws.close()
+
+    async def go():
+        await asyncio.gather(session(5), session(6))
+
+    loop.run_until_complete(go())
+    assert calls, "partial ticks never reached the tick batcher"
+
+
 def test_ws_config_action(client, loop):
     async def go():
         ws = await client.ws_connect("/ws/transcribe")
