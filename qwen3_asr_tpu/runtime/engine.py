@@ -574,6 +574,31 @@ class TranscriptionEngine:
             log.info("Warmup bucket {}s compiled in {:.1f}s", sec,
                      time.time() - t0)
 
+        if _os.getenv("ASR_WS_TICK_BATCH", "").lower() == "true":
+            # Compile the cross-session batched resume executables so the
+            # first coalesced tick group doesn't pay a live compile. Ticks
+            # only ever see windows ≤ the WS cap, and TickBatcher pads
+            # groups to powers of two up to its max batch.
+            cap = float(_os.getenv("WS_WINDOW_MAX_S", "6.0"))
+            max_b = int(_os.getenv("ASR_WS_TICK_MAX_BATCH", "8"))
+            shapes = []
+            bsz = 2
+            while bsz <= max_b:
+                shapes.append(bsz)
+                bsz *= 2
+            for sec in [s for s in buckets if s <= cap] or buckets[:1]:
+                bucket_frames, bucket_s = self.bucket_frames(
+                    int(TARGET_SR * sec))
+                dummy = (rng.standard_normal(int(TARGET_SR * sec))
+                         .astype(np.float32) * 0.01)
+                t0 = time.time()
+                for bsz in shapes:
+                    self._run_bucket([dummy] * bsz, bucket_frames, bucket_s,
+                                     language, resume_rows=[None] * bsz)
+                log.info("Warmup tick-batch bucket {}s (shapes {}) "
+                         "compiled in {:.1f}s", sec, shapes,
+                         time.time() - t0)
+
         if _os.getenv("ASR_WS_PREFIX_CACHE", "").lower() == "true":
             # Pace a throwaway session across the cap so every stream
             # executable (block-encode shapes, segment-ladder rungs)

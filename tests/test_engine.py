@@ -169,6 +169,17 @@ def test_warmup_covers_resume_and_batches(engine, monkeypatch):
     assert any(k[0] == "resume" for k in keys)             # resume fn
 
 
+def test_warmup_covers_tick_batch_shapes(engine, monkeypatch):
+    """ASR_WS_TICK_BATCH=true warms the cross-session batched resume
+    executables so a live tick group never pays a first compile."""
+    monkeypatch.setenv("ASR_WS_TICK_BATCH", "true")
+    monkeypatch.setenv("ASR_WS_TICK_MAX_BATCH", "4")
+    monkeypatch.setenv("WS_WINDOW_MAX_S", "1.0")
+    engine._generate_fns.clear()
+    engine.warmup(buckets=[1.0])
+    assert any(k[0] == "resume_batch" for k in engine._generate_fns)
+
+
 def test_bucket_budget_matches_rounded_coverage(engine):
     """Chunk-rounding can make a bucket physically larger than its nominal
     label; the returned seconds (and thus the decode token budget) must
