@@ -150,6 +150,10 @@ class ModelManager:
         from .batcher import MicroBatcher, TickBatcher
         self.batcher = MicroBatcher(self)
         self.tick_batcher = TickBatcher(self)
+        # Live WS session count (kept by the serving layer): the tick
+        # batcher skips its collection window when there is nothing to
+        # coalesce with.
+        self.ws_sessions = 0
         self._lock = asyncio.Lock()
         self._last_used = 0.0
         self.idle_timeout = int(os.getenv("IDLE_TIMEOUT", "120"))

@@ -682,6 +682,7 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
             await ws.close(code=aiohttp.WSCloseCode.TRY_AGAIN_LATER)
             return ws
         request.app["ws_sessions"] = request.app.get("ws_sessions", 0) + 1
+        mgr.ws_sessions = request.app["ws_sessions"]  # tick-batch hint
         admitted = True
 
         await mgr.ensure_loaded()
@@ -864,6 +865,7 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
     finally:
         if admitted:
             request.app["ws_sessions"] -= 1
+            mgr.ws_sessions = request.app["ws_sessions"]
         if stream_session is not None:
             # Free the session's device KV/encoder caches with the
             # connection — they must not outlive it in HBM.

@@ -98,6 +98,7 @@ def test_tick_batch_one_dispatch_matches_solo(manager):
 
     async def go():
         manager.queue.start()
+        manager.ws_sessions = 3  # multiple live sessions → use the window
         batcher = TickBatcher(manager, window_ms=50, max_batch=4)
         clips = [speech_like(0.6, seed=s) for s in (11, 12, 13)]
         solo = [manager.engine.transcribe(c, 16000, "en") for c in clips]
@@ -126,12 +127,15 @@ def test_tick_batch_one_dispatch_matches_solo(manager):
 
 
 def test_tick_batch_solo_tick_keeps_batch1_resume(manager):
-    """A lone tick takes the proven batch-1 resume executable."""
+    """A lone live session dispatches immediately (no collection window —
+    the 5 s window here would hang the test if it were paid) and takes
+    the proven batch-1 resume executable."""
     from qwen3_asr_tpu.runtime.batcher import TickBatcher
 
     async def go():
         manager.queue.start()
-        batcher = TickBatcher(manager, window_ms=5, max_batch=4)
+        manager.ws_sessions = 1  # lone session → immediate dispatch
+        batcher = TickBatcher(manager, window_ms=5000, max_batch=4)
         clip = speech_like(0.6, seed=14)
         solo = manager.engine.transcribe(clip, 16000, "en")
         dispatches = []
