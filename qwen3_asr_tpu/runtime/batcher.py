@@ -1,13 +1,21 @@
-"""Micro-batching collector: groups same-bucket requests into one dispatch.
+"""Batching collectors: group compatible device work into one dispatch.
 
 Net-new capability vs the reference (strictly one request per GPU pass):
-concurrent HTTP transcriptions that land in the same length bucket within a
-short window execute as ONE batched device call — the engine's fused
-executable is batch-shaped, and batch rows ride the DP mesh axis when
-sharded. This is what makes "batched HTTP transcription" (BASELINE config 2)
-scale on TPU.
 
-WS partials (priority 0) bypass batching: latency beats throughput there.
+* ``MicroBatcher`` — concurrent HTTP transcriptions that land in the same
+  length bucket within a short window execute as ONE batched device call —
+  the engine's fused executable is batch-shaped, and batch rows ride the
+  DP mesh axis when sharded. This is what makes "batched HTTP
+  transcription" (BASELINE config 2) scale on TPU.
+* ``TickBatcher`` — concurrent WS sessions' partial ticks coalesce into
+  one batched resume dispatch (``ASR_WS_TICK_BATCH=true``), the
+  sessions-per-chip multiplier.
+
+Both share the ``_Collector`` machinery: a keyed group map guarded by one
+asyncio lock, a per-group flush timer, power-of-two batch-shape padding
+(compile-cache discipline), and future settling that survives task
+cancellation. Device dispatch always happens OUTSIDE the lock — a batched
+call can take seconds and must not stall admission of other requests.
 """
 from __future__ import annotations
 
@@ -40,7 +48,97 @@ class _PendingTick:
         self.future = future
 
 
-class TickBatcher:
+def _pow2_floor(n: int) -> int:
+    return 1 << (max(1, n).bit_length() - 1)
+
+
+def _pad_pow2(clips: list, rows: Optional[list] = None) -> None:
+    """Pad in place to a power-of-two batch so only {1,2,4,8,...} shapes
+    ever compile (arbitrary group sizes would each build an executable)."""
+    n = 1
+    while n < len(clips):
+        n *= 2
+    while len(clips) < n:
+        clips.append(np.zeros(1600, dtype=np.float32))
+        if rows is not None:
+            rows.append(None)
+
+
+class _Collector:
+    """Keyed group collection + settle-safe dispatch, shared by both
+    batchers. Subclasses define _submit(key, group)."""
+
+    def __init__(self, manager, window_s: float, max_batch: int):
+        self.manager = manager
+        self.window_s = window_s
+        # Round the cap DOWN to a power of two: groups are padded UP to a
+        # pow2 batch shape before dispatch, so a non-pow2 cap (e.g. 6)
+        # would silently dispatch PAST the configured cap at a batch shape
+        # warmup never compiled — a live-compile stall on the hot path.
+        cap = _pow2_floor(max_batch)
+        if cap != max_batch:
+            log.warning("batch cap {} rounded down to power-of-two {}",
+                        max_batch, cap)
+        self.max_batch = cap
+        self._groups: dict = {}
+        self._lock = asyncio.Lock()
+
+    async def _enqueue(self, key, pending, solo: bool = False) -> None:
+        """Admit one item. ``solo=True`` dispatches it immediately as its
+        own group (nothing to coalesce with). The lock guards ONLY the
+        group map — dispatch and result awaiting happen outside it."""
+        to_submit = None
+        async with self._lock:
+            group = self._groups.get(key)
+            if group is None:
+                if solo or self.max_batch <= 1:
+                    to_submit = [pending]
+                else:
+                    group = [pending]
+                    self._groups[key] = group
+                    asyncio.create_task(self._flush_later(key, group))
+            else:
+                group.append(pending)
+                if len(group) >= self.max_batch:
+                    to_submit = self._groups.pop(key, None)
+        if to_submit:
+            asyncio.create_task(self._submit(key, to_submit))
+
+    async def _flush_later(self, key, group):
+        await asyncio.sleep(self.window_s)
+        async with self._lock:
+            # Only flush the group this timer was created for — a
+            # max_batch-filled group may already have been popped and a
+            # successor started under the same key.
+            if self._groups.get(key) is group:
+                self._groups.pop(key, None)
+            else:
+                group = None
+        if group:
+            await self._submit(key, group)
+
+    async def _dispatch(self, group, job, priority: int) -> None:
+        """Run ``job`` on the inference queue and settle every pending
+        future. Catches BaseException: a cancelled flush/submit task
+        (loop teardown, queue stop) must not strand the coalesced
+        sessions' futures unresolved — they would each hang until their
+        request timeout."""
+        try:
+            results = await self.manager.queue.submit(job, priority=priority)
+        except BaseException as e:
+            exc = e if isinstance(e, Exception) else asyncio.CancelledError()
+            for p in group:
+                if not p.future.done():
+                    p.future.set_exception(exc)
+            if not isinstance(e, Exception):
+                raise
+            return
+        for p, res in zip(group, results):
+            if not p.future.done():
+                p.future.set_result(res)
+
+
+class TickBatcher(_Collector):
     """Cross-session WS tick batching (``ASR_WS_TICK_BATCH=true``).
 
     Partial ticks from concurrent streaming sessions that land in the same
@@ -54,66 +152,45 @@ class TickBatcher:
     identical to its solo resume path. Collection window default 6 ms:
     invisible next to the 450 ms cadence, wide enough that paced sessions
     which drifted into the same tick slot coalesce (under device backlog,
-    queued ticks coalesce regardless of the window).
+    queued ticks coalesce regardless of the window). A lone live session
+    skips the window entirely (measured +23 ms solo p50 otherwise).
     """
 
     def __init__(self, manager, window_ms: Optional[float] = None,
                  max_batch: Optional[int] = None):
-        self.manager = manager
-        self.window_s = (window_ms if window_ms is not None else
-                         float(os.getenv("ASR_WS_TICK_WINDOW_MS", "6"))) / 1000
-        self.max_batch = max_batch or int(os.getenv("ASR_WS_TICK_MAX_BATCH",
-                                                    "8"))
-        self._groups: dict = {}
-        self._lock = asyncio.Lock()
+        super().__init__(
+            manager,
+            (window_ms if window_ms is not None else
+             float(os.getenv("ASR_WS_TICK_WINDOW_MS", "6"))) / 1000,
+            max_batch or int(os.getenv("ASR_WS_TICK_MAX_BATCH", "8")))
 
     async def transcribe_tick(self, audio: np.ndarray,
                               language: Optional[str],
                               resume_tokens, use_fast: bool):
         """One session's partial tick → (raw_text, token_ids)."""
         mgr = self.manager
-        await mgr.ensure_loaded()  # idempotent; an idle unload can race us
-        use_fast = bool(use_fast and mgr.fast_engine is not None)
-        engine = mgr.fast_engine if use_fast else mgr.engine
+        engine = None
+        for _ in range(3):
+            # An idle unload can race admission (ensure_loaded's lock-free
+            # fast path saw the engine just before it was nulled) — retry
+            # the load rather than erroring the session's partial.
+            await mgr.ensure_loaded()
+            use_fast_eff = bool(use_fast and mgr.fast_engine is not None)
+            engine = mgr.fast_engine if use_fast_eff else mgr.engine
+            if engine is not None:
+                break
+        if engine is None:
+            raise RuntimeError("engine unavailable (load/unload race)")
         from ..models.asr import normalize_language
         language, _ = normalize_language(language)
         bucket = engine.bucket_frames(len(audio))
-        key = (use_fast, bucket, language or "")
+        key = (use_fast_eff, bucket, language or "")
 
-        loop = asyncio.get_event_loop()
-        future = loop.create_future()
+        future = asyncio.get_event_loop().create_future()
         pending = _PendingTick(audio, resume_tokens, future)
-        async with self._lock:
-            group = self._groups.get(key)
-            if group is None:
-                group = [pending]
-                # A lone live session has nothing to coalesce with —
-                # dispatch immediately instead of paying the collection
-                # window (measured +23 ms p50 solo over the tunnel).
-                if getattr(mgr, "ws_sessions", 0) <= 1:
-                    asyncio.create_task(self._submit(key, group))
-                    return await future
-                self._groups[key] = group
-                asyncio.create_task(self._flush_later(key, group))
-                full = None
-            else:
-                group.append(pending)
-                full = None
-                if len(group) >= self.max_batch:
-                    full = self._groups.pop(key, None)
-        if full:
-            asyncio.create_task(self._submit(key, full))
+        await self._enqueue(key, pending,
+                            solo=getattr(mgr, "ws_sessions", 0) <= 1)
         return await future
-
-    async def _flush_later(self, key, group):
-        await asyncio.sleep(self.window_s)
-        async with self._lock:
-            if self._groups.get(key) is group:
-                self._groups.pop(key, None)
-            else:
-                group = None  # already flushed by max_batch
-        if group:
-            await self._submit(key, group)
 
     async def _submit(self, key, group: List[_PendingTick]):
         use_fast, (bucket_frames, bucket_s), language = \
@@ -141,14 +218,7 @@ class TickBatcher:
                         clips, bucket_frames, bucket_s, language,
                         resume_tokens=list(rows[0] or []))
                 else:
-                    # Power-of-two batch shapes only (compile-cache
-                    # discipline, same as MicroBatcher).
-                    padded_n = 1
-                    while padded_n < len(clips):
-                        padded_n *= 2
-                    while len(clips) < padded_n:
-                        clips.append(np.zeros(1600, dtype=np.float32))
-                        rows.append(None)
+                    _pad_pow2(clips, rows)
                     texts, ids = eng._run_bucket(
                         clips, bucket_frames, bucket_s, language,
                         resume_rows=rows)
@@ -156,29 +226,20 @@ class TickBatcher:
             finally:
                 mgr._last_used = time.time()
 
-        try:
-            results = await mgr.queue.submit(run, priority=0)
-            for p, res in zip(group, results):
-                if not p.future.done():
-                    p.future.set_result(res)
-        except Exception as e:
-            for p in group:
-                if not p.future.done():
-                    p.future.set_exception(e)
+        await self._dispatch(group, run, priority=0)
 
 
-class MicroBatcher:
+class MicroBatcher(_Collector):
     """Collects same-(bucket, language) transcriptions for a few ms, then
     submits one batched job to the priority queue."""
 
     def __init__(self, manager, window_ms: Optional[float] = None,
                  max_batch: Optional[int] = None):
-        self.manager = manager
-        self.window_s = (window_ms if window_ms is not None else
-                         float(os.getenv("ASR_BATCH_WINDOW_MS", "20"))) / 1000
-        self.max_batch = max_batch or int(os.getenv("ASR_MAX_BATCH", "8"))
-        self._groups: dict = {}
-        self._lock = asyncio.Lock()
+        super().__init__(
+            manager,
+            (window_ms if window_ms is not None else
+             float(os.getenv("ASR_BATCH_WINDOW_MS", "20"))) / 1000,
+            max_batch or int(os.getenv("ASR_MAX_BATCH", "8")))
 
     async def transcribe(self, audio: np.ndarray, sr: int,
                          language: Optional[str], return_timestamps: bool):
@@ -208,38 +269,10 @@ class MicroBatcher:
         language, _ = normalize_language(language)
         key = (bucket, language or "")
 
-        loop = asyncio.get_event_loop()
-        future = loop.create_future()
+        future = asyncio.get_event_loop().create_future()
         pending = _Pending(audio, language, future)
-
-        async with self._lock:
-            group = self._groups.get(key)
-            if group is None:
-                group = []
-                self._groups[key] = group
-                asyncio.create_task(self._flush_later(key, group))
-            group.append(pending)
-            full = None
-            if len(group) >= self.max_batch:
-                full = self._groups.pop(key, None)
-        if full:
-            # Submit OUTSIDE the lock — the batched device call can take
-            # seconds and must not stall admission of other requests.
-            asyncio.create_task(self._submit(key, full))
+        await self._enqueue(key, pending)
         return await future
-
-    async def _flush_later(self, key, group):
-        await asyncio.sleep(self.window_s)
-        async with self._lock:
-            # Only flush the group this timer was created for — a
-            # max_batch-filled group may already have been popped and a
-            # successor started under the same key.
-            if self._groups.get(key) is group:
-                self._groups.pop(key, None)
-            else:
-                group = None
-        if group:
-            await self._submit(key, group)
 
     async def _submit(self, key, group: List[_Pending]):
         (bucket_frames, bucket_s), language = key[0], key[1] or None
@@ -249,8 +282,6 @@ class MicroBatcher:
                       bucket_s)
 
         def run():
-            from ..runtime.engine import (TARGET_SR, TranscriptionResult,
-                                          _response_language)
             mgr._last_used = time.time()
             try:
                 return _run_inner()
@@ -264,14 +295,7 @@ class MicroBatcher:
             from ..runtime.engine import (TARGET_SR, TranscriptionResult,
                                           _response_language)
             clips = [p.audio for p in group]
-            # Pad the batch to a power-of-two size so only {1,2,4,8,...}
-            # batch shapes ever compile (arbitrary group sizes would each
-            # build a fresh executable).
-            padded_n = 1
-            while padded_n < len(clips):
-                padded_n *= 2
-            while len(clips) < padded_n:
-                clips.append(np.zeros(1600, dtype=np.float32))
+            _pad_pow2(clips)
             texts, _ = mgr.engine._run_bucket(clips, bucket_frames, bucket_s,
                                               language)
             texts = texts[:len(group)]
@@ -282,12 +306,4 @@ class MicroBatcher:
                     start_time=0.0, end_time=len(p.audio) / TARGET_SR)])
             return out
 
-        try:
-            results = await mgr.queue.submit(run, priority=1)
-            for p, res in zip(group, results):
-                if not p.future.done():
-                    p.future.set_result(res)
-        except Exception as e:
-            for p in group:
-                if not p.future.done():
-                    p.future.set_exception(e)
+        await self._dispatch(group, run, priority=1)
