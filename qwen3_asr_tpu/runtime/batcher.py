@@ -199,6 +199,11 @@ class TickBatcher(_Collector):
         if len(group) > 1:
             log.debug("tick batch: {} sessions in bucket {}s", len(group),
                       bucket_s)
+        # Coalescing effectiveness for operators (label cardinality bounded
+        # by max_batch): groups dispatched per size, ticks carried total.
+        from ..utils.telemetry import metrics
+        metrics.inc("asr_tick_batch_groups_total", size=len(group))
+        metrics.inc("asr_tick_batch_ticks_total", float(len(group)))
 
         def run():
             mgr._last_used = time.time()

@@ -123,6 +123,8 @@ def test_tick_batch_one_dispatch_matches_solo(manager):
         assert dispatches == [(4, True)]  # one call, pow2-padded, batched
         assert [t for t, _ in got] == [r[0].text for r in solo]
         assert [ids for _, ids in got] == [r[0].token_ids for r in solo]
+        from qwen3_asr_tpu.utils.telemetry import metrics
+        assert 'asr_tick_batch_groups_total{size="3"}' in metrics.render()
     _run(go())
 
 
