@@ -123,3 +123,34 @@ def test_mesh_sharded_serving_path(tmp_path, monkeypatch, devices):
         assert isinstance(solo, list)
         mgr.stop()
     asyncio.run(go())
+
+
+def test_mesh_sharded_tick_batch_matches_unsharded(tmp_path, monkeypatch,
+                                                   devices):
+    """Cross-session tick batching composes with a dp×tp mesh: the batched
+    resume dispatch over sharded params produces the same per-row tokens
+    as the unsharded solo path."""
+    from qwen3_asr_tpu.models.asr import normalize_language
+    from qwen3_asr_tpu.runtime.engine import TranscriptionEngine
+
+    ckpt = str(tmp_path / "ckpt")
+    write_tiny_checkpoint(ckpt)
+
+    plain = TranscriptionEngine(load_tiny_model(ckpt))
+    clips = [speech_like(0.5, seed=s) for s in (51, 52, 53, 54)]
+    refs = [plain.transcribe(c, 16000, language="en") for c in clips]
+
+    monkeypatch.setenv("SKIP_WARMUP", "true")
+    monkeypatch.setenv("ASR_MESH_DP", "2")
+    monkeypatch.setenv("ASR_MESH_TP", "4")
+    from qwen3_asr_tpu.runtime.lifecycle import _load_engine_sync
+    sharded = _load_engine_sync(ckpt)
+    assert sharded.mesh is not None
+
+    lang, _ = normalize_language("en")
+    frames, bucket_s = sharded.bucket_frames(len(clips[0]))
+    rows = [refs[0][0].token_ids, None, [3, 1, 4], refs[2][0].token_ids]
+    texts, ids = sharded._run_bucket(clips, frames, bucket_s, lang,
+                                     resume_rows=rows)
+    assert texts == [r[0].text for r in refs]
+    assert ids == [r[0].token_ids for r in refs]
