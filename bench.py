@@ -111,7 +111,13 @@ def build_engine(preset_name: str, dtype, cache_dtype=None):
         params = jax.jit(lambda p: quantize_params(p, quantize_mode))(params)
 
     byte_vocab = {c: i for i, c in enumerate(bytes_to_unicode().values())}
-    specials = {t: 151640 + i for i, t in enumerate(
+    # Special ids must live INSIDE the preset's vocab (same derivation as
+    # runtime/lifecycle.py): a small preset (tiny, vocab 512) with ids in
+    # the real Qwen block could never emit EOS and its prompt ids would
+    # clamp, silently benchmarking an always-full-budget workload.
+    vocab = cfg.decoder.vocab_size
+    base = 151640 if vocab > 151646 else vocab - 6
+    specials = {t: base + i for i, t in enumerate(
         ["<|endoftext|>", "<|im_start|>", "<|im_end|>", "<|AUDIO|>",
          "<|audio_bos|>", "<|audio_eos|>"])}
     tok = BpeTokenizer(byte_vocab, [], specials)

@@ -33,7 +33,11 @@ def materialize_fleurs_fixtures(dst_dir: str) -> Optional[str]:
     form. Prefers the repo's vendored e2e/data/real fixtures (already in
     that layout); falls back to the reference mount. Returns the dir path,
     or None when neither source is present."""
-    if any(VENDORED.glob("*.wav")):
+    # The vendored short-circuit requires usable wav+txt PAIRS — wavs
+    # alone (e.g. transcripts lost to partial vendoring) must not shadow
+    # a mounted reference tree that has the full pairs.
+    if any((VENDORED / (w.stem + ".txt")).exists()
+           for w in VENDORED.glob("*.wav")):
         return str(VENDORED)
     wav_dir = REFERENCE_DATA / "audio" / "real"
     txt_dir = REFERENCE_DATA / "expected"

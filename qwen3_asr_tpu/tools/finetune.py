@@ -96,6 +96,13 @@ def main():
     from ..utils.platform import honor_platform_env
 
     honor_platform_env()
+    if os.getenv("QUANTIZE"):
+        # The serving QUANTIZE env would make _load_engine_sync replace
+        # weights with {'q','s'} integer leaves: grad fails on int8, and
+        # fp8 would silently train rounded weights. Training requires
+        # float weights — drop the flag for this process.
+        log.warning("QUANTIZE={} ignored for fine-tuning (float weights "
+                    "required)", os.environ.pop("QUANTIZE"))
     engine = _load_engine_sync(args.model_id)
     model = engine.model
 
@@ -119,12 +126,21 @@ def main():
         log.info("step {} | loss {:.4f} | {:.2f}s", step, float(loss),
                  time.time() - t0)
 
-    import orbax.checkpoint as ocp
-    os.makedirs(args.output, exist_ok=True)
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(os.path.abspath(args.output) + "/params", state.params,
-                   force=True)
-    log.info("Saved fine-tuned params to {}/params", args.output)
+    # HF-layout save (config.json + model.safetensors) so MODEL_ID can
+    # point straight at the output — the train→serve loop
+    # (runtime/checkpoint.save_asr_checkpoint), not a raw orbax pytree.
+    import shutil
+    from ..runtime.checkpoint import save_asr_checkpoint
+    save_asr_checkpoint(args.output, model.cfg, state.params)
+    if os.path.isdir(args.model_id):
+        # save_asr_checkpoint writes config+weights; the tokenizer (and
+        # chat template, when present) come from the source checkpoint.
+        for name in ("tokenizer.json", "tokenizer_config.json",
+                     "chat_template.jinja"):
+            src = os.path.join(args.model_id, name)
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(args.output, name))
+    log.info("Saved servable fine-tuned checkpoint to {}", args.output)
 
 
 if __name__ == "__main__":

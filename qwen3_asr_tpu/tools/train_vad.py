@@ -207,12 +207,16 @@ def main():
         if step % 200 == 0:
             log.info("step {} | loss {:.4f}", step, float(loss))
 
-    # Training-set error
+    # Training-set error. Jit ONCE with params as an argument — a fresh
+    # jit inside the loop would retrace per chunk and bake the weights in
+    # as constants.
+    eval_fn = jax.jit(jax.vmap(
+        lambda pp, ff: vad_model.window_logit(pp, ff, mask),
+        in_axes=(None, 0)))
     logits = []
     for i in range(0, len(feats), 512):
-        logits.append(np.asarray(jax.jit(jax.vmap(
-            lambda ff: vad_model.window_logit(params, ff, mask)))(
-                jnp.asarray(feats[i:i + 512]))))
+        logits.append(np.asarray(eval_fn(params,
+                                         jnp.asarray(feats[i:i + 512]))))
     logits = np.concatenate(logits)
 
     # Decision-boundary calibration: a missed speech window (premature WS

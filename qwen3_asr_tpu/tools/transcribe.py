@@ -64,6 +64,11 @@ def _out_paths(audio_paths, ext: str, output_dir):
     instead of silently overwriting each other."""
     out, used = {}, set()
     for path in audio_paths:
+        if path in out:
+            # Duplicate CLI arg: one artifact per input file — a second
+            # pass would reserve the plain stem and write only the
+            # disambiguated name.
+            continue
         stem = os.path.splitext(os.path.basename(path))[0]
         if output_dir:
             candidate, n = stem, 1
