@@ -40,11 +40,12 @@ class _Pending:
 
 
 class _PendingTick:
-    __slots__ = ("audio", "resume", "future")
+    __slots__ = ("audio", "resume", "language", "future")
 
-    def __init__(self, audio, resume, future):
+    def __init__(self, audio, resume, language, future):
         self.audio = audio
         self.resume = resume
+        self.language = language
         self.future = future
 
 
@@ -184,17 +185,18 @@ class TickBatcher(_Collector):
         from ..models.asr import normalize_language
         language, _ = normalize_language(language)
         bucket = engine.bucket_frames(len(audio))
-        key = (use_fast_eff, bucket, language or "")
+        # Language is per ROW (padded_prefix_rows), not part of the key:
+        # a multilingual fleet's sessions still share one dispatch.
+        key = (use_fast_eff, bucket)
 
         future = asyncio.get_event_loop().create_future()
-        pending = _PendingTick(audio, resume_tokens, future)
+        pending = _PendingTick(audio, resume_tokens, language, future)
         await self._enqueue(key, pending,
                             solo=getattr(mgr, "ws_sessions", 0) <= 1)
         return await future
 
     async def _submit(self, key, group: List[_PendingTick]):
-        use_fast, (bucket_frames, bucket_s), language = \
-            key[0], key[1], key[2] or None
+        use_fast, (bucket_frames, bucket_s) = key
         mgr = self.manager
         if len(group) > 1:
             log.debug("tick batch: {} sessions in bucket {}s", len(group),
@@ -216,17 +218,20 @@ class TickBatcher(_Collector):
                 eng.last_used = time.time()
                 clips = [p.audio for p in group]
                 rows = [p.resume for p in group]
+                langs = [p.language for p in group]
                 if len(group) == 1:
                     # Solo tick: the proven batch-1 resume executable
                     # (identical to the unbatched WS path).
                     texts, ids = eng._run_bucket(
-                        clips, bucket_frames, bucket_s, language,
+                        clips, bucket_frames, bucket_s, langs[0],
                         resume_tokens=list(rows[0] or []))
                 else:
+                    pad = len(clips)
                     _pad_pow2(clips, rows)
+                    langs.extend([None] * (len(clips) - pad))
                     texts, ids = eng._run_bucket(
-                        clips, bucket_frames, bucket_s, language,
-                        resume_rows=rows)
+                        clips, bucket_frames, bucket_s, None,
+                        resume_rows=rows, language_rows=langs)
                 return list(zip(texts[:len(group)], ids[:len(group)]))
             finally:
                 mgr._last_used = time.time()

@@ -200,6 +200,16 @@ class TranscriptionEngine:
         valid_from = np.full((batch,), pad_count, np.int32)
         return prefix, valid_from
 
+    def padded_prefix_rows(self, languages, context: str = ""
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-row prompt prefixes: one language hint per batch row, same
+        shapes as :meth:`padded_prefix` (the budget is fixed, so mixed
+        languages share the SAME compiled executable — contents differ,
+        shapes don't). Lets cross-session tick batches mix languages."""
+        rows = [self.padded_prefix(lang, context, 1) for lang in languages]
+        return (np.concatenate([p for p, _ in rows], axis=0),
+                np.concatenate([v for _, v in rows], axis=0))
+
     def _fused_fn(self, bucket_frames: int, bucket_s: float):
         """ONE jitted executable per bucket: raw audio samples → generated
         token ids. Fuses log-mel frontend, AuT encoder, prompt embedding,
@@ -366,13 +376,16 @@ class TranscriptionEngine:
                     context: str = "",
                     resume_tokens: Optional[Sequence[int]] = None,
                     resume_rows: Optional[Sequence[
-                        Optional[Sequence[int]]]] = None
+                        Optional[Sequence[int]]]] = None,
+                    language_rows: Optional[Sequence] = None
                     ) -> Tuple[List[str], List[List[int]]]:
         """All clips already ≤ bucket. Returns (texts, token_id_lists).
 
         resume_tokens: one stream's previous tokens (batch-1 resume path).
         resume_rows: per-row previous tokens for a CROSS-SESSION tick batch
-        (None entries = no draft); len must equal len(clips)."""
+        (None entries = no draft); len must equal len(clips).
+        language_rows: per-row language hints (overrides ``language``) —
+        mixed-language batches share the executable (same prompt budget)."""
         n_samples = bucket_frames * HOP_LENGTH
         batch = len(clips)
 
@@ -388,7 +401,12 @@ class TranscriptionEngine:
                 c = c.astype(np.float32) / 32768.0  # mixed batch: rescale
             audio[i, :len(c)] = c
 
-        prefix, valid_from = self.padded_prefix(language, context, batch)
+        if language_rows is not None:
+            assert len(language_rows) == batch, "one language per clip"
+            prefix, valid_from = self.padded_prefix_rows(language_rows,
+                                                         context)
+        else:
+            prefix, valid_from = self.padded_prefix(language, context, batch)
 
         audio = self._place_batch(audio)
         prefix = self._place_batch(prefix)

@@ -160,6 +160,41 @@ def test_tick_batch_solo_tick_keeps_batch1_resume(manager):
     _run(go())
 
 
+def test_tick_batch_mixed_languages_one_dispatch(manager):
+    """Sessions with DIFFERENT language hints share one dispatch: prompts
+    are per-row (padded_prefix_rows) so mixed languages keep the same
+    executable shape, and each row's text equals its solo transcribe."""
+    from qwen3_asr_tpu.runtime.batcher import TickBatcher
+
+    async def go():
+        manager.queue.start()
+        manager.ws_sessions = 2
+        batcher = TickBatcher(manager, window_ms=50, max_batch=4)
+        clips = [speech_like(0.6, seed=21), speech_like(0.6, seed=22)]
+        solo = [manager.engine.transcribe(clips[0], 16000, "en"),
+                manager.engine.transcribe(clips[1], 16000, "zh")]
+        dispatches = []
+        orig = manager.engine._run_bucket
+
+        def counting(c, *a, **k):
+            dispatches.append((len(c), k.get("language_rows")))
+            return orig(c, *a, **k)
+
+        manager.engine._run_bucket = counting
+        try:
+            got = await asyncio.gather(
+                batcher.transcribe_tick(clips[0], "en", None, use_fast=True),
+                batcher.transcribe_tick(clips[1], "zh", None, use_fast=True))
+        finally:
+            manager.engine._run_bucket = orig
+            manager.queue.stop()
+        assert len(dispatches) == 1 and dispatches[0][0] == 2
+        assert dispatches[0][1] == ["en", "zh"]
+        assert [t for t, _ in got] == [s[0].text for s in solo]
+        assert [i for _, i in got] == [s[0].token_ids for s in solo]
+    _run(go())
+
+
 def test_timestamps_fall_back_to_solo(manager):
     async def go():
         manager.queue.start()
