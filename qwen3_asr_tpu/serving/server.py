@@ -374,10 +374,11 @@ async def sse_transcribe_generator(mgr: ModelManager, audio, sr, lang_code,
             overlap_samples = chunk_samples // 2
 
         if len(audio) <= chunk_samples:
-            results = await mgr.queue.submit(
-                lambda: mgr.transcribe_sync(audio, sr, lang_code,
-                                            return_timestamps),
-                priority=1)
+            # Through the micro-batcher like the HTTP endpoint: chunks
+            # from CONCURRENT SSE streams that land in the same bucket
+            # share a dispatch (each stream's own chunks stay sequential).
+            results = await mgr.batcher.transcribe(audio, sr, lang_code,
+                                                   return_timestamps)
             if results:
                 data = {"text": detect_and_fix_repetitions(results[0].text),
                         "language": results[0].language, "is_final": True}
@@ -395,10 +396,8 @@ async def sse_transcribe_generator(mgr: ModelManager, audio, sr, lang_code,
                 end = min(start + chunk_samples, len(audio))
                 chunk = audio[start:end]
                 is_last = end >= len(audio)
-                results = await mgr.queue.submit(
-                    lambda c=chunk: mgr.transcribe_sync(
-                        c, sr, lang_code, return_timestamps),
-                    priority=1)
+                results = await mgr.batcher.transcribe(
+                    chunk, sr, lang_code, return_timestamps)
                 if results:
                     data = {"text": detect_and_fix_repetitions(results[0].text),
                             "language": results[0].language,

@@ -211,6 +211,37 @@ def test_sse_stream_long_chunks(client, loop):
     loop.run_until_complete(go())
 
 
+def test_sse_concurrent_streams_share_dispatches(client, loop):
+    """Chunks from concurrent SSE streams ride the micro-batcher (same
+    path as the HTTP endpoint): at least one device dispatch carries
+    more than one clip, and both streams finish correctly."""
+    from qwen3_asr_tpu.runtime import batcher as batcher_mod
+    sizes = []
+    orig = batcher_mod.MicroBatcher._submit
+
+    async def spy(self, key, group):
+        sizes.append(len(group))
+        return await orig(self, key, group)
+
+    async def go():
+        batcher_mod.MicroBatcher._submit = spy
+        try:
+            async def stream(seed):
+                resp = await client.post(
+                    "/v1/audio/transcriptions/stream",
+                    data=_wav_form(audio=speech_like(2.0, seed=seed),
+                                   language="en"))
+                raw = (await resp.read()).decode()
+                events = [json.loads(line[6:]) for line in raw.splitlines()
+                          if line.startswith("data: ")]
+                assert events[-1] == {"done": True}
+            await asyncio.gather(stream(4), stream(5))
+        finally:
+            batcher_mod.MicroBatcher._submit = orig
+        assert any(n > 1 for n in sizes), sizes
+    loop.run_until_complete(go())
+
+
 # ── subtitles ────────────────────────────────────────────────────────────────
 
 def test_subtitles_fast(client, loop):
