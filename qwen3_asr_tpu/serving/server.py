@@ -77,6 +77,8 @@ async def metrics_endpoint(request: web.Request) -> web.Response:
     mgr = get_manager(request)
     metrics.gauge("asr_model_loaded", 1.0 if mgr.engine is not None else 0.0)
     metrics.gauge("asr_queue_depth", float(mgr.queue.depth))
+    metrics.gauge("asr_ws_sessions",
+                  float(request.app.get("ws_sessions", 0)))
     return web.Response(text=metrics.render(),
                         content_type="text/plain", charset="utf-8")
 
