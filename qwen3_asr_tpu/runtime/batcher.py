@@ -239,6 +239,82 @@ class TickBatcher(_Collector):
         await self._dispatch(group, run, priority=0)
 
 
+class _PendingGroupTick:
+    __slots__ = ("member", "audio", "future")
+
+    def __init__(self, member, audio, future):
+        self.member = member
+        self.audio = audio
+        self.future = future
+
+
+class GroupTickBatcher(_Collector):
+    """Pooled-cache tick coalescing for GROUPED prefix-cache sessions
+    (ASR_WS_PREFIX_CACHE + ASR_WS_TICK_BATCH both set): partial ticks from
+    members of the same StreamGroup landing within the collection window
+    execute as ONE batched tick on the group's pooled KV cache
+    (runtime/stream_group.StreamGroup.tick) — one dispatch per cadence per
+    group AND per-row device work ∝ new audio. Members of different
+    groups (different buckets, or an earlier group filled up) dispatch
+    independently, like solo sessions."""
+
+    def __init__(self, manager, window_ms: Optional[float] = None,
+                 max_batch: Optional[int] = None):
+        super().__init__(
+            manager,
+            (window_ms if window_ms is not None else
+             float(os.getenv("ASR_WS_TICK_WINDOW_MS", "6"))) / 1000,
+            max_batch or int(os.getenv("ASR_WS_GROUP_SLOTS", "8")))
+
+    async def tick(self, member, audio: np.ndarray):
+        """One grouped member's partial tick → (raw_text, token_ids)."""
+        future = asyncio.get_event_loop().create_future()
+        pending = _PendingGroupTick(member, audio, future)
+        await self._enqueue(("g", id(member.group)), pending,
+                            solo=getattr(self.manager, "ws_sessions", 0) <= 1)
+        return await future
+
+    async def _submit(self, key, group: List[_PendingGroupTick]):
+        from ..utils.telemetry import metrics
+        # A backlogged session can land two ticks in one collection window;
+        # a member must appear at most once per pooled dispatch (its second
+        # tick diffs against the first's committed state), so duplicates
+        # split into sequential rounds.
+        rounds: List[List[_PendingGroupTick]] = []
+        for p in group:
+            for rnd in rounds:
+                if all(q.member is not p.member for q in rnd):
+                    rnd.append(p)
+                    break
+            else:
+                rounds.append([p])
+        for rnd in rounds:
+            live = [p for p in rnd if p.member.group is not None]
+            for p in rnd:
+                if p.member.group is None and not p.future.done():
+                    # Released mid-flight (disconnect/unload): an empty
+                    # partial, the serving layer just skips sending it.
+                    p.future.set_result(("", []))
+            if not live:
+                continue
+            metrics.inc("asr_group_tick_groups_total", size=len(live))
+            metrics.inc("asr_group_tick_ticks_total", float(len(live)))
+            mgr = self.manager
+
+            def run(live=live):
+                mgr._last_used = time.time()
+                try:
+                    grp = live[0].member.group
+                    if grp is None:
+                        return [("", [])] * len(live)
+                    grp.engine.last_used = time.time()
+                    return grp.tick([(p.member, p.audio) for p in live])
+                finally:
+                    mgr._last_used = time.time()
+
+            await self._dispatch(live, run, priority=0)
+
+
 class MicroBatcher(_Collector):
     """Collects same-(bucket, language) transcriptions for a few ms, then
     submits one batched job to the priority queue."""

@@ -87,6 +87,7 @@ class TranscriptionEngine:
         self.draft_model: Optional[AsrModel] = None
         self._spec_fns = {}
         self._stream_fns = {}     # WS prefix-cache executables (stream.py)
+        self._stream_groups = {}  # bucket key -> [StreamGroup] (stream_group.py)
         self.last_used = time.time()
         # Optional jax.sharding.Mesh: weights pre-sharded by the lifecycle
         # layer; batches are dp-sharded in _run_bucket (SURVEY §2.3).
@@ -343,11 +344,15 @@ class TranscriptionEngine:
 
     # -- WS prefix caching (runtime/stream.py) -----------------------------------
     def _stream_fn(self, key):
-        """Memoized stream executables, shared by every session."""
+        """Memoized stream executables, shared by every session/group."""
         fn = self._stream_fns.get(key)
         if fn is None:
-            from .stream import build_stream_fn
-            fn = build_stream_fn(self, key)
+            if isinstance(key[0], str) and key[0].startswith("g"):
+                from .stream_group import build_group_fn
+                fn = build_group_fn(self, key)
+            else:
+                from .stream import build_stream_fn
+                fn = build_stream_fn(self, key)
             self._stream_fns[key] = fn
         return fn
 
@@ -358,6 +363,35 @@ class TranscriptionEngine:
         device work scales with NEW audio instead of window length."""
         from .stream import StreamSession
         return StreamSession(self, cap_s, language, context)
+
+    def stream_group_member(self, cap_s: float,
+                            language: Optional[str] = None,
+                            context: str = "", slots: Optional[int] = None):
+        """Grouped prefix-cache session (runtime/stream_group.py): joins an
+        existing group for this bucket with a free slot, else starts a new
+        one. Used when ASR_WS_PREFIX_CACHE and ASR_WS_TICK_BATCH are both
+        set — members' ticks share one pooled-cache dispatch per cadence."""
+        import os as _os
+        from .stream_group import StreamGroup
+        slots = slots or int(_os.getenv("ASR_WS_GROUP_SLOTS", "8"))
+        key = self.bucket_frames(int(cap_s * 16000))
+        groups = self._stream_groups.setdefault(key, [])
+        for g in groups:
+            member = g.try_attach(language, context)
+            if member is not None:
+                return member
+        group = StreamGroup(self, cap_s, slots)
+        groups.append(group)
+        return group.attach_or_raise(language, context)
+
+    def _drop_stream_group_if_empty(self, group) -> None:
+        """Free an emptied group's pooled cache (HBM) by dropping it from
+        the registry — the next member for this bucket starts fresh."""
+        if group.live_members == 0:
+            for groups in self._stream_groups.values():
+                if group in groups:
+                    groups.remove(group)
+                    break
 
     def _place_batch(self, arr: np.ndarray):
         """Shard a [B, ...] host array over the mesh's dp axis (replicated
@@ -592,7 +626,9 @@ class TranscriptionEngine:
             log.info("Warmup bucket {}s compiled in {:.1f}s", sec,
                      time.time() - t0)
 
-        if _os.getenv("ASR_WS_TICK_BATCH", "").lower() == "true":
+        ws_tick_batch = _os.getenv("ASR_WS_TICK_BATCH", "").lower() == "true"
+        ws_prefix = _os.getenv("ASR_WS_PREFIX_CACHE", "").lower() == "true"
+        if ws_tick_batch and not ws_prefix:
             # Compile the cross-session batched resume executables so the
             # first coalesced tick group doesn't pay a live compile. Ticks
             # only ever see windows ≤ the WS cap, and TickBatcher pads
@@ -617,27 +653,59 @@ class TranscriptionEngine:
                          "compiled in {:.1f}s", sec, shapes,
                          time.time() - t0)
 
-        if _os.getenv("ASR_WS_PREFIX_CACHE", "").lower() == "true":
+        if ws_prefix:
             # Pace a throwaway session across the cap so every stream
             # executable (block-encode shapes, segment-ladder rungs)
-            # compiles here, not on a live connection's first ticks.
+            # compiles here, not on a live connection's first ticks. With
+            # tick batching also on, WS partials take the GROUPED pooled-
+            # cache path instead (runtime/stream_group.py) — pace a
+            # 2-member throwaway group, which compiles the same block
+            # encoders plus the batched gtick rungs at the configured
+            # slot count.
             t0 = time.time()
             cap = float(_os.getenv("WS_WINDOW_MAX_S", "6.0"))
-            sess = self.stream_session(cap, language)
             cap_n = int(cap * TARGET_SR)
             tick = int(0.45 * TARGET_SR)
-            chunk = sess.chunk_frames * HOP_LENGTH
-            audio = (rng.standard_normal(cap_n + 4 * chunk)
-                     .astype(np.float32) * 0.01)
-            window = np.zeros(0, np.float32)
-            for off in range(0, len(audio), tick):
-                window = np.concatenate([window, audio[off:off + tick]])
-                if len(window) > cap_n:
-                    trim = -(-(len(window) - cap_n) // chunk) * chunk
-                    window = window[trim:]
-                sess.update(window)
-            log.info("Warmup stream session ({} ticks) compiled in {:.1f}s",
-                     sess.stats["ticks"], time.time() - t0)
+            if ws_tick_batch:
+                from .stream_group import StreamGroup
+                slots = int(_os.getenv("ASR_WS_GROUP_SLOTS", "8"))
+                grp = StreamGroup(self, cap, slots)
+                m1 = grp.attach_or_raise(language)
+                m2 = grp.attach_or_raise(language)
+                chunk = grp.plan.chunk_frames * HOP_LENGTH
+                audio = (rng.standard_normal(cap_n + 4 * chunk)
+                         .astype(np.float32) * 0.01)
+                w1 = np.zeros(0, np.float32)
+                w2 = np.zeros(0, np.float32)
+                for off in range(0, len(audio), tick):
+                    w1 = np.concatenate([w1, audio[off:off + tick]])
+                    w2 = np.concatenate([w2, 0.8 * audio[off:off + tick]])
+                    if len(w1) > cap_n:
+                        trim = -(-(len(w1) - cap_n) // chunk) * chunk
+                        w1 = w1[trim:]
+                        w2 = w2[trim:]
+                    grp.tick([(m1, w1), (m2, w2)])
+                ticks = m1.stats["ticks"]
+                m1.release()
+                m2.release()
+                log.info("Warmup stream group ({} ticks, {} slots) "
+                         "compiled in {:.1f}s", ticks, slots,
+                         time.time() - t0)
+            else:
+                sess = self.stream_session(cap, language)
+                chunk = sess.chunk_frames * HOP_LENGTH
+                audio = (rng.standard_normal(cap_n + 4 * chunk)
+                         .astype(np.float32) * 0.01)
+                window = np.zeros(0, np.float32)
+                for off in range(0, len(audio), tick):
+                    window = np.concatenate([window,
+                                             audio[off:off + tick]])
+                    if len(window) > cap_n:
+                        trim = -(-(len(window) - cap_n) // chunk) * chunk
+                        window = window[trim:]
+                    sess.update(window)
+                log.info("Warmup stream session ({} ticks) compiled in "
+                         "{:.1f}s", sess.stats["ticks"], time.time() - t0)
 
 
 def _prep_audio(audio, sr: int) -> np.ndarray:

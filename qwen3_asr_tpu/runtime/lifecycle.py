@@ -147,9 +147,10 @@ class ModelManager:
         self._sessions_lock = _threading.Lock()
         self.loaded_model_id: Optional[str] = None
         self.queue = PriorityInferQueue()
-        from .batcher import MicroBatcher, TickBatcher
+        from .batcher import GroupTickBatcher, MicroBatcher, TickBatcher
         self.batcher = MicroBatcher(self)
         self.tick_batcher = TickBatcher(self)
+        self.group_tick_batcher = GroupTickBatcher(self)
         # Live WS session count (kept by the serving layer): the tick
         # batcher skips its collection window when there is nothing to
         # coalesce with.

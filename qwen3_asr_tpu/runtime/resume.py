@@ -109,6 +109,27 @@ def resume_generate_batch(params, cfg: DecoderConfig,
     first = jnp.argmax(lm_logits(params, cfg, hidden[:, -1]),
                        axis=-1).astype(jnp.int32)                      # [B]
 
+    _, result = verify_and_continue_batch(
+        params, cfg, cache, plen, first, valid_from, prev_tokens, prev_len,
+        max_new=max_new, eos_id=eos_id, pad_id=pad_id)
+    return result
+
+
+def verify_and_continue_batch(params, cfg: DecoderConfig, cache: KVCache,
+                              plen: int, first: jax.Array,
+                              valid_from: jax.Array, prev_tokens: jax.Array,
+                              prev_len: jax.Array, *, max_new: int,
+                              eos_id: int, pad_id: int
+                              ) -> tuple[KVCache, GenerateResult]:
+    """Batched self-draft verify + per-row-frontier continuation on an
+    EXISTING prefilled cache (prompt KV present for positions < plen;
+    ``first[r]`` is row r's greedy token after its prompt). The batch
+    analogue of :func:`verify_and_continue`, shared by
+    resume_generate_batch (fresh per-dispatch cache) and the grouped
+    streaming tick (runtime/stream_group.py, persistent pooled cache —
+    which is why the updated cache is returned)."""
+    b = prev_tokens.shape[0]
+
     # ---- verify every row's previous tokens in one forward ----------------------
     # All rows' drafts sit at the same positions plen..plen+max_new-1
     # (same bucket ⇒ same prompt budget), so the verify window needs no
@@ -168,7 +189,8 @@ def resume_generate_batch(params, cfg: DecoderConfig,
         cond, body, _BatchCarry(cache, g_n, done0, tokens0, text_len0))
 
     lengths = jnp.sum((final.tokens != pad_id).astype(jnp.int32), axis=-1)
-    return GenerateResult(final.tokens, lengths, final.text_len - text_len0)
+    return final.cache, GenerateResult(final.tokens, lengths,
+                                       final.text_len - text_len0)
 
 
 def verify_and_continue(params, cfg: DecoderConfig, cache: KVCache,

@@ -87,18 +87,16 @@ def _block_spans(pinned_frames: int, chunk_frames: int,
     return spans
 
 
-class StreamSession:
-    """One WS connection's reusable device state. Not thread-safe; the
-    serving layer runs all ticks on the single inference executor."""
+class BucketPlan:
+    """Pinned-bucket geometry shared by the solo StreamSession and the
+    grouped streaming tick (runtime/stream_group.py): block partition,
+    prompt layout, and the segment-start ladder are all functions of the
+    (engine, window cap) pair alone."""
 
-    def __init__(self, engine, cap_s: float, language: Optional[str] = None,
-                 context: str = ""):
+    def __init__(self, engine, cap_s: float):
         from .engine import PREFIX_BUDGET, max_new_tokens_for
 
-        self.engine = engine
-        self.model = engine.model
-        cfg_enc = self.model.cfg.encoder
-
+        cfg_enc = engine.model.cfg.encoder
         cap_samples = int(cap_s * 16000)
         self.pinned_frames, self.bucket_s = engine.bucket_frames(cap_samples)
         self.pinned_samples = self.pinned_frames * HOP_LENGTH
@@ -109,13 +107,9 @@ class StreamSession:
         self.block_tokens = [(hi - lo) // self.chunk_frames * per_chunk
                              for lo, hi in self.spans]
         self.max_new = max_new_tokens_for(self.bucket_s)
-
-        # Single-sourced with the fused batch path (engine.padded_prefix):
-        # any divergence in truncation/pad policy breaks token parity.
-        self.prefix, self.valid_from = engine.padded_prefix(language, context)
+        self.prefix_budget = PREFIX_BUDGET
         self.prompt_len = (PREFIX_BUDGET + sum(self.block_tokens)
                            + len(engine._suffix_ids))
-        self._prefix_budget = PREFIX_BUDGET
         # Segment-start ladder: a tick re-prefills [seg_start, P) for the
         # largest ladder start ≤ the first stale position — one compiled
         # executable per rung, shared across sessions. Position 64 (the
@@ -128,6 +122,40 @@ class StreamSession:
             starts.add(s)
             s -= TAIL_SEG
         self.seg_starts = sorted(starts)
+        # 128-aligned cache length (block-aligned S for the decode kernels).
+        self.s_pad = -(-(self.prompt_len + self.max_new) // 128) * 128
+
+    def block_of_sample(self, s: int) -> int:
+        f = s // HOP_LENGTH
+        for b, (lo, hi) in enumerate(self.spans):
+            if f < hi:
+                return b
+        return len(self.spans) - 1
+
+
+class StreamSession:
+    """One WS connection's reusable device state. Not thread-safe; the
+    serving layer runs all ticks on the single inference executor."""
+
+    def __init__(self, engine, cap_s: float, language: Optional[str] = None,
+                 context: str = ""):
+        self.engine = engine
+        self.model = engine.model
+
+        plan = BucketPlan(engine, cap_s)
+        self.pinned_frames, self.bucket_s = plan.pinned_frames, plan.bucket_s
+        self.pinned_samples = plan.pinned_samples
+        self.chunk_frames = plan.chunk_frames
+        self.spans = plan.spans
+        self.block_tokens = plan.block_tokens
+        self.max_new = plan.max_new
+
+        # Single-sourced with the fused batch path (engine.padded_prefix):
+        # any divergence in truncation/pad policy breaks token parity.
+        self.prefix, self.valid_from = engine.padded_prefix(language, context)
+        self.prompt_len = plan.prompt_len
+        self._prefix_budget = plan.prefix_budget
+        self.seg_starts = plan.seg_starts
         self._prefix_filled = False
 
         # Persistent per-session cache. int4 can't cross jit boundaries
@@ -136,9 +164,8 @@ class StreamSession:
         self.cache_dtype = (jnp.float8_e4m3fn
                             if engine.cache_dtype == jnp.int4
                             else engine.cache_dtype)
-        s_pad = -(-(self.prompt_len + self.max_new) // 128) * 128
         self._init_cache = engine._stream_fn(
-            ("cache", s_pad, self.cache_dtype))
+            ("cache", plan.s_pad, self.cache_dtype))
         self.cache = self._init_cache()
 
         # host state

@@ -496,13 +496,21 @@ async def _transcribe_with_context(mgr: ModelManager, audio_bytes: bytes,
             return "", resume_tokens
 
         if session is not None and not pad_silence:
-            def tick():
-                out = session.update(audio)
-                session.engine.last_used = time.time()
-                return out
-            raw, token_ids = await asyncio.wait_for(
-                mgr.queue.submit(tick, priority=0),
-                timeout=mgr.request_timeout)
+            if getattr(session, "group", None) is not None:
+                # Grouped member (prefix cache + tick batching): coalesce
+                # with the group's other ticking members into one pooled
+                # dispatch (runtime/batcher.GroupTickBatcher).
+                raw, token_ids = await asyncio.wait_for(
+                    mgr.group_tick_batcher.tick(session, audio),
+                    timeout=mgr.request_timeout)
+            else:
+                def tick():
+                    out = session.update(audio)
+                    session.engine.last_used = time.time()
+                    return out
+                raw, token_ids = await asyncio.wait_for(
+                    mgr.queue.submit(tick, priority=0),
+                    timeout=mgr.request_timeout)
             text = detect_and_fix_repetitions(raw)
             log.info("_transcribe_with_context | done elapsed={:.2f}s "
                      "text_len={} (prefix-cache)", time.time() - t0,
@@ -636,8 +644,16 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
             return None
         if stream_session is None or stream_session.engine is not eng:
             try:
-                stream_session = eng.stream_session(WS_WINDOW_MAX_S,
-                                                    lang_code)
+                # With tick batching also on, sessions join a pooled-cache
+                # StreamGroup (runtime/stream_group.py): concurrent
+                # members' ticks share one dispatch per cadence AND keep
+                # per-session cached encoder blocks / persistent KV.
+                if os.getenv("ASR_WS_TICK_BATCH", "").lower() == "true":
+                    stream_session = eng.stream_group_member(
+                        WS_WINDOW_MAX_S, lang_code)
+                else:
+                    stream_session = eng.stream_session(WS_WINDOW_MAX_S,
+                                                        lang_code)
                 mgr.register_stream_session(stream_session)
             except Exception as e:
                 log.warning("[WS] prefix-cache session unavailable: {}", e)
