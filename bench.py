@@ -66,8 +66,15 @@ Measured ladder at 20 s clips (steady-state / serial):
                                 trained-ckpt live suite passes 0.0% WER
                                 on-chip under it (e2e report
                                 2026-08-18_06-20-01).
-Override with QUANTIZE / BENCH_BATCH / BENCH_CONCURRENCY /
+Override with QUANTIZE / BENCH_BATCH / BENCH_CONCURRENCY / BENCH_PASSES /
 ASR_KV_CACHE_DTYPE / ASR_DECODER_UNROLL / ASR_INT8_ACT.
+
+Measurement protocol (round 4): BENCH_PASSES (default 3) independent
+steady + serial passes, median reported with per-run spread — one sample
+was swinging ±24% round-to-round on tunnel link luck. The JSON also
+carries the roofline position (mfu / hbm_util) computed from XLA's
+cost analysis of the exact fused executable against TPU v5e peaks.
+The canonical measured-results table lives in docs/RESULTS.md.
 """
 import json
 import os
@@ -162,29 +169,59 @@ def main():
     engine.transcribe_batch(clips, language="en")
     compile_s = time.time() - t0
 
-    # Steady-state serving throughput: `concurrency` in-flight batches keep
-    # the chip busy while the next batch's host prep/upload overlaps device
-    # compute — exactly what the serving queue does under load. Set
-    # BENCH_CONCURRENCY=1 for the strictly serial per-request number.
+    # The remote-tunnel host link's throughput varies run to run (observed
+    # 311-545x steady across identical configs — see the ladder above), so
+    # a single sample regresses or inflates on link luck. Run `passes`
+    # independent measurement passes and report the MEDIAN with spread
+    # (VERDICT r3 weak #1).
+    passes = int(os.getenv("BENCH_PASSES", "3"))
     concurrency = int(os.getenv("BENCH_CONCURRENCY", "2"))
-    t0 = time.time()
-    if concurrency > 1:
-        import concurrent.futures
-        with concurrent.futures.ThreadPoolExecutor(concurrency) as pool:
-            list(pool.map(
-                lambda _: engine.transcribe_batch(clips, language="en"),
-                range(iters)))
-    else:
-        for _ in range(iters):
-            engine.transcribe_batch(clips, language="en")
-    elapsed = time.time() - t0
-
-    t0 = time.time()
-    engine.transcribe_batch(clips, language="en")
-    serial_s = time.time() - t0
-
     audio_s = batch * clip_s * iters
-    rtfx = audio_s / elapsed
+
+    def one_steady_pass() -> float:
+        """Steady-state serving throughput: `concurrency` in-flight batches
+        keep the chip busy while the next batch's host prep/upload overlaps
+        device compute — exactly what the serving queue does under load."""
+        t0 = time.time()
+        if concurrency > 1:
+            import concurrent.futures
+            with concurrent.futures.ThreadPoolExecutor(concurrency) as pool:
+                list(pool.map(
+                    lambda _: engine.transcribe_batch(clips, language="en"),
+                    range(iters)))
+        else:
+            for _ in range(iters):
+                engine.transcribe_batch(clips, language="en")
+        return audio_s / (time.time() - t0)
+
+    def one_serial_pass() -> float:
+        t0 = time.time()
+        engine.transcribe_batch(clips, language="en")
+        return time.time() - t0
+
+    steady_runs = sorted(one_steady_pass() for _ in range(passes))
+    serial_runs = sorted(one_serial_pass() for _ in range(passes))
+    rtfx = steady_runs[passes // 2]
+    serial_s = serial_runs[passes // 2]
+
+    # Roofline position from XLA's own cost model for the exact fused
+    # executable (flops + bytes at this batch shape). Peaks: TPU v5e
+    # 197 TFLOP/s bf16 / 819 GB/s HBM. `bytes accessed` is the post-fusion
+    # HLO operand traffic — an upper-bound proxy for physical HBM bytes.
+    bf, bs = engine.bucket_frames(int(16000 * clip_s))
+    cost = engine.fused_cost_analysis(batch, bf, bs, wire_dtype=np.int16)
+    peaks = {"TPU v5 lite": (197e12, 819e9),
+             "TPU v5e": (197e12, 819e9)}.get(
+        jax.devices()[0].device_kind if backend == "tpu" else "", None)
+    mfu = hbm_util = None
+    if cost.get("flops") and peaks:
+        # serial pass = one executable on an otherwise idle chip: the
+        # honest per-dispatch roofline (steady mode overlaps two, which
+        # would double-count concurrency as utilization).
+        mfu = cost["flops"] / serial_s / peaks[0]
+        if cost.get("bytes accessed"):
+            hbm_util = cost["bytes accessed"] / serial_s / peaks[1]
+
     baseline_rtfx = 15.7  # reference warm 20s/1.27s on RTX 4060
     print(json.dumps({
         "metric": f"rtfx_{preset_name}_batch{batch}_{int(clip_s)}s",
@@ -193,12 +230,23 @@ def main():
         "vs_baseline": round(rtfx / baseline_rtfx, 3),
         "detail": {
             "backend": backend, "batch": batch, "clip_s": clip_s,
-            "iters": iters, "compile_s": round(compile_s, 1),
-            "wall_s": round(elapsed, 2),
+            "iters": iters, "passes": passes,
+            "compile_s": round(compile_s, 1),
             "concurrency": concurrency,
+            "steady_rtfx_runs": [round(r, 1) for r in steady_runs],
+            "steady_spread_pct": round(
+                100 * (steady_runs[-1] - steady_runs[0]) / rtfx, 1),
             "serial_batch_latency_s": round(serial_s, 2),
             "serial_rtfx": round(batch * clip_s / serial_s, 1),
+            "serial_rtfx_runs": [round(batch * clip_s / s, 1)
+                                 for s in reversed(serial_runs)],
             "decode_tokens_per_clip": 16 + int(8 * clip_s),
+            "executable_tflops": (round(cost["flops"] / 1e12, 2)
+                                  if cost.get("flops") else None),
+            "executable_gb": (round(cost["bytes accessed"] / 1e9, 2)
+                              if cost.get("bytes accessed") else None),
+            "mfu": round(mfu, 4) if mfu else None,
+            "hbm_util": round(hbm_util, 4) if hbm_util else None,
         },
     }))
 

@@ -238,6 +238,31 @@ class TranscriptionEngine:
         self._generate_fns[key] = run
         return run
 
+    def fused_cost_analysis(self, batch: int, bucket_frames: int,
+                            bucket_s: float, wire_dtype=np.int16) -> dict:
+        """XLA cost analysis (flops, bytes accessed) of the fused bucket
+        executable at the given batch shape — the compiler's own count for
+        the EXACT program the bench times, not an analytic approximation.
+        Abstract args only; with the persistent compile cache warm this is
+        a cache hit, not a recompile. Returns {} when the backend doesn't
+        expose cost analysis (some remote PJRT clients)."""
+        n_samples = bucket_frames * HOP_LENGTH
+        fn = self._fused_fn(bucket_frames, bucket_s)
+        args = (self.model.params,
+                jax.ShapeDtypeStruct((batch, n_samples), wire_dtype),
+                jax.ShapeDtypeStruct((batch, PREFIX_BUDGET), np.int32),
+                jax.ShapeDtypeStruct((batch,), np.int32))
+        try:
+            ca = fn.lower(*args).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            return {k: float(v) for k, v in ca.items()
+                    if k in ("flops", "bytes accessed")
+                    and isinstance(v, (int, float))}
+        except Exception as e:  # pragma: no cover - backend-dependent
+            log.warning("cost_analysis unavailable: {}", e)
+            return {}
+
     def _fused_spec_fn(self, bucket_frames: int, bucket_s: float):
         """Fused speculative executable (any batch): frontend → BOTH
         encoders → both prompts → on-device draft/verify loop with per-row
