@@ -33,6 +33,13 @@ DURATION_SLAS = {
     "test_ws_partial_latency": 60,
     "test_subtitles_fast": 45,
     "test_error_garbage": 5,
+    "test_error_empty_file": 5,
+    "test_error_missing_file_param": 5,
+    "test_very_small_audio": 30,
+    "test_language_param_echo": 30,
+    "test_deterministic_repeat": 60,
+    "test_transcribe_silence": 30,
+    "test_memory_stable_after_repeats": 240,
     "test_realtime_benchmark": 180,
     "test_ws_cumulative_partials_monotonic": 120,
     "test_concurrent_http_requests": 120,

@@ -7,6 +7,10 @@
 #                                          # the WER/CER accuracy gate EXECUTES
 #   ./e2e/run_e2e.sh --with-gateway        # full gateway/worker process split
 #   ./e2e/run_e2e.sh --with-trained-gateway # accuracy gates through the split
+#   ./e2e/run_e2e.sh --with-grouped-server # trained server with BOTH WS flags
+#                                          # (prefix-cache + tick-batch =
+#                                          # grouped streaming) — gates the
+#                                          # composed runtime/stream_group path
 #
 # --with-server uses a tiny random checkpoint (generated on the fly) so the
 # full serving stack E2Es on any machine — the reference's fake-backend tier
@@ -38,6 +42,13 @@ fi
 if [ "${1:-}" = "--with-trained-gateway" ]; then
   # Accuracy gates through the FULL gateway/worker process split.
   MODE="gateway"; set -- "--with-trained-server" "${@:2}"
+fi
+if [ "${1:-}" = "--with-grouped-server" ]; then
+  # Grouped prefix-cache streaming: the composed both-flags WS path
+  # (one pooled-cache batched dispatch per cadence, per-row work ∝ new
+  # audio) must stay behavior-identical to the solo paths.
+  export ASR_WS_PREFIX_CACHE=true ASR_WS_TICK_BATCH=true
+  set -- "--with-trained-server" "${@:2}"
 fi
 if [ "${1:-}" = "--with-trained-server" ]; then
   # Serve the overfit-trained checkpoint (real text) and point the

@@ -74,6 +74,98 @@ def test_error_garbage(ensure_server, tmp_path):
     assert data["statusCode"] == 422
 
 
+def _post_multipart_raw(url, file_bytes, fields):
+    """Multipart POST with raw bytes (or no file part when None)."""
+    import uuid
+    boundary = uuid.uuid4().hex
+    body = b""
+    if file_bytes is not None:
+        body += (f"--{boundary}\r\nContent-Disposition: form-data; "
+                 f'name="file"; filename="a.wav"\r\n'
+                 f"Content-Type: audio/wav\r\n\r\n").encode() + \
+            file_bytes + b"\r\n"
+    for k, v in fields.items():
+        body += (f"--{boundary}\r\nContent-Disposition: form-data; "
+                 f'name="{k}"\r\n\r\n{v}\r\n').encode()
+    body += f"--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        url, data=body,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"})
+    try:
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+# ── live error/behavior breadth (reference E2Etest/test_api_http.py:105-270:
+#    empty file, missing param, very-small audio, language echo,
+#    deterministic repeat — previously covered only at unit level) ────────────
+
+def test_error_empty_file(ensure_server):
+    status, body = _post_multipart_raw(
+        BASE_URL + "/v1/audio/transcriptions", b"", {"language": "auto"})
+    assert status == 422, body
+    data = json.loads(body)
+    assert data["code"] == "AUDIO_DECODE_FAILED"
+
+
+def test_error_missing_file_param(ensure_server):
+    status, body = _post_multipart_raw(
+        BASE_URL + "/v1/audio/transcriptions", None, {"language": "auto"})
+    assert status == 422, body
+    assert json.loads(body)["code"] == "AUDIO_DECODE_FAILED"
+
+
+def test_very_small_audio(ensure_model_loaded):
+    """A 1-sample WAV must be handled gracefully (2xx/4xx, never a hang or
+    connection drop), and the server must keep serving afterwards."""
+    import struct
+    hdr = (b"RIFF" + struct.pack("<I", 38) + b"WAVEfmt " +
+           struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16) +
+           b"data" + struct.pack("<I", 2) + b"\x00\x00")
+    status, body = _post_multipart_raw(
+        BASE_URL + "/v1/audio/transcriptions", hdr, {"language": "auto"})
+    assert status in (200, 422), body
+    with urllib.request.urlopen(BASE_URL + "/health", timeout=10) as r:
+        assert r.status == 200
+
+
+def test_language_param_echo(ensure_model_loaded, audio_fixtures):
+    """language=English → response carries the normalized code ('en' —
+    this framework normalizes names/codes to ISO codes; the reference
+    echoes the full name, delta documented in PARITY.md)."""
+    status, body, _ = _post_multipart(
+        BASE_URL + "/v1/audio/transcriptions", audio_fixtures["speech_2s"],
+        {"language": "English"})
+    assert status == 200, body
+    assert json.loads(body)["language"] == "en"
+
+
+def test_deterministic_repeat(ensure_model_loaded, audio_fixtures):
+    """Greedy decode is deterministic: same clip twice → identical output
+    (reference test_transcribe_deterministic_results)."""
+    results = []
+    for _ in range(2):
+        status, body, _ = _post_multipart(
+            BASE_URL + "/v1/audio/transcriptions",
+            audio_fixtures["medium_20s"], {"language": "en"})
+        assert status == 200
+        results.append(json.loads(body))
+    assert results[0]["text"] == results[1]["text"]
+    assert results[0]["language"] == results[1]["language"]
+
+
+def test_transcribe_silence(ensure_model_loaded, audio_fixtures):
+    """Silence / degenerate input returns cleanly (reference
+    test_transcribe_noisy_audio: no crash, text may be empty)."""
+    status, body, _ = _post_multipart(
+        BASE_URL + "/v1/audio/transcriptions", audio_fixtures["silence_5s"],
+        {"language": "en"})
+    assert status == 200
+    assert "text" in json.loads(body)
+
+
 def test_sse_stream(ensure_model_loaded, audio_fixtures):
     status, body, headers = _post_multipart(
         BASE_URL + "/v1/audio/transcriptions/stream",
@@ -278,24 +370,60 @@ def test_http_recovery_after_error(ensure_model_loaded, audio_fixtures, tmp_path
     assert "text" in json.loads(body)
 
 
+def _ws_session_churn():
+    """One full WS session lifecycle: connect → stream 1 s → flush → close.
+    Exercises the per-connection allocations that must be released
+    (stream_session device caches, batcher rows, pool slots)."""
+    import aiohttp
+    import numpy as np
+    from util_audio import speech_like
+
+    async def go():
+        pcm = np.clip(speech_like(1.0, seed=11) * 32767, -32768,
+                      32767).astype("<i2").tobytes()
+        async with aiohttp.ClientSession() as s:
+            async with s.ws_connect(WS_URL) as ws:
+                await ws.receive_json()
+                for i in range(0, len(pcm), 14400):
+                    await ws.send_bytes(pcm[i:i + 14400])
+                await ws.send_json({"action": "flush"})
+                while True:
+                    msg = await asyncio.wait_for(ws.receive_json(), 120)
+                    if msg.get("is_final") or msg.get("error"):
+                        return
+    asyncio.run(go())
+
+
 def test_memory_stable_after_repeats(ensure_model_loaded, audio_fixtures):
-    """Device memory must not grow across repeated identical requests
-    (reference test_performance.py:183-204). Skips when the backend
-    exposes no memory stats (CPU)."""
+    """Device memory must not grow across repeated HTTP requests AND
+    WS-session churn (reference test_performance.py:183-204 gates GPU-mem
+    growth <500MB live). Metric: /health's hbm_used_mb where the backend
+    exposes memory_stats, else device_arrays_mb (live framework-array
+    bytes) — so the gate EXECUTES on every backend, including remote PJRT
+    clients without device stats and CPU runs."""
+    def health_mem():
+        with urllib.request.urlopen(BASE_URL + "/health", timeout=10) as r:
+            h = json.loads(r.read())
+        return h.get("hbm_used_mb", h.get("device_arrays_mb"))
+
     path = audio_fixtures["speech_2s"]
+    # One full cycle of each churn type BEFORE baselining: first-use
+    # allocations (bucket executables, the session pool's one-time device
+    # caches) are not leaks.
     _post_multipart(BASE_URL + "/v1/audio/transcriptions", path,
                     {"language": "en"})
-    with urllib.request.urlopen(BASE_URL + "/health", timeout=5) as r:
-        h0 = json.loads(r.read())
-    if "hbm_used_mb" not in h0:
-        pytest.skip("backend exposes no memory stats (CPU)")
+    _ws_session_churn()
+    base = health_mem()
+    if base is None:
+        pytest.skip("health exposes no memory fields (pre-round-4 server)")
     for _ in range(5):
         _post_multipart(BASE_URL + "/v1/audio/transcriptions", path,
                         {"language": "en"})
-    with urllib.request.urlopen(BASE_URL + "/health", timeout=5) as r:
-        h1 = json.loads(r.read())
-    growth = h1["hbm_used_mb"] - h0["hbm_used_mb"]
-    assert growth < 500, f"device memory grew by {growth} MB"
+    for _ in range(3):
+        _ws_session_churn()
+    time.sleep(2)  # let async session release paths settle
+    growth = health_mem() - base
+    assert growth < 500, f"device memory grew by {growth} MB after churn"
 
 
 def test_performance_warm_latency(ensure_model_loaded, audio_fixtures):

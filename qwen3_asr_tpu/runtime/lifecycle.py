@@ -492,6 +492,15 @@ class ModelManager:
                         stats.get("bytes_in_use", 0) / 1024 ** 2)
                     info["hbm_limit_mb"] = round(
                         stats.get("bytes_limit", 0) / 1024 ** 2)
+                # Framework-level accounting that works on EVERY backend
+                # (some remote PJRT clients expose no memory_stats): total
+                # bytes of live jax arrays. This is exactly the leak class
+                # serving can create — per-session stream caches, pool
+                # slots, batcher buffers that miss a release — so the e2e
+                # memory gate can execute even where device stats don't
+                # (reference E2Etest/test_performance.py:183-204).
+                info["device_arrays_mb"] = round(sum(
+                    a.nbytes for a in jax.live_arrays()) / 1024 ** 2)
         except Exception:
             pass
         return info

@@ -35,6 +35,12 @@ class HealthResponse(BaseModel):
     num_devices: Optional[int] = Field(None, description="Visible accelerator chips")
     hbm_used_mb: Optional[int] = Field(None, description="Accelerator memory in use (MB)")
     hbm_limit_mb: Optional[int] = Field(None, description="Accelerator memory capacity (MB)")
+    device_arrays_mb: Optional[int] = Field(
+        None, description="Total bytes of live framework arrays (MB) — "
+        "leak accounting on backends without memory_stats")
+    aligner: Optional[str] = Field(
+        None, description="ForcedAligner state: loaded | not_loaded | "
+        "unavailable_retrying (failed loads retry with backoff)")
     worker_alive: Optional[bool] = Field(None, description="Worker process responsive (gateway mode)")
 
 

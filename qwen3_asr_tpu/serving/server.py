@@ -68,6 +68,7 @@ async def health(request: web.Request) -> web.Response:
     mgr = get_manager(request)
     info = mgr.health_info()
     info["active_ws_sessions"] = request.app.get("ws_sessions", 0)
+    info["aligner"] = _aligner_health_state()
     return web.json_response(info)
 
 
@@ -83,9 +84,20 @@ async def metrics_endpoint(request: web.Request) -> web.Response:
                         content_type="text/plain", charset="utf-8")
 
 
-# Aligner weights that failed to load once won't load on a retry (missing
-# checkpoint dir); remember so timestamped requests stop paying the probe.
-_aligner_load_failed = False
+# Aligner weights that fail to load back off instead of sticking for the
+# process lifetime (installing the checkpoint no longer needs a restart to
+# be noticed): retry after ASR_ALIGNER_RETRY_S (default 300 s). State is
+# surfaced in /health as "aligner" so the degradation is visible.
+_aligner_retry_at = 0.0
+
+
+def _aligner_health_state() -> str:
+    from ..sidecars import subtitle as subtitle_mod
+    if subtitle_mod.aligner_loaded():
+        return "loaded"
+    if _aligner_retry_at:
+        return "unavailable_retrying"
+    return "not_loaded"
 
 
 def merge_results(results) -> tuple:
@@ -147,16 +159,20 @@ async def transcribe(request: web.Request) -> web.Response:
         # (or known-unloadable) aligners skip the infer-executor round-trip,
         # which would otherwise queue behind in-flight inference.
         from ..sidecars import subtitle as subtitle_mod
-        global _aligner_load_failed
-        if not subtitle_mod.aligner_loaded() and not _aligner_load_failed:
+        global _aligner_retry_at
+        if not subtitle_mod.aligner_loaded() and \
+                time.monotonic() >= _aligner_retry_at:
             from ..runtime.queue import infer_executor
             try:
                 await asyncio.get_event_loop().run_in_executor(
                     infer_executor(), subtitle_mod.load_aligner)
+                _aligner_retry_at = 0.0
             except Exception as e:
-                _aligner_load_failed = True
+                _aligner_retry_at = time.monotonic() + float(
+                    os.getenv("ASR_ALIGNER_RETRY_S", "300"))
                 log.info("Aligner unavailable for timestamps ({}); "
-                         "char-proportional estimates will be used", e)
+                         "char-proportional estimates until the next "
+                         "retry window", e)
 
     try:
         # Micro-batched path: concurrent same-bucket uploads share one

@@ -25,6 +25,12 @@ trained test checkpoint as tie noise, sustained mismatches as bugs. The headline
 sessions, 1 for the batched paths) and the implied device-bound session
 capacity at the 450 ms cadence.
 
+Medians exclude a warm region covering the FULL window-growth sweep
+(default ceil(cap/tick)+2 cadences), so seg_start-rung and encoder-block
+compiles never land inside the timed region; mismatches are reported
+warm vs sustained separately (warm ties on tiny checkpoints are noise,
+sustained ones are bugs).
+
     python tools_perf/group_tick_eval.py                     # real chip
     JAX_PLATFORMS=cpu python tools_perf/group_tick_eval.py   # CPU check
     [--model e2e/data/trained_ckpt | preset:1.7b] [--sessions 8] [--cap 6.0]
@@ -47,6 +53,11 @@ def main():
     parser.add_argument("--tick", type=float, default=0.45)
     parser.add_argument("--data-dir", default="e2e/data/real")
     parser.add_argument("--cadences", type=int, default=20)
+    parser.add_argument("--warm", type=int, default=None,
+                        help="warm cadences excluded from medians; default "
+                             "covers the FULL window-growth sweep (ceil(cap/"
+                             "tick)+2) so every seg_start rung and encoder-"
+                             "block shape compiles before timing starts")
     parser.add_argument("--skip-solo", action="store_true",
                         help="skip the N-solo-sessions arm (faster)")
     args = parser.parse_args()
@@ -107,8 +118,17 @@ def main():
     prev_batch = [[] for _ in range(n)]
 
     t_group, t_batched, t_solo = [], [], []
-    mismatches = 0
-    warm = 2  # first cadences include compiles; excluded from medians
+    # Warm cadences cover the FULL window-growth region (windows keep
+    # growing until they hit the cap, compiling new shapes along the way)
+    # — timing them would fold tunnel compiles into the medians.
+    warm = (args.warm if args.warm is not None
+            else -(-cap // tick_n) + 2)
+    # Mismatches split by phase: cadence-0/warm ticks on tiny checkpoints
+    # can argmax-tie inside DEGENERATE outputs (see module docstring) and a
+    # tick-batch-arm tie cascades through its self-seeded resume chain —
+    # only SUSTAINED (post-warm) mismatches indicate real divergence.
+    mismatches_warm = mismatches = 0
+    mismatch_cadences = []
 
     for cad in range(args.cadences + warm):
         filts = []
@@ -146,18 +166,25 @@ def main():
             t_sol = time.perf_counter() - t0
 
         for i in range(n):
+            diverged = False
             if group_out[i][1] != batch_ids[i]:
-                mismatches += 1
+                diverged = True
                 print(json.dumps({"mismatch": "grouped_vs_tickbatch",
                                   "cadence": cad, "session": i,
                                   "grouped": group_out[i][1],
                                   "tickbatch": batch_ids[i]}))
             if solos and solo_out[i][1] != group_out[i][1]:
-                mismatches += 1
+                diverged = True
                 print(json.dumps({"mismatch": "solo_vs_grouped",
                                   "cadence": cad, "session": i,
                                   "solo": solo_out[i][1],
                                   "grouped": group_out[i][1]}))
+            if diverged:
+                mismatch_cadences.append(cad)
+                if cad < warm:
+                    mismatches_warm += 1
+                else:
+                    mismatches += 1
             prev_batch[i] = batch_ids[i]
         if cad >= warm:
             t_group.append(t_grp)
@@ -182,7 +209,10 @@ def main():
         "grouped_vs_tickbatch_device": round(bat_dev / grp_dev, 2),
         "capacity_tickbatch": round(n * args.tick / bat_dev, 1),
         "capacity_grouped": round(n * args.tick / grp_dev, 1),
-        "mismatches": mismatches,
+        "warm_cadences": warm,
+        "mismatches_sustained": mismatches,
+        "mismatches_warm": mismatches_warm,
+        "mismatch_cadences": sorted(set(mismatch_cadences)),
     }
     if t_solo:
         sol_p50 = statistics.median(t_solo)
