@@ -209,12 +209,62 @@ def test_ws_flush_roundtrip(ensure_model_loaded, audio_fixtures):
     asyncio.run(go())
 
 
+_warm_flush_cache = {}
+
+
+def _warm_flush_ms(duration_s: float = 8.0) -> float:
+    """Warm latency reference: stream `duration_s` of audio UNPACED and
+    time the flush→final roundtrip — the same window/bucket the paced
+    tiers hit, measured on THIS server/link/backend. Paced gates are
+    multiples of this (p50 < 5× warm) instead of the old absolute 30 s
+    that could never catch a real streaming regression (round-3 verdict
+    weak #5: 86 ms vs 630 ms runs both sailed under 30 s)."""
+    if duration_s in _warm_flush_cache:
+        return _warm_flush_cache[duration_s]
+    import aiohttp
+    import numpy as np
+    from util_audio import speech_like
+
+    async def go():
+        pcm = np.clip(speech_like(duration_s, seed=13) * 32767, -32768,
+                      32767).astype("<i2").tobytes()
+        async with aiohttp.ClientSession() as s:
+            async with s.ws_connect(WS_URL) as ws:
+                hello = await ws.receive_json()
+                chunk = hello["buffer_size"]
+                for i in range(0, len(pcm), chunk):
+                    await ws.send_bytes(pcm[i:i + chunk])
+                # drain any partials already queued, then time the flush
+                while True:
+                    try:
+                        await asyncio.wait_for(ws.receive_json(), 0.2)
+                    except asyncio.TimeoutError:
+                        break
+                t0 = time.time()
+                await ws.send_json({"action": "flush"})
+                while True:
+                    msg = await asyncio.wait_for(ws.receive_json(), 120)
+                    if msg.get("is_final") or msg.get("error"):
+                        return (time.time() - t0) * 1000
+    ms = asyncio.run(go())
+    _warm_flush_cache[duration_s] = ms
+    return ms
+
+
+def _paced_gate_ms(warm_ms: float) -> float:
+    """5× the warm roundtrip, floored at 2 s (tunnel jitter), capped at
+    the reference's absolute 30 s."""
+    return min(30_000.0, max(5 * warm_ms, 2_000.0))
+
+
 def test_ws_partial_latency(ensure_model_loaded):
     """Paced 450 ms streaming; asserts the server keeps up (no backlog)."""
     import aiohttp
     import sys
     sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
     from bench_realtime import run_benchmark
+
+    warm_ms = _warm_flush_ms()
 
     async def go():
         session = aiohttp.ClientSession()
@@ -237,7 +287,10 @@ def test_ws_partial_latency(ensure_model_loaded):
         assert result["partials"] >= 2, result
         assert result["final_text_len"] > 0, result
         if result["flush_latency_ms"] is not None:
-            assert result["flush_latency_ms"] < 30_000
+            gate = _paced_gate_ms(warm_ms)
+            assert result["flush_latency_ms"] < gate, (
+                f"flush {result['flush_latency_ms']:.0f}ms > "
+                f"{gate:.0f}ms (5× warm {warm_ms:.0f}ms)")
     asyncio.run(go())
 
 
@@ -607,7 +660,10 @@ def test_realtime_streaming_accuracy(ensure_model_loaded, clip, metric, gate):
         f"{clip}: streaming {metric.upper()} {result[metric]:.1%} > "
         f"{gate:.0%}\n  expected: {expected}\n  got: {result.get('final_text')}")
     if result["chunk_latency_ms_p50"] is not None:
-        assert result["chunk_latency_ms_p50"] < 30_000
+        lat_gate = _paced_gate_ms(_warm_flush_ms())
+        assert result["chunk_latency_ms_p50"] < lat_gate, (
+            f"partial p50 {result['chunk_latency_ms_p50']:.0f}ms > "
+            f"{lat_gate:.0f}ms (5× warm flush)")
 
 
 def test_accuracy_auto_language_detect(ensure_model_loaded):
