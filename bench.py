@@ -208,19 +208,30 @@ def main():
     # executable (flops + bytes at this batch shape). Peaks: TPU v5e
     # 197 TFLOP/s bf16 / 819 GB/s HBM. `bytes accessed` is the post-fusion
     # HLO operand traffic — an upper-bound proxy for physical HBM bytes.
+    # HloCostAnalysis counts the decode while_loop body ONCE regardless of
+    # trip count, so the fused number alone misses the dominant cost: add
+    # (steps - 1) x a separately-analyzed single decode step (midpoint
+    # position; see engine.decode_step_cost_analysis).
     bf, bs = engine.bucket_frames(int(16000 * clip_s))
     cost = engine.fused_cost_analysis(batch, bf, bs, wire_dtype=np.int16)
+    step = engine.decode_step_cost_analysis(batch, bf, bs)
     peaks = {"TPU v5 lite": (197e12, 819e9),
              "TPU v5e": (197e12, 819e9)}.get(
         jax.devices()[0].device_kind if backend == "tpu" else "", None)
     mfu = hbm_util = None
-    if cost.get("flops") and peaks:
+    flops_total = bytes_total = None
+    if cost.get("flops") and step.get("flops"):
+        extra = step["steps"] - 1  # fused already holds one loop body
+        flops_total = cost["flops"] + extra * step["flops"]
+        bytes_total = (cost.get("bytes accessed", 0.0)
+                       + extra * step.get("bytes accessed", 0.0))
+    if flops_total and peaks:
         # serial pass = one executable on an otherwise idle chip: the
         # honest per-dispatch roofline (steady mode overlaps two, which
         # would double-count concurrency as utilization).
-        mfu = cost["flops"] / serial_s / peaks[0]
-        if cost.get("bytes accessed"):
-            hbm_util = cost["bytes accessed"] / serial_s / peaks[1]
+        mfu = flops_total / serial_s / peaks[0]
+        if bytes_total:
+            hbm_util = bytes_total / serial_s / peaks[1]
 
     baseline_rtfx = 15.7  # reference warm 20s/1.27s on RTX 4060
     print(json.dumps({
@@ -241,10 +252,12 @@ def main():
             "serial_rtfx_runs": [round(batch * clip_s / s, 1)
                                  for s in reversed(serial_runs)],
             "decode_tokens_per_clip": 16 + int(8 * clip_s),
-            "executable_tflops": (round(cost["flops"] / 1e12, 2)
-                                  if cost.get("flops") else None),
-            "executable_gb": (round(cost["bytes accessed"] / 1e9, 2)
-                              if cost.get("bytes accessed") else None),
+            "executable_tflops": (round(flops_total / 1e12, 2)
+                                  if flops_total else None),
+            "executable_gb": (round(bytes_total / 1e9, 2)
+                              if bytes_total else None),
+            "decode_step_gb": (round(step["bytes accessed"] / 1e9, 2)
+                               if step.get("bytes accessed") else None),
             "mfu": round(mfu, 4) if mfu else None,
             "hbm_util": round(hbm_util, 4) if hbm_util else None,
         },

@@ -29,7 +29,8 @@ import numpy as np
 from ..audio.frontend import HOP_LENGTH, LogMelFrontend, _log_mel_impl
 from ..audio.resample import resample
 from ..models.asr import AsrModel, normalize_language
-from ..models.decoder import embed_tokens
+from ..models.decoder import (decoder_forward, embed_tokens, init_kv_cache,
+                              lm_logits)
 from ..models.encoder import encoder_forward
 from ..runtime.generate import greedy_generate, strip_generation
 from ..utils.logging import log
@@ -147,9 +148,16 @@ class TranscriptionEngine:
         model = model or self.model
         cfg = model.cfg
         n_samples = bucket_frames * HOP_LENGTH
-        window = self.frontend.window
-        mel_fb = self.frontend.mel_fb
-        n_mels = self.frontend.n_mels
+        # The frontend must match THIS model's mel config — a speculative
+        # draft may use fewer mel bins than the main model (the engine-level
+        # self.frontend is the main model's). Reuse the shared instance when
+        # the bin counts agree so filterbank constants aren't re-derived.
+        frontend = (self.frontend
+                    if cfg.encoder.num_mel_bins == self.frontend.n_mels
+                    else LogMelFrontend(n_mels=cfg.encoder.num_mel_bins))
+        window = frontend.window
+        mel_fb = frontend.mel_fb
+        n_mels = frontend.n_mels
         suffix = jnp.asarray(self._suffix_ids, jnp.int32)
         dtype = self.dtype
 
@@ -263,6 +271,67 @@ class TranscriptionEngine:
             log.warning("cost_analysis unavailable: {}", e)
             return {}
 
+    def decode_step_cost_analysis(self, batch: int, bucket_frames: int,
+                                  bucket_s: float) -> dict:
+        """XLA cost analysis of ONE decode-loop step at this bucket's
+        shapes. Needed because HloCostAnalysis counts a while_loop body
+        ONCE regardless of trip count (verified empirically), so the fused
+        executable's numbers miss ~(max_new-2) decode steps — the dominant
+        cost. The true executable total is
+          fused + (steps - 1) * step        (fused already holds one body)
+        where steps = max_new - 1 loop trips at the full token budget.
+        Returns {"flops", "bytes accessed", "steps"} or {} when the
+        backend exposes no cost analysis. Abstract lowering only — safe
+        even for int4 caches (no concrete sub-byte array crosses the jit
+        boundary; see CLAUDE.md invariant)."""
+        from ..ops.attention import AttnSpec
+        max_new = max_new_tokens_for(bucket_s)
+        cfg = self.model.cfg
+        build = self._prompt_builder(bucket_frames)
+        n_samples = bucket_frames * HOP_LENGTH
+        prompt_len = jax.eval_shape(
+            build, self.model.params,
+            jax.ShapeDtypeStruct((batch, n_samples), np.int16),
+            jax.ShapeDtypeStruct((batch, PREFIX_BUDGET), np.int32)).shape[1]
+        total = -(-(prompt_len + max_new) // 128) * 128
+        cache_dtype = self.cache_dtype
+        # Mid-decode position: attention-read cost grows with pos, so the
+        # midpoint step is the per-step average over the budget.
+        pos = prompt_len + max_new // 2
+
+        @jax.jit
+        def step(params, cache, last, valid_from):
+            hidden = embed_tokens(params["decoder"], cfg.decoder,
+                                  last[:, None])
+            positions = jnp.full((batch, 1), pos, jnp.int32)
+            spec = AttnSpec(valid_from=valid_from,
+                            valid_to=jnp.full((batch,), pos + 1, jnp.int32))
+            hidden, cache = decoder_forward(
+                params["decoder"], cfg.decoder, hidden, positions, cache,
+                jnp.int32(pos), spec)
+            nxt = jnp.argmax(lm_logits(params["decoder"], cfg.decoder,
+                                       hidden[:, -1]), axis=-1)
+            return nxt.astype(jnp.int32), cache
+
+        cache = jax.eval_shape(
+            lambda: init_kv_cache(cfg.decoder, batch, total,
+                                  dtype=cache_dtype))
+        args = (self.model.params, cache,
+                jax.ShapeDtypeStruct((batch,), np.int32),
+                jax.ShapeDtypeStruct((batch,), np.int32))
+        try:
+            ca = step.lower(*args).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            out = {k: float(v) for k, v in ca.items()
+                   if k in ("flops", "bytes accessed")
+                   and isinstance(v, (int, float))}
+            out["steps"] = max_new - 1
+            return out
+        except Exception as e:  # pragma: no cover - backend-dependent
+            log.warning("decode step cost_analysis unavailable: {}", e)
+            return {}
+
     def _fused_spec_fn(self, bucket_frames: int, bucket_s: float):
         """Fused speculative executable (any batch): frontend → BOTH
         encoders → both prompts → on-device draft/verify loop with per-row
@@ -292,13 +361,16 @@ class TranscriptionEngine:
 
         @jax.jit
         def run(verify_params, draft_params, audio, prefix_ids, valid_from):
-            mel = build_v.mel_of(audio)
+            # Each model embeds audio through ITS OWN mel frontend — the
+            # two configs may disagree on num_mel_bins (e.g. a small draft
+            # beside a 128-bin main). When they match, XLA CSEs the
+            # duplicate mel computation away, so this costs nothing in the
+            # common same-family pairing.
             flens = jnp.full((audio.shape[0],), bucket_frames, jnp.int32)
-
             emb_v, _ = enc_fwd(verify_params["encoder"], verify.cfg.encoder,
-                               mel, flens)
+                               build_v.mel_of(audio), flens)
             emb_d, _ = enc_fwd(draft_params["encoder"], draft.cfg.encoder,
-                               mel, flens)
+                               build_d.mel_of(audio), flens)
             inputs_v = build_v.assemble(verify_params, emb_v, prefix_ids)
             inputs_d = build_d.assemble(draft_params, emb_d, prefix_ids)
             return speculative_generate(
