@@ -25,6 +25,9 @@ def main():
     parser.add_argument("--draft", default="e2e/data/trained_draft")
     parser.add_argument("--data-dir", default="e2e/data/real")
     parser.add_argument("--gamma", type=int, default=4)
+    parser.add_argument("--batch", default=None,
+                        help="comma-separated batch sizes for the batched "
+                             "arm (e.g. 4,8,12); default: all clips at once")
     args = parser.parse_args()
 
     os.environ["ASR_SPEC_GAMMA"] = str(args.gamma)
@@ -97,19 +100,39 @@ def main():
     # Batched speculation (VERDICT r2 weak #4 closed: per-row accept
     # frontiers let speculation engage above batch 1). Same-bucket clips
     # batch together; every row must match the plain batched engine.
-    engine.draft_model = None
+    # --batch N chunks the clip list into groups of N so the batch-size
+    # sweep (b4/b8/b12...) shares one process and one warm cache; per-row
+    # frontiers mean a batch advances at its SLOWEST row's acceptance, so
+    # the win shrinks as batch grows — measure, don't assume.
+    def batched_arm(size):
+        chunks = [batch_clips[i:i + size]
+                  for i in range(0, len(batch_clips), size)]
+        engine.draft_model = None
+        ref = [r for ch in chunks
+               for r in engine.transcribe_batch(ch, language=None)]
+        t0 = time.time()
+        for ch in chunks:
+            engine.transcribe_batch(ch, language=None)
+        plain_s = time.time() - t0
+        engine.attach_draft(draft_engine.model)
+        spec = [r for ch in chunks
+                for r in engine.transcribe_batch(ch, language=None)]
+        t0 = time.time()
+        for ch in chunks:
+            engine.transcribe_batch(ch, language=None)
+        spec_s = time.time() - t0
+        return {
+            "batch": size, "clips": len(batch_clips),
+            "text_mismatches": sum(1 for a, b in zip(ref, spec)
+                                   if a.text != b.text),
+            "plain_s": round(plain_s, 3), "spec_s": round(spec_s, 3),
+            "speedup": round(plain_s / max(spec_s, 1e-9), 2),
+        }
+
     batch_clips = [(a, sr) for _, a, sr, _ in clips]
-    ref_batch = engine.transcribe_batch(batch_clips, language=None)
-    t0 = time.time()
-    engine.transcribe_batch(batch_clips, language=None)
-    plain_batch_s = time.time() - t0
-    engine.attach_draft(draft_engine.model)
-    spec_batch = engine.transcribe_batch(batch_clips, language=None)
-    t0 = time.time()
-    engine.transcribe_batch(batch_clips, language=None)
-    spec_batch_s = time.time() - t0
-    batch_mism = sum(1 for a, b in zip(ref_batch, spec_batch)
-                     if a.text != b.text)
+    sizes = ([int(s) for s in args.batch.split(",")] if args.batch
+             else [len(batch_clips)])
+    batched_rows = [batched_arm(s) for s in sizes]
 
     total_tok = sum(r["tokens"] for r in rows)
     total_rounds = sum(r["rounds"] for r in rows)
@@ -122,13 +145,7 @@ def main():
             total_tok / max(total_rounds, 1) / args.gamma, 2),
         "mean_speedup": round(
             sum(r["speedup"] for r in rows) / len(rows), 2),
-        "batched": {
-            "clips": len(batch_clips),
-            "text_mismatches": batch_mism,
-            "plain_s": round(plain_batch_s, 3),
-            "spec_s": round(spec_batch_s, 3),
-            "speedup": round(plain_batch_s / max(spec_batch_s, 1e-9), 2),
-        },
+        "batched": batched_rows,
         "rows": rows,
     }, indent=1))
 
