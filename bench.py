@@ -204,34 +204,33 @@ def main():
     rtfx = steady_runs[passes // 2]
     serial_s = serial_runs[passes // 2]
 
-    # Roofline position from XLA's own cost model for the exact fused
-    # executable (flops + bytes at this batch shape). Peaks: TPU v5e
-    # 197 TFLOP/s bf16 / 819 GB/s HBM. `bytes accessed` is the post-fusion
-    # HLO operand traffic — an upper-bound proxy for physical HBM bytes.
-    # HloCostAnalysis counts the decode while_loop body ONCE regardless of
-    # trip count, so the fused number alone misses the dominant cost: add
-    # (steps - 1) x a separately-analyzed single decode step (midpoint
-    # position; see engine.decode_step_cost_analysis).
+    # Roofline position from the ANALYTIC cost model (runtime/roofline.py):
+    # executed flops by 2*m*n*k arithmetic over the model config, plus a
+    # weights/KV HBM-traffic model. XLA's own cost_analysis under-reports
+    # this program ~10x on the TPU backend (see roofline.py docstring), so
+    # it is kept only as a cross-check field. Peaks: TPU v5e 197 TFLOP/s
+    # bf16 / 819 GB/s HBM.
+    from qwen3_asr_tpu.runtime.roofline import analytic_cost
     bf, bs = engine.bucket_frames(int(16000 * clip_s))
+    rc = analytic_cost(engine, batch, bf, bs)
     cost = engine.fused_cost_analysis(batch, bf, bs, wire_dtype=np.int16)
     step = engine.decode_step_cost_analysis(batch, bf, bs)
     peaks = {"TPU v5 lite": (197e12, 819e9),
              "TPU v5e": (197e12, 819e9)}.get(
         jax.devices()[0].device_kind if backend == "tpu" else "", None)
     mfu = hbm_util = None
-    flops_total = bytes_total = None
+    xla_flops = xla_bytes = None
     if cost.get("flops") and step.get("flops"):
         extra = step["steps"] - 1  # fused already holds one loop body
-        flops_total = cost["flops"] + extra * step["flops"]
-        bytes_total = (cost.get("bytes accessed", 0.0)
-                       + extra * step.get("bytes accessed", 0.0))
-    if flops_total and peaks:
+        xla_flops = cost["flops"] + extra * step["flops"]
+        xla_bytes = (cost.get("bytes accessed", 0.0)
+                     + extra * step.get("bytes accessed", 0.0))
+    if peaks:
         # serial pass = one executable on an otherwise idle chip: the
         # honest per-dispatch roofline (steady mode overlaps two, which
         # would double-count concurrency as utilization).
-        mfu = flops_total / serial_s / peaks[0]
-        if bytes_total:
-            hbm_util = bytes_total / serial_s / peaks[1]
+        mfu = rc.flops / serial_s / peaks[0]
+        hbm_util = rc.hbm_bytes / serial_s / peaks[1]
 
     baseline_rtfx = 15.7  # reference warm 20s/1.27s on RTX 4060
     print(json.dumps({
@@ -252,12 +251,13 @@ def main():
             "serial_rtfx_runs": [round(batch * clip_s / s, 1)
                                  for s in reversed(serial_runs)],
             "decode_tokens_per_clip": 16 + int(8 * clip_s),
-            "executable_tflops": (round(flops_total / 1e12, 2)
-                                  if flops_total else None),
-            "executable_gb": (round(bytes_total / 1e9, 2)
-                              if bytes_total else None),
-            "decode_step_gb": (round(step["bytes accessed"] / 1e9, 2)
-                               if step.get("bytes accessed") else None),
+            "executable_tflops": round(rc.flops / 1e12, 2),
+            "executable_hbm_gb": round(rc.hbm_bytes / 1e9, 2),
+            "roofline_detail": rc.as_dict(),
+            "xla_counted_tflops": (round(xla_flops / 1e12, 2)
+                                   if xla_flops else None),
+            "xla_counted_gb": (round(xla_bytes / 1e9, 2)
+                               if xla_bytes else None),
             "mfu": round(mfu, 4) if mfu else None,
             "hbm_util": round(hbm_util, 4) if hbm_util else None,
         },

@@ -93,6 +93,15 @@ class TranscriptionEngine:
         # Optional jax.sharding.Mesh: weights pre-sharded by the lifecycle
         # layer; batches are dp-sharded in _run_bucket (SURVEY §2.3).
         self.mesh = None
+        # Opt-in AOT executable cache (ASR_AOT_CACHE_DIR): serialized
+        # executables boot 4.4x faster than warm-cache recompiles on
+        # tunnel-attached chips (runtime/aot_cache.py).
+        from .aot_cache import AotCache
+        self._aot = AotCache.from_env(self)
+
+    def _aot_wrap(self, fn, label: str):
+        """Wrap a fused jit fn in the AOT blob dispatcher when enabled."""
+        return self._aot.wrap(fn, label) if self._aot else fn
 
     def attach_draft(self, draft_model: AsrModel) -> None:
         """Enable token-level speculative decoding: `draft_model` proposes,
@@ -243,6 +252,7 @@ class TranscriptionEngine:
                                    valid_from, max_new=max_new, eos_id=eos_id,
                                    pad_id=pad_id, cache_dtype=cache_dtype)
 
+        run = self._aot_wrap(run, f"fused-{bucket_frames}-{max_new}")
         self._generate_fns[key] = run
         return run
 
@@ -407,6 +417,7 @@ class TranscriptionEngine:
                                    max_new=max_new, eos_id=eos_id,
                                    pad_id=pad_id, cache_dtype=cache_dtype)
 
+        run = self._aot_wrap(run, f"resume-{bucket_frames}-{max_new}")
         self._generate_fns[key] = run
         return run
 
@@ -436,6 +447,7 @@ class TranscriptionEngine:
                 prev_tokens, prev_len, max_new=max_new, eos_id=eos_id,
                 pad_id=pad_id, cache_dtype=cache_dtype)
 
+        run = self._aot_wrap(run, f"resumeb-{bucket_frames}-{max_new}")
         self._generate_fns[key] = run
         return run
 

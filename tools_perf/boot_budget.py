@@ -18,6 +18,8 @@ flatter later phases):
 
   warm       import → engine build → per-bucket batch-1 lower+compile on
              the warm disk cache → first transcription (boot-to-first-token)
+  sweep      serving-boot sweep through transcribe() per bucket; --aot-dir
+             routes it through the AOT blob cache (run twice: build, boot)
   aot-save   compile one bucket executable, serialize (blob + arg trees)
              to --blob
   aot-load   fresh process: deserialize_and_load(blob) + first execution,
@@ -124,6 +126,40 @@ def phase_warm(args):
         "per_bucket_compile_s": per_bucket,
         "bucket_sweep_total_s": round(sum(per_bucket.values()), 2),
         "first_token_s": round(t_first, 2),
+    }))
+
+
+def phase_sweep(args):
+    """Serving-boot sweep through the PUBLIC path: first transcribe() per
+    bucket (batch 1), which is exactly what server warmup pays. With
+    --aot-dir set the engine routes through the AOT blob cache
+    (runtime/aot_cache.py): run once to build blobs, again to measure the
+    blob-boot sweep. Without it, the warm XLA disk cache is the boot path."""
+    if args.aot_dir:
+        os.environ["ASR_AOT_CACHE_DIR"] = args.aot_dir
+    from qwen3_asr_tpu.utils.platform import honor_platform_env
+    honor_platform_env()
+    import jax
+    import numpy as np
+    from qwen3_asr_tpu.runtime.engine import (AUDIO_BUCKETS_S,
+                                              enable_compilation_cache)
+    enable_compilation_cache()
+    t0 = time.time()
+    engine = _engine(args.preset)
+    jax.block_until_ready(engine.model.params)
+    t_engine = time.time() - t0
+    per_bucket = {}
+    t_sweep = time.time()
+    for bs in AUDIO_BUCKETS_S:
+        t0 = time.time()
+        engine.transcribe(np.zeros(int(16000 * bs), np.float32), 16000,
+                          language="en")
+        per_bucket[str(bs)] = round(time.time() - t0, 2)
+    print(json.dumps({
+        "phase": "sweep", "backend": jax.default_backend(),
+        "aot": bool(args.aot_dir), "engine_build_s": round(t_engine, 2),
+        "per_bucket_first_transcribe_s": per_bucket,
+        "sweep_total_s": round(time.time() - t_sweep, 2),
     }))
 
 
@@ -248,8 +284,10 @@ def drive_all(args):
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--phase", default=None,
-                        choices=["warm", "aot-save", "aot-load",
+                        choices=["warm", "sweep", "aot-save", "aot-load",
                                  "recompile", "cold"])
+    parser.add_argument("--aot-dir", default="",
+                        help="ASR_AOT_CACHE_DIR for --phase sweep")
     parser.add_argument("--all", action="store_true")
     parser.add_argument("--preset", default="1.7b")
     parser.add_argument("--bucket", type=float, default=6.0)
@@ -259,9 +297,10 @@ def main():
     if args.all:
         drive_all(args)
     else:
-        {"warm": phase_warm, "aot-save": phase_aot_save,
-         "aot-load": phase_aot_load, "recompile": phase_recompile,
-         "cold": phase_cold}[args.phase or "warm"](args)
+        {"warm": phase_warm, "sweep": phase_sweep,
+         "aot-save": phase_aot_save, "aot-load": phase_aot_load,
+         "recompile": phase_recompile, "cold": phase_cold}[
+             args.phase or "warm"](args)
 
 
 if __name__ == "__main__":
