@@ -67,7 +67,8 @@ class Bandpass:
     def __init__(self, low_hz: float = 300.0, high_hz: float = 3400.0,
                  sr: int = 16000, numtaps: int = 201):
         self.numtaps = numtaps
-        self.kernel = jnp.asarray(fir_bandpass_kernel(low_hz, high_hz, sr, numtaps))
+        # host numpy (same closure-constant rule as LogMelFrontend below)
+        self.kernel = fir_bandpass_kernel(low_hz, high_hz, sr, numtaps)
 
     def __call__(self, audio: jax.Array) -> jax.Array:
         return _apply_fir(audio, self.kernel, self.numtaps)
@@ -136,9 +137,18 @@ class LogMelFrontend:
         self.n_mels = n_mels
         self.sr = sr
         fmax = fmax if fmax is not None else sr / 2.0
-        self.window = jnp.asarray(hann_window())
-        self.mel_fb = jnp.asarray(
-            mel_filter_bank(N_FFT // 2 + 1, n_mels, fmin, fmax, sr))
+        # HOST numpy, deliberately: these are closed over by every fused
+        # executable (engine._prompt_builder), and a closure constant that
+        # is a DEVICE array forces a device→host fetch at MLIR-emission
+        # time (jax's array constant handler blocks in Array._value). On
+        # remote-attached backends that fetch is pure waste — and it was
+        # where the process's one-time first-fetch cost (88–592 s over
+        # the tunnel; see engine.warm_d2h_path_async) landed, stalling
+        # the first lower(). numpy constants lower straight from host
+        # memory.
+        self.window = hann_window().astype(np.float32)
+        self.mel_fb = mel_filter_bank(
+            N_FFT // 2 + 1, n_mels, fmin, fmax, sr).astype(np.float32)
 
     def __call__(self, audio, n_valid: Optional[int] = None):
         """audio: float32 [N] (numpy or jax). Returns (log_mel [n_mels, N//hop],

@@ -145,7 +145,7 @@ def _spectral_probability(audio_float32: np.ndarray) -> float:
     global _window
     if _window is None:
         from .frontend import hann_window  # ONE periodic-Hann definition
-        _window = jnp.asarray(hann_window(FRAME))
+        _window = hann_window(FRAME)  # host numpy (closure-constant rule)
     x = np.asarray(audio_float32, dtype=np.float32)
     if len(x) < FRAME:
         x = np.pad(x, (0, FRAME - len(x)))

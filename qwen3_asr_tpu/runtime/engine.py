@@ -19,6 +19,7 @@ The TPU-native engine behind every endpoint. Design (SURVEY.md §7.2-7.3):
 from __future__ import annotations
 
 import dataclasses
+import threading
 import time
 from typing import List, Optional, Sequence, Tuple
 
@@ -53,6 +54,52 @@ def enable_compilation_cache(path: str = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception as e:  # pragma: no cover - older jax
         log.warning("compilation cache unavailable: {}", e)
+
+
+_d2h_warm_event: Optional[threading.Event] = None
+_d2h_warm_lock = threading.Lock()
+
+
+def warm_d2h_path_async() -> threading.Event:
+    """Absorb the backend's one-time first-fetch cost off the request path.
+
+    Measured on the tunnel-attached chip (2026-08-19, /tmp probes →
+    docs/HOST_SERVER.md): the process's FIRST device→host fetch — even a
+    4-byte scalar — blocks 88–592 s (one-time transfer-path init in the
+    remote-device client; zero CPU, zero sustained traffic while waiting).
+    Every later fetch is RTT-bound (~60 ms). Before this was understood,
+    the cost surfaced wherever the first fetch happened to land: a
+    device-array closure constant fetched at lower() time, or the first
+    request's device_get — moving targets that looked like compile-cache
+    bugs.
+
+    Fired once per process from engine construction, on a daemon thread,
+    so it overlaps model load + bucket warmup instead of serializing in
+    front of the first transcription. Returns the event that is set when
+    the path is warm (boot tooling joins it to report the cost).
+    """
+    global _d2h_warm_event
+    with _d2h_warm_lock:
+        if _d2h_warm_event is not None:
+            return _d2h_warm_event
+        _d2h_warm_event = threading.Event()
+        ev = _d2h_warm_event
+
+    def _fetch():
+        t0 = time.time()
+        try:
+            jax.device_get(jnp.zeros((1,), jnp.int32))
+            dt = time.time() - t0
+            if dt > 5.0:
+                log.info("device→host fetch path warmed in {:.1f}s "
+                         "(one-time per process)", dt)
+        except Exception as e:  # pragma: no cover - backend-dependent
+            log.warning("d2h warm fetch failed: {}", e)
+        finally:
+            ev.set()
+
+    threading.Thread(target=_fetch, name="d2h-warm", daemon=True).start()
+    return ev
 
 
 @dataclasses.dataclass
@@ -98,6 +145,9 @@ class TranscriptionEngine:
         # tunnel-attached chips (runtime/aot_cache.py).
         from .aot_cache import AotCache
         self._aot = AotCache.from_env(self)
+        # One-time per process: start absorbing the backend's first-fetch
+        # cost now so it overlaps load/warmup (see warm_d2h_path_async).
+        self._d2h_warm = warm_d2h_path_async()
 
     def _aot_wrap(self, fn, label: str):
         """Wrap a fused jit fn in the AOT blob dispatcher when enabled."""
@@ -167,7 +217,10 @@ class TranscriptionEngine:
         window = frontend.window
         mel_fb = frontend.mel_fb
         n_mels = frontend.n_mels
-        suffix = jnp.asarray(self._suffix_ids, jnp.int32)
+        # numpy, not device: closure constants must not force a device
+        # fetch at lower() time (see audio/frontend.LogMelFrontend and
+        # warm_d2h_path_async above)
+        suffix = np.asarray(self._suffix_ids, np.int32)
         dtype = self.dtype
 
         def mel_of(audio):

@@ -400,7 +400,10 @@ def _build_tick(engine, seg_start: int, prompt_len: int, max_new: int):
     seg_start=0 is the full-rebuild tick; seg_start=P-tail is the steady
     tail tick (positions < seg_start keep their cached KV)."""
     cfg = engine.model.cfg.decoder
-    suffix = jnp.asarray(engine._suffix_ids, jnp.int32)
+    # numpy: closure constants must not be device arrays (lower() would
+    # block fetching them back — see audio/frontend.LogMelFrontend and
+    # engine.warm_d2h_path_async rationale)
+    suffix = np.asarray(engine._suffix_ids, np.int32)
     dtype = engine.dtype
     eos_id, pad_id = engine.model.eos_id, engine.model.pad_id
 

@@ -148,6 +148,12 @@ def phase_sweep(args):
     engine = _engine(args.preset)
     jax.block_until_ready(engine.model.params)
     t_engine = time.time() - t0
+    # The one-time first-fetch cost (engine.warm_d2h_path_async fires at
+    # engine build) is a PROCESS cost, not a bucket cost: join it here
+    # and report it on its own line so per-bucket numbers stay honest.
+    t0 = time.time()
+    engine._d2h_warm.wait()
+    t_d2h = time.time() - t0
     per_bucket = {}
     t_sweep = time.time()
     for bs in AUDIO_BUCKETS_S:
@@ -158,6 +164,7 @@ def phase_sweep(args):
     print(json.dumps({
         "phase": "sweep", "backend": jax.default_backend(),
         "aot": bool(args.aot_dir), "engine_build_s": round(t_engine, 2),
+        "d2h_warm_s": round(t_d2h, 2),
         "per_bucket_first_transcribe_s": per_bucket,
         "sweep_total_s": round(time.time() - t_sweep, 2),
     }))
