@@ -701,13 +701,19 @@ class TranscriptionEngine:
         if len(segments) > 1:
             resume_tokens = None
 
-        results: List[TranscriptionResult] = []
-        for seg_start, seg in segments:
+        if len(segments) == 1:
+            seg = segments[0][1]
             bucket_frames, bucket_s = self.bucket_frames(len(seg))
             texts, id_lists = self._run_bucket(
                 [seg], bucket_frames, bucket_s, language, context,
                 resume_tokens=resume_tokens)
-            text, token_ids = texts[0], id_lists[0]
+        else:
+            texts, id_lists = self._run_segments_batched(segments, language,
+                                                         context)
+
+        results: List[TranscriptionResult] = []
+        for (seg_start, seg), text, token_ids in zip(segments, texts,
+                                                     id_lists):
             start_t = seg_start / TARGET_SR
             end_t = (seg_start + len(seg)) / TARGET_SR
             out_lang = _response_language(text, lang_code)
@@ -722,6 +728,39 @@ class TranscriptionEngine:
         # IDLE_TIMEOUT; the idle clock must restart when the work FINISHES.
         self.last_used = time.time()
         return results
+
+    def _run_segments_batched(self, segments, language, context):
+        """Long-form path: same-bucket segments share dispatches.
+
+        Silence-boundary chunking cuts near MAX_SEGMENT_S, so nearly every
+        segment of a long clip lands in the largest bucket — running them
+        serially at batch 1 (the obvious loop) wastes the chip: each decode
+        step re-reads the full weights for one row. Grouping by bucket and
+        dispatching up to ASR_LONG_FORM_BATCH (pow2-padded, so only
+        {1,2,4,8,...} shapes ever compile — same policy as
+        runtime/batcher._pad_pow2) amortizes the weight reads across
+        segments; a 10-minute clip becomes ~3 dispatches instead of ~20.
+        Rows are independent in the fused executable, so per-segment output
+        matches the batch-1 path (tests/test_engine.py long-form parity)."""
+        import os as _os
+        cap = int(_os.getenv("ASR_LONG_FORM_BATCH", "8"))
+        cap = 1 << (max(1, cap).bit_length() - 1)  # pow2 floor
+        by_bucket = {}
+        for idx, (_, seg) in enumerate(segments):
+            bf, bs = self.bucket_frames(len(seg))
+            by_bucket.setdefault((bf, bs), []).append(idx)
+        texts: List[Optional[str]] = [None] * len(segments)
+        id_lists: List[Optional[List[int]]] = [None] * len(segments)
+        for (bf, bs), idxs in by_bucket.items():
+            for off in range(0, len(idxs), cap):
+                chunk = idxs[off:off + cap]
+                clips = [segments[i][1] for i in chunk]
+                while len(clips) & (len(clips) - 1):  # pad to pow2 shape
+                    clips.append(np.zeros(1600, dtype=clips[0].dtype))
+                t, il = self._run_bucket(clips, bf, bs, language, context)
+                for j, i in enumerate(chunk):
+                    texts[i], id_lists[i] = t[j], il[j]
+        return texts, id_lists
 
     def transcribe_batch(self, clips: Sequence[Tuple[np.ndarray, int]],
                          language: Optional[str] = None

@@ -76,6 +76,25 @@ def test_long_audio_segmentation(engine):
         assert a.end_time == pytest.approx(b.start_time, abs=0.01)
 
 
+def test_long_audio_batched_matches_serial(engine, monkeypatch):
+    """The long-form path batches same-bucket segments into shared
+    dispatches (engine._run_segments_batched); per segment the output
+    must match the serial batch-1 path (ASR_LONG_FORM_BATCH=1) exactly —
+    rows are independent in the fused executable."""
+    clip = speech_like(2.0, seed=11)
+    gap = np.zeros(8000, dtype=np.float32)
+    long_audio = np.concatenate([clip, gap] * 26)  # 65s -> 3 segments
+    monkeypatch.setenv("ASR_LONG_FORM_BATCH", "1")
+    serial = engine.transcribe(long_audio, 16000, language="en")
+    monkeypatch.setenv("ASR_LONG_FORM_BATCH", "8")
+    batched = engine.transcribe(long_audio, 16000, language="en")
+    assert len(serial) == len(batched) >= 2
+    for s, b in zip(serial, batched):
+        assert s.text == b.text
+        assert s.token_ids == b.token_ids
+        assert s.start_time == b.start_time and s.end_time == b.end_time
+
+
 def test_split_cuts_land_in_silence():
     """The segmenter must cut inside a silence valley, not mid-speech
     (VERDICT r1: boundary cuts could bisect words with no test)."""
