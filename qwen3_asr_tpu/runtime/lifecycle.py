@@ -476,6 +476,13 @@ class ModelManager:
                 ) / 1e6, 1)
             except Exception:
                 pass
+            # False while the one-time device→host fetch init is still in
+            # flight (remote-attached backends pay 88–592 s once per
+            # process; first request's device_get blocks until then —
+            # see engine.warm_d2h_path_async).
+            warm = getattr(self.engine, "_d2h_warm", None)
+            if warm is not None:
+                info["d2h_warm"] = warm.is_set()
         try:
             import jax
             devices = jax.devices()

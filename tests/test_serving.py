@@ -82,6 +82,9 @@ def test_health_memory_and_aligner_fields(client, loop):
                                    "unavailable_retrying")
         assert body["model_loaded"] is True
         assert body["device_arrays_mb"] > 0
+        # d2h_warm: False only while the one-time first-fetch init is in
+        # flight; the transcription above forced a fetch, so it's warm.
+        assert body["d2h_warm"] is True
     loop.run_until_complete(go())
 
 
