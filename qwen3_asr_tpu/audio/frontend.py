@@ -142,7 +142,7 @@ class LogMelFrontend:
         # is a DEVICE array forces a device→host fetch at MLIR-emission
         # time (jax's array constant handler blocks in Array._value). On
         # remote-attached backends that fetch is pure waste — and it was
-        # where the process's one-time first-fetch cost (88–592 s over
+        # where the process's one-time first-fetch cost (52–1416 s observed over
         # the tunnel; see engine.warm_d2h_path_async) landed, stalling
         # the first lower(). numpy constants lower straight from host
         # memory.

@@ -65,7 +65,7 @@ def warm_d2h_path_async() -> threading.Event:
 
     Measured on the tunnel-attached chip (2026-08-19, /tmp probes →
     docs/HOST_SERVER.md): the process's FIRST device→host fetch — even a
-    4-byte scalar — blocks 88–592 s (one-time transfer-path init in the
+    4-byte scalar — blocks 52–1416 s observed (one-time transfer-path init in the
     remote-device client; zero CPU, zero sustained traffic while waiting).
     Every later fetch is RTT-bound (~60 ms). Before this was understood,
     the cost surfaced wherever the first fetch happened to land: a
@@ -573,9 +573,15 @@ class TranscriptionEngine:
                     resume_tokens: Optional[Sequence[int]] = None,
                     resume_rows: Optional[Sequence[
                         Optional[Sequence[int]]]] = None,
-                    language_rows: Optional[Sequence] = None
+                    language_rows: Optional[Sequence] = None,
+                    fetch: bool = True
                     ) -> Tuple[List[str], List[List[int]]]:
         """All clips already ≤ bucket. Returns (texts, token_id_lists).
+
+        fetch=False (warmup only): compile + dispatch + return the raw
+        on-device result WITHOUT the device_get — a host fetch would join
+        the process's one-time D2H init (warm_d2h_path_async) and
+        serialize it ahead of the remaining warmup compiles.
 
         resume_tokens: one stream's previous tokens (batch-1 resume path).
         resume_rows: per-row previous tokens for a CROSS-SESSION tick batch
@@ -643,6 +649,8 @@ class TranscriptionEngine:
             result = fn(self.model.params, jnp.asarray(audio),
                         jnp.asarray(prefix), jnp.asarray(valid_from))
 
+        if not fetch:
+            return result  # warmup: dispatched, deliberately unfetched
         # ONE host transfer for both arrays (each fetch pays a full RTT on
         # remote-attached devices).
         tokens, lengths = jax.device_get((result.tokens, result.lengths))
@@ -814,16 +822,23 @@ class TranscriptionEngine:
                         _os.getenv("ASR_WARMUP_BATCH_SHAPES", "").split(",")
                         if x.strip()]
         rng = np.random.default_rng(42)
+        # fetch=False throughout: a device_get would join the process's
+        # one-time D2H init (52–1416 s observed over a tunnel) and serialize it in
+        # FRONT of the remaining compiles; unfetched dispatches let every
+        # executable compile + load while the background fetch proceeds,
+        # so warmup wall ≈ max(compile sweep, D2H init) instead of sum.
+        last = None
         for sec in buckets:
             dummy = (rng.standard_normal(int(TARGET_SR * sec))
                      .astype(np.float32) * 0.01)
+            bf, bs = self.bucket_frames(len(dummy))
             t0 = time.time()
-            self.transcribe(dummy, TARGET_SR, language=language)
-            self.transcribe(dummy, TARGET_SR, language=language,
-                            resume_tokens=[])
+            last = self._run_bucket([dummy], bf, bs, language, fetch=False)
+            last = self._run_bucket([dummy], bf, bs, language,
+                                    resume_tokens=[], fetch=False)
             for bsz in batch_shapes:
-                self.transcribe_batch([(dummy, TARGET_SR)] * bsz,
-                                      language=language)
+                last = self._run_bucket([dummy] * bsz, bf, bs, language,
+                                        fetch=False)
             log.info("Warmup bucket {}s compiled in {:.1f}s", sec,
                      time.time() - t0)
 
@@ -848,8 +863,10 @@ class TranscriptionEngine:
                          .astype(np.float32) * 0.01)
                 t0 = time.time()
                 for bsz in shapes:
-                    self._run_bucket([dummy] * bsz, bucket_frames, bucket_s,
-                                     language, resume_rows=[None] * bsz)
+                    last = self._run_bucket([dummy] * bsz, bucket_frames,
+                                            bucket_s, language,
+                                            resume_rows=[None] * bsz,
+                                            fetch=False)
                 log.info("Warmup tick-batch bucket {}s (shapes {}) "
                          "compiled in {:.1f}s", sec, shapes,
                          time.time() - t0)
@@ -907,6 +924,20 @@ class TranscriptionEngine:
                     sess.update(window)
                 log.info("Warmup stream session ({} ticks) compiled in "
                          "{:.1f}s", sess.stats["ticks"], time.time() - t0)
+
+        # Warmup means READY: join the background D2H init and the last
+        # unfetched dispatch so the first real request pays neither.
+        t0 = time.time()
+        self._d2h_warm.wait()
+        if last is not None:
+            # A real (tiny) fetch, not block_until_ready: on the remote
+            # backend readiness events resolve early, but a fetch cannot
+            # complete before every prior dispatch on the stream has.
+            jax.device_get(last.lengths)
+        waited = time.time() - t0
+        if waited > 1.0:
+            log.info("Warmup drained D2H init + dispatches in {:.1f}s "
+                     "(overlapped the compile sweep)", waited)
 
 
 def _prep_audio(audio, sr: int) -> np.ndarray:

@@ -477,7 +477,7 @@ class ModelManager:
             except Exception:
                 pass
             # False while the one-time device→host fetch init is still in
-            # flight (remote-attached backends pay 88–592 s once per
+            # flight (remote-attached backends pay 52–1416 s observed once per
             # process; first request's device_get blocks until then —
             # see engine.warm_d2h_path_async).
             warm = getattr(self.engine, "_d2h_warm", None)

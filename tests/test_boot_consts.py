@@ -4,7 +4,7 @@ A `jax.Array` captured as a closure constant is fetched back to the host
 at MLIR-emission time (jax's array constant handler blocks in
 `Array._value`).  Over a remote-tunnel device link that fetch is pure
 waste per lower() — and it is where the process's one-time first-fetch
-cost (88–592 s; see engine.warm_d2h_path_async and the
+cost (52–1416 s observed; see engine.warm_d2h_path_async and the
 docs/HOST_SERVER.md boot study) used to land, stalling the first
 lower() of every process.  Constants that feed jitted code must
 therefore stay HOST numpy: the mel filterbank / Hann window
