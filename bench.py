@@ -222,9 +222,12 @@ def main():
         t0 = time.time()
         for _ in range(iters):
             results.append(fn(*args))
-        jax.block_until_ready(results)
+        # End the timed region with a REAL (tiny) fetch, not
+        # block_until_ready: on the remote backend readiness events can
+        # resolve early, but a fetch cannot complete before every prior
+        # dispatch on the stream has. Costs one RTT (~0.4% of the region).
+        jax.device_get(results[-1].lengths)
         dt = time.time() - t0
-        jax.device_get(results[-1].tokens)  # keep the fetch honest, untimed
         return audio_s / dt
 
     steady_runs = sorted(one_steady_pass() for _ in range(passes))

@@ -69,9 +69,12 @@ class Bandpass:
         self.numtaps = numtaps
         # host numpy (same closure-constant rule as LogMelFrontend below)
         self.kernel = fir_bandpass_kernel(low_hz, high_hz, sr, numtaps)
+        self._kernel_dev = None  # device copy for the argument path
 
     def __call__(self, audio: jax.Array) -> jax.Array:
-        return _apply_fir(audio, self.kernel, self.numtaps)
+        if self._kernel_dev is None:
+            self._kernel_dev = jnp.asarray(self.kernel)
+        return _apply_fir(audio, self._kernel_dev, self.numtaps)
 
 
 def num_frames(n_samples: int, hop: int = HOP_LENGTH) -> int:
@@ -149,6 +152,18 @@ class LogMelFrontend:
         self.window = hann_window().astype(np.float32)
         self.mel_fb = mel_filter_bank(
             N_FFT // 2 + 1, n_mels, fmin, fmax, sr).astype(np.float32)
+        # Device copies for the ARGUMENT path (__call__): numpy jit args
+        # would re-upload ~100 KB per call (a full RTT on remote links).
+        # Lazy: created on first standalone use, so merely constructing a
+        # frontend (the engine does, for its closures) touches no device.
+        self._window_dev = None
+        self._mel_fb_dev = None
+
+    def _dev_consts(self):
+        if self._mel_fb_dev is None:
+            self._window_dev = jnp.asarray(self.window)
+            self._mel_fb_dev = jnp.asarray(self.mel_fb)
+        return self._window_dev, self._mel_fb_dev
 
     def __call__(self, audio, n_valid: Optional[int] = None):
         """audio: float32 [N] (numpy or jax). Returns (log_mel [n_mels, N//hop],
@@ -156,5 +171,6 @@ class LogMelFrontend:
         audio = jnp.asarray(audio, dtype=jnp.float32)
         if n_valid is None:
             n_valid = audio.shape[0]
+        window, mel_fb = self._dev_consts()
         return _log_mel_impl(audio, jnp.asarray(n_valid, jnp.int32),
-                             self.window, self.mel_fb, self.n_mels)
+                             window, mel_fb, self.n_mels)

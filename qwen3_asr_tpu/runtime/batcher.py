@@ -53,14 +53,22 @@ def _pow2_floor(n: int) -> int:
     return 1 << (max(1, n).bit_length() - 1)
 
 
-def _pad_pow2(clips: list, rows: Optional[list] = None) -> None:
+def _pad_pow2(clips: list, rows: Optional[list] = None,
+              dtype=np.float32) -> None:
     """Pad in place to a power-of-two batch so only {1,2,4,8,...} shapes
-    ever compile (arbitrary group sizes would each build an executable)."""
+    ever compile (arbitrary group sizes would each build an executable).
+
+    dtype stays float32 for the live batchers on purpose: warmup compiles
+    the batch shapes with float32 dummies, and a pad row of a different
+    dtype would route an all-int16 group to an executable warmup never
+    built (a live-compile stall on the hot path). The long-form path
+    (engine._run_segments_batched) passes the segments' own dtype — its
+    shapes compile on first use by design."""
     n = 1
     while n < len(clips):
         n *= 2
     while len(clips) < n:
-        clips.append(np.zeros(1600, dtype=np.float32))
+        clips.append(np.zeros(1600, dtype=dtype))
         if rows is not None:
             rows.append(None)
 

@@ -58,6 +58,14 @@ def enable_compilation_cache(path: str = None) -> None:
 
 _d2h_warm_event: Optional[threading.Event] = None
 _d2h_warm_lock = threading.Lock()
+_d2h_warm_error: Optional[str] = None  # set if the warm fetch failed
+
+
+def d2h_warm_state() -> str:
+    """'pending' | 'warm' | 'failed: <err>' — for /health (lifecycle)."""
+    if _d2h_warm_event is None or not _d2h_warm_event.is_set():
+        return "pending"
+    return f"failed: {_d2h_warm_error}" if _d2h_warm_error else "warm"
 
 
 def warm_d2h_path_async() -> threading.Event:
@@ -86,6 +94,7 @@ def warm_d2h_path_async() -> threading.Event:
         ev = _d2h_warm_event
 
     def _fetch():
+        global _d2h_warm_error
         t0 = time.time()
         try:
             jax.device_get(jnp.zeros((1,), jnp.int32))
@@ -94,7 +103,12 @@ def warm_d2h_path_async() -> threading.Event:
                 log.info("device→host fetch path warmed in {:.1f}s "
                          "(one-time per process)", dt)
         except Exception as e:  # pragma: no cover - backend-dependent
-            log.warning("d2h warm fetch failed: {}", e)
+            # Record the failure: the event still sets (nothing may hang
+            # on wait()), but /health reports the path as NOT warm — the
+            # one-time init is still pending and will land on the first
+            # real fetch (see d2h_warm_state).
+            _d2h_warm_error = f"{type(e).__name__}: {e}"
+            log.warning("d2h warm fetch failed: {}", _d2h_warm_error)
         finally:
             ev.set()
 
@@ -759,12 +773,12 @@ class TranscriptionEngine:
             by_bucket.setdefault((bf, bs), []).append(idx)
         texts: List[Optional[str]] = [None] * len(segments)
         id_lists: List[Optional[List[int]]] = [None] * len(segments)
+        from .batcher import _pad_pow2
         for (bf, bs), idxs in by_bucket.items():
             for off in range(0, len(idxs), cap):
                 chunk = idxs[off:off + cap]
                 clips = [segments[i][1] for i in chunk]
-                while len(clips) & (len(clips) - 1):  # pad to pow2 shape
-                    clips.append(np.zeros(1600, dtype=clips[0].dtype))
+                _pad_pow2(clips, dtype=clips[0].dtype)
                 t, il = self._run_bucket(clips, bf, bs, language, context)
                 for j, i in enumerate(chunk):
                     texts[i], id_lists[i] = t[j], il[j]

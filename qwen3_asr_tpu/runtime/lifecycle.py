@@ -477,12 +477,16 @@ class ModelManager:
             except Exception:
                 pass
             # False while the one-time device→host fetch init is still in
-            # flight (remote-attached backends pay 52–1416 s observed once per
-            # process; first request's device_get blocks until then —
-            # see engine.warm_d2h_path_async).
-            warm = getattr(self.engine, "_d2h_warm", None)
-            if warm is not None:
-                info["d2h_warm"] = warm.is_set()
+            # flight OR if the background warm fetch failed (remote-attached
+            # backends pay 52–1416 s observed once per process; the first
+            # request's device_get blocks until the init really completes —
+            # see engine.warm_d2h_path_async / d2h_warm_state).
+            if getattr(self.engine, "_d2h_warm", None) is not None:
+                from .engine import d2h_warm_state
+                state = d2h_warm_state()
+                info["d2h_warm"] = state == "warm"
+                if state.startswith("failed"):
+                    info["d2h_warm_error"] = state
         try:
             import jax
             devices = jax.devices()

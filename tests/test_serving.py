@@ -82,8 +82,13 @@ def test_health_memory_and_aligner_fields(client, loop):
                                    "unavailable_retrying")
         assert body["model_loaded"] is True
         assert body["device_arrays_mb"] > 0
-        # d2h_warm: False only while the one-time first-fetch init is in
-        # flight; the transcription above forced a fetch, so it's warm.
+        # d2h_warm flips when the BACKGROUND warm thread's own fetch
+        # completes (the foreground transcription doesn't set it) — join
+        # the event before asserting so a slow CI box can't flake this.
+        mgr = client.server.app["manager"]
+        mgr.engine._d2h_warm.wait(timeout=30)
+        resp = await client.get("/health")
+        body = await resp.json()
         assert body["d2h_warm"] is True
     loop.run_until_complete(go())
 

@@ -75,7 +75,7 @@ def main():
         results[f"cap{cap}"] = {"wall_s": round(wall, 2),
                                 "rtfx": round(clip_s / wall, 1)}
 
-    caps = sorted(results)
+    caps = sorted(results, key=lambda k: int(k[3:]))  # numeric, not lexical
     speedup = (results[caps[-1]]["rtfx"] / results[caps[0]]["rtfx"]
                if len(caps) > 1 else None)
     print(json.dumps({
