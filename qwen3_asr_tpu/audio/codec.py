@@ -2,8 +2,8 @@
 
 Replaces the reference's soundfile decode (src/server.py:200-203) for the
 formats we can parse natively: WAV (RIFF/RIFX, PCM 8/16/24/32-bit and
-float32/float64), AIFF/AIFC (uncompressed), AU/SND, W64/RF64 headers, and
-FLAC (full native decoder, audio/flac.py). MP3/OGG are delegated to the
+float32/float64), AIFF/AIFC (uncompressed), AU/SND, CAF (LPCM), W64/RF64
+headers, and FLAC (full native decoder, audio/flac.py). MP3/OGG are delegated to the
 SDL_mixer-backed decoder in audio/compressed.py. Anything undecodable
 raises ``AudioDecodeError``/``UnsupportedFormatError`` — the serving layer
 maps those to the same AUDIO_DECODE_FAILED error the reference returns.
@@ -198,6 +198,56 @@ def _decode_aiff(buf: bytes) -> Tuple[np.ndarray, int]:
     return audio, sr
 
 
+# --- CAF (Apple Core Audio Format) --------------------------------------------
+
+def _decode_caf(buf: bytes) -> Tuple[np.ndarray, int]:
+    """Core Audio Format, LPCM only (the reference's soundfile backend
+    accepts CAF — reference src/schemas.py:105 lists it). Big-endian
+    chunked container: 8-byte file header ('caff', version, flags), then
+    (type[4], int64 size) chunks. 'desc' is the stream description;
+    'data' begins with a uint32 edit count; a size of -1 on the final
+    data chunk means "to EOF" (streaming writers)."""
+    if buf[:4] != b"caff":
+        raise AudioDecodeError("not a CAF file")
+    pos = 8
+    sr = channels = sampwidth = None
+    fmt = "pcm"
+    big_endian = True
+    data = None
+    while pos + 12 <= len(buf):
+        ctype = buf[pos:pos + 4]
+        (csize,) = struct.unpack(">q", buf[pos + 4:pos + 12])
+        if csize < 0:
+            if ctype != b"data":
+                raise AudioDecodeError("open-ended non-data CAF chunk")
+            csize = len(buf) - (pos + 12)
+        body = buf[pos + 12:pos + 12 + csize]
+        if ctype == b"desc":
+            (srate,) = struct.unpack(">d", body[:8])
+            fmt_id = body[8:12]
+            flags, _bpp, _fpp, ch, bits = struct.unpack(">IIIII", body[12:32])
+            if fmt_id != b"lpcm":
+                raise UnsupportedFormatError(
+                    f"CAF codec {fmt_id!r} not supported (LPCM only)")
+            if bits < 16:
+                raise UnsupportedFormatError(
+                    f"CAF {bits}-bit LPCM not supported")
+            sr = int(round(srate))
+            channels = ch
+            sampwidth = (bits + 7) // 8
+            fmt = "float" if flags & 0x1 else "pcm"   # kCAF...IsFloat
+            big_endian = not (flags & 0x2)            # kCAF...IsLittleEndian
+        elif ctype == b"data":
+            data = body[4:]  # uint32 edit count precedes the samples
+        pos += 12 + csize
+    if sr is None or data is None:
+        raise AudioDecodeError("missing desc or data chunk")
+    check_stream_params(sr, channels)
+    audio = _decode_pcm_block(data, sampwidth, channels, fmt,
+                              big_endian=big_endian)
+    return audio, sr
+
+
 # --- AU / SND ----------------------------------------------------------------
 
 _AU_ENCODINGS = {2: (1, "pcm"), 3: (2, "pcm"), 4: (3, "pcm"), 5: (4, "pcm"),
@@ -241,13 +291,15 @@ def decode_audio(audio_bytes: bytes) -> Tuple[np.ndarray, int]:
             return _decode_aiff(audio_bytes)
         if head == b".snd":
             return _decode_au(audio_bytes)
+        if head == b"caff":
+            return _decode_caf(audio_bytes)
         if head == b"fLaC":
             from .flac import decode_flac
             return decode_flac(audio_bytes)
     except (struct.error, IndexError, ValueError) as e:
         raise AudioDecodeError(f"corrupt audio container: {e}") from e
-    supported = ("supported formats: WAV, AIFF/AIFC, AU/SND, RF64, FLAC, "
-                 "MP3, OGG")
+    supported = ("supported formats: WAV, AIFF/AIFC, AU/SND, RF64, CAF, "
+                 "FLAC, MP3, OGG")
     kind = None
     for magic, name in _MAGIC_COMPRESSED.items():
         if audio_bytes.startswith(magic):

@@ -94,7 +94,7 @@ class WebSocketPartial(BaseModel):
 
 API_TAGS = [
     {"name": "Transcription",
-     "description": "Speech-to-text endpoints. Upload audio (WAV, FLAC, MP3, OGG, AIFF, AU) and get text back."},
+     "description": "Speech-to-text endpoints. Upload audio (WAV, FLAC, MP3, OGG, AIFF, CAF, AU) and get text back."},
     {"name": "Streaming",
      "description": "Real-time WebSocket and SSE transcription for low-latency use."},
     {"name": "Subtitles",

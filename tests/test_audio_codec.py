@@ -85,6 +85,48 @@ def test_au_decode():
     assert np.max(np.abs(decoded - audio)) < 1e-3
 
 
+def _caf(desc_body: bytes, data_pcm: bytes, data_size: int = None) -> bytes:
+    data_body = struct.pack(">I", 0) + data_pcm  # uint32 edit count
+    size = len(data_body) if data_size is None else data_size
+    return (b"caff" + struct.pack(">HH", 1, 0)
+            + b"desc" + struct.pack(">q", 32) + desc_body
+            + b"data" + struct.pack(">q", size) + data_body)
+
+
+def _caf_desc(sr: float, flags: int, ch: int, bits: int) -> bytes:
+    bpf = ch * ((bits + 7) // 8)
+    return (struct.pack(">d", sr) + b"lpcm"
+            + struct.pack(">IIIII", flags, bpf, 1, ch, bits))
+
+
+def test_caf_int16_be():
+    audio = tone(0.1)
+    pcm = np.clip(audio * 32767, -32768, 32767).astype(">i2").tobytes()
+    buf = _caf(_caf_desc(16000.0, 0, 1, 16), pcm)
+    decoded, sr = decode_audio(buf)
+    assert sr == 16000
+    assert np.max(np.abs(decoded - audio)) < 1e-3
+
+
+def test_caf_float32_le_stereo_and_open_ended_data():
+    """Little-endian float LPCM, stereo, with the streaming-writer data
+    size of -1 (chunk extends to EOF)."""
+    audio = tone(0.1)
+    stereo = np.stack([audio, audio], axis=1).astype("<f4").tobytes()
+    flags = 0x1 | 0x2  # IsFloat | IsLittleEndian
+    buf = _caf(_caf_desc(16000.0, flags, 2, 32), stereo, data_size=-1)
+    decoded, sr = decode_audio(buf)
+    assert sr == 16000
+    assert np.max(np.abs(decoded - audio)) < 1e-6
+
+
+def test_caf_non_lpcm_rejected():
+    desc = struct.pack(">d", 16000.0) + b"aac " + struct.pack(">IIIII",
+                                                              0, 0, 0, 2, 0)
+    with pytest.raises(AudioDecodeError):
+        decode_audio(_caf(desc, b"\x00" * 64))
+
+
 def test_garbage_rejected():
     with pytest.raises(AudioDecodeError):
         decode_audio(b"this is not audio at all, sorry")
