@@ -1,15 +1,16 @@
 """Audio container decode/encode — pure numpy, no libsndfile/ffmpeg.
 
 Replaces the reference's soundfile decode (src/server.py:200-203) for the
-formats we can parse natively: WAV (RIFF/RIFX, PCM 8/16/24/32-bit and
-float32/float64), AIFF/AIFC (uncompressed), AU/SND, CAF (LPCM), W64/RF64
-headers, and FLAC (full native decoder, audio/flac.py). MP3/OGG are delegated to the
+formats we can parse natively: WAV (RIFF/RIFX/RF64, PCM 8/16/24/32-bit and
+float32/float64), W64 (Sony Wave64), AIFF/AIFC (uncompressed), AU/SND,
+CAF (LPCM), and FLAC (full native decoder, audio/flac.py). MP3/OGG are delegated to the
 SDL_mixer-backed decoder in audio/compressed.py. Anything undecodable
 raises ``AudioDecodeError``/``UnsupportedFormatError`` — the serving layer
 maps those to the same AUDIO_DECODE_FAILED error the reference returns.
 
 Decoded audio is returned as mono float32 in [-1, 1] plus the sample rate.
-(W64 — the GUID-chunked Sony Wave64 container — is NOT handled; RF64 is.)
+This covers the reference's full advertised list (src/schemas.py:105:
+WAV, FLAC, MP3, OGG, AIFF, CAF, AU, W64, RF64).
 """
 from __future__ import annotations
 
@@ -135,6 +136,12 @@ def _decode_wav(buf: bytes) -> Tuple[np.ndarray, int]:
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
     if fmt_tag is None or data is None:
         raise AudioDecodeError("missing fmt or data chunk")
+    return _wave_to_audio(fmt_tag, sampwidth, channels, sr, data, big_endian)
+
+
+def _wave_to_audio(fmt_tag, sampwidth, channels, sr, data,
+                   big_endian) -> Tuple[np.ndarray, int]:
+    """Shared WAVE-family tail (RIFF/RF64/W64): fmt fields + data → audio."""
     check_stream_params(sr, channels)
     if fmt_tag == _WAVE_FORMAT_IEEE_FLOAT:
         audio = _decode_pcm_block(data, sampwidth, channels, "float", big_endian)
@@ -143,6 +150,41 @@ def _decode_wav(buf: bytes) -> Tuple[np.ndarray, int]:
     else:
         raise UnsupportedFormatError(f"WAV codec 0x{fmt_tag:04x} not supported")
     return audio, sr
+
+
+# --- W64 (Sony Wave64) ---------------------------------------------------------
+
+def _decode_w64(buf: bytes) -> Tuple[np.ndarray, int]:
+    """Sony Wave64: the RIFF layout with 16-byte GUID chunk ids and int64
+    sizes (which INCLUDE the 24-byte chunk header), 8-byte aligned. The
+    GUID's first four bytes are the classic FourCC ('riff', 'wave',
+    'fmt ', 'data'); fmt body is byte-identical to WAV's."""
+    if buf[:4] != b"riff" or buf[24:28] != b"wave":
+        raise AudioDecodeError("not a Wave64 file")
+    pos = 40
+    fmt_tag = channels = sr = sampwidth = None
+    data = None
+    while pos + 24 <= len(buf):
+        cid = buf[pos:pos + 4]
+        (csize,) = struct.unpack("<q", buf[pos + 16:pos + 24])
+        if csize < 24:
+            raise AudioDecodeError("corrupt Wave64 chunk size")
+        body = buf[pos + 24:pos + csize]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise AudioDecodeError("truncated fmt chunk")
+            fmt_tag, channels, sr, _, _, bits = struct.unpack("<HHIIHH",
+                                                              body[:16])
+            if fmt_tag == _WAVE_FORMAT_EXTENSIBLE and len(body) >= 26:
+                (fmt_tag,) = struct.unpack("<H", body[24:26])
+            sampwidth = (bits + 7) // 8
+        elif cid == b"data":
+            data = body
+        pos += (csize + 7) & ~7  # chunks are 8-byte aligned
+    if fmt_tag is None or data is None:
+        raise AudioDecodeError("missing fmt or data chunk")
+    return _wave_to_audio(fmt_tag, sampwidth, channels, sr, data,
+                          big_endian=False)
 
 
 # --- AIFF / AIFC -------------------------------------------------------------
@@ -287,6 +329,8 @@ def decode_audio(audio_bytes: bytes) -> Tuple[np.ndarray, int]:
     try:
         if head in (b"RIFF", b"RIFX", b"RF64"):
             return _decode_wav(audio_bytes)
+        if head == b"riff":  # Wave64 uses a lowercase GUID FourCC
+            return _decode_w64(audio_bytes)
         if head == b"FORM":
             return _decode_aiff(audio_bytes)
         if head == b".snd":
@@ -298,8 +342,8 @@ def decode_audio(audio_bytes: bytes) -> Tuple[np.ndarray, int]:
             return decode_flac(audio_bytes)
     except (struct.error, IndexError, ValueError) as e:
         raise AudioDecodeError(f"corrupt audio container: {e}") from e
-    supported = ("supported formats: WAV, AIFF/AIFC, AU/SND, RF64, CAF, "
-                 "FLAC, MP3, OGG")
+    supported = ("supported formats: WAV, W64, RF64, AIFF/AIFC, AU/SND, "
+                 "CAF, FLAC, MP3, OGG")
     kind = None
     for magic, name in _MAGIC_COMPRESSED.items():
         if audio_bytes.startswith(magic):

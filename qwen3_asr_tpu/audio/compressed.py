@@ -29,7 +29,7 @@ import numpy as np
 
 from .codec import AudioDecodeError, UnsupportedFormatError, check_stream_params
 
-_SUPPORTED = "supported formats: WAV, AIFF/AIFC, AU/SND, RF64, CAF, FLAC, MP3, OGG"
+_SUPPORTED = "supported formats: WAV, W64, RF64, AIFF/AIFC, AU/SND, CAF, FLAC, MP3, OGG"
 
 # MPEG audio sample-rate table, indexed by version bits (header bits 19-20):
 # 0 = MPEG2.5, 2 = MPEG2, 3 = MPEG1 (1 is reserved).

@@ -99,6 +99,35 @@ def _caf_desc(sr: float, flags: int, ch: int, bits: int) -> bytes:
             + struct.pack(">IIIII", flags, bpf, 1, ch, bits))
 
 
+_W64_GUID_SUFFIX = bytes.fromhex("2E91CF11A5D628DB04C10000")
+
+
+def _w64_chunk(fourcc: bytes, body: bytes) -> bytes:
+    size = 24 + len(body)
+    return (fourcc + _W64_GUID_SUFFIX + struct.pack("<q", size)
+            + body + b"\0" * ((-size) % 8))
+
+
+def test_w64_decode():
+    audio = tone(0.1)
+    pcm = np.clip(audio * 32767, -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    payload = _w64_chunk(b"fmt ", fmt) + _w64_chunk(b"data", pcm)
+    buf = (b"riff" + _W64_GUID_SUFFIX + struct.pack("<q", 40 + len(payload))
+           + b"wave" + _W64_GUID_SUFFIX + payload)
+    decoded, sr = decode_audio(buf)
+    assert sr == 16000
+    assert np.max(np.abs(decoded - audio)) < 1e-3
+
+
+def test_w64_corrupt_chunk_size_rejected():
+    buf = (b"riff" + _W64_GUID_SUFFIX + struct.pack("<q", 64)
+           + b"wave" + _W64_GUID_SUFFIX
+           + b"fmt " + _W64_GUID_SUFFIX + struct.pack("<q", 3))  # size < 24
+    with pytest.raises(AudioDecodeError):
+        decode_audio(buf)
+
+
 def test_caf_int16_be():
     audio = tone(0.1)
     pcm = np.clip(audio * 32767, -32768, 32767).astype(">i2").tobytes()
