@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import sys
+from typing import NamedTuple
 
 from .utils.logging import log
 
@@ -161,9 +162,107 @@ def _check_max_sessions():
         return f"ASR_MAX_SESSIONS must be >= 0 (0 = unlimited), got {value}"
 
 
+_WS_STREAM_MODES = {"", "auto", "solo", "tick", "prefix", "grouped"}
+
+
+def _check_ws_stream_mode():
+    mode = os.getenv("ASR_WS_STREAM_MODE", "").lower()
+    if mode not in _WS_STREAM_MODES:
+        return (f"ASR_WS_STREAM_MODE must be one of "
+                f"{sorted(_WS_STREAM_MODES - {''})}, got {mode!r}")
+
+
 _VALIDATORS = (_check_model_id, _check_request_timeout, _check_idle_timeout,
                _check_log_level, _check_quantize, _check_worker_port,
-               _check_worker_fleet, _check_ws_window, _check_max_sessions)
+               _check_worker_fleet, _check_ws_window, _check_max_sessions,
+               _check_ws_stream_mode)
+
+
+# ── WS streaming-mode policy ─────────────────────────────────────────────────
+#
+# Four streaming modes exist (docs/SCALING.md has the measured tables):
+#   solo     — per-session fused resume decode.  Best single-session latency.
+#   tick     — cross-session tick batching (one batched dispatch per cadence).
+#              ~2-2.5x device win at >=8 sessions; a lone session pays the
+#              collection window for nothing.
+#   prefix   — per-session encoder-block cache + persistent KV.  Flat ticks
+#              as the window cap grows (29-36 ms at 30 s vs 63 ms re-encode);
+#              a 0.79x REGRESSION at 6 s caps (cache bookkeeping > re-encode).
+#   grouped  — prefix + tick combined (pooled-cache StreamGroup).  3-5.5x at
+#              >=16 s caps; same short-cap regression as prefix.
+#
+# The measured crossover where cached-encoder modes start winning is ~10 s
+# (SCALING.md "crossover" section).  resolve_ws_mode turns those numbers into
+# a server-side policy so operators are not doing flag homework; the legacy
+# env flags and ASR_WS_STREAM_MODE remain explicit overrides.
+
+class WsMode(NamedTuple):
+    prefix: bool     # bind a StreamSession (cached encoder blocks + KV)
+    tick: bool       # coalesce concurrent sessions' ticks into one dispatch
+    name: str        # solo | tick | prefix | grouped
+
+    @classmethod
+    def named(cls, name: str) -> "WsMode":
+        return cls(prefix=name in ("prefix", "grouped"),
+                   tick=name in ("tick", "grouped"), name=name)
+
+
+def resolve_ws_mode(cap_s: float, sessions: int) -> WsMode:
+    """Pick the WS streaming mode for a new connection.
+
+    Replaces the reference's one-mode-fits-all per-tick recompute
+    (reference src/server.py:1295-1375) AND the round-4 raw-env-flag
+    selection.  Priority:
+
+    1. ``ASR_WS_STREAM_MODE`` names a mode explicitly (auto = policy).
+    2. Legacy flags ``ASR_WS_PREFIX_CACHE`` / ``ASR_WS_TICK_BATCH``, if
+       either is set (non-empty), reproduce the round-4 behavior exactly —
+       existing deployments and e2e scripts keep meaning what they said.
+    3. Auto policy from the measured crossovers:
+       cap >= ASR_WS_GROUP_MIN_CAP_S (default 10 s)  → prefix-cached modes
+       (grouped when concurrency warrants batching, prefix-solo otherwise);
+       below the crossover → tick batching at >= ASR_WS_TICK_MIN_SESSIONS
+       concurrent sessions (default 3), solo resume for lone sessions.
+
+    ``sessions`` is the concurrent-session count INCLUDING the new one.
+    The mode is fixed per connection (cache state binds to it); later
+    connections see the grown count, so a fleet ramping past the threshold
+    converges to batched modes connection by connection.
+    """
+    explicit = os.getenv("ASR_WS_STREAM_MODE", "").lower()
+    if explicit and explicit != "auto":
+        return WsMode.named(explicit)
+    legacy_prefix = os.getenv("ASR_WS_PREFIX_CACHE")
+    legacy_tick = os.getenv("ASR_WS_TICK_BATCH")
+    if not explicit and (legacy_prefix is not None
+                         or legacy_tick is not None):
+        prefix = (legacy_prefix or "").lower() == "true"
+        tick = (legacy_tick or "").lower() == "true"
+        return WsMode(prefix, tick,
+                      {(False, False): "solo", (False, True): "tick",
+                       (True, False): "prefix", (True, True): "grouped"}
+                      [(prefix, tick)])
+    min_cap = _safe_float("ASR_WS_GROUP_MIN_CAP_S", "10.0")
+    min_sessions = _safe_int("ASR_WS_TICK_MIN_SESSIONS", "3")
+    batch = sessions >= min_sessions
+    if cap_s >= min_cap:
+        return WsMode.named("grouped" if batch else "prefix")
+    return WsMode.named("tick" if batch else "solo")
+
+
+def ws_warmup_profile() -> list:
+    """Modes the warmup sweep should precompile executables for.
+
+    At load time the concurrent-session count is unknown, so under the
+    auto policy warmup paces the UNION of modes resolve_ws_mode can pick
+    at the configured window cap (both branches of the session-count
+    threshold).  Explicit/legacy configurations warm exactly their one
+    mode, as in round 4.
+    """
+    cap = _safe_float("WS_WINDOW_MAX_S", "6.0")
+    lone = resolve_ws_mode(cap, 1)            # explicit/legacy configs
+    busy = resolve_ws_mode(cap, 10 ** 9)      # resolve identically here
+    return [lone] if lone == busy else [lone, busy]
 
 
 def validate_env() -> None:

@@ -21,14 +21,17 @@ the staleness contract below.
 
 Staleness contract: blobs are fingerprinted by model config, engine
 dtypes, the program-shaping env knobs, argument avals, jax version,
-device fingerprint, and the package version — but NOT the traced program
-itself (hashing the program requires tracing, which is the cost being
-skipped; the XLA persistent cache keys on HLO and therefore cannot skip
-it). A source change that alters a fused graph without bumping
-``qwen3_asr_tpu.__version__`` keeps serving the OLD program from blobs —
-clear ``ASR_AOT_CACHE_DIR`` on source upgrades. The reference's TRT
-engine caches carry the same contract (engines are rebuilt only when
-their filename-versioning says so).
+device fingerprint, the package version, AND a content hash of the
+package source itself (every ``qwen3_asr_tpu/**/*.py`` +
+``native/*.cpp`` file's bytes — cheap: ~1 ms of hashing, no tracing).
+Any source edit therefore invalidates all blobs automatically; the
+previous contract ("clear the dir on upgrades", relying on a
+``__version__`` bump) is closed. Hashing the traced program itself would
+require tracing, which is the cost being skipped — the source hash is
+the no-tracing proxy that is conservative in the safe direction (it can
+only over-invalidate, never serve a stale program). The reference's TRT
+engine caches are weaker still (engines are rebuilt only when their
+filename-versioning says so).
 """
 from __future__ import annotations
 
@@ -51,6 +54,45 @@ _PROGRAM_ENV = ("QUANTIZE", "ASR_KV_CACHE_DTYPE", "ASR_INT8_ACT",
                 "ASR_DECODER_UNROLL")
 
 _FALLBACK = object()   # sentinel: this shape permanently uses the jit fn
+
+_source_hash_cache: dict[str, str] = {}
+
+
+def package_source_hash(pkg_root: Optional[str] = None) -> str:
+    """Content hash of the package's program-defining source.
+
+    Covers every ``.py`` under the installed ``qwen3_asr_tpu`` tree plus
+    any ``native/*.cpp``/``*.h`` (the C++ DSP feeds preprocessing that the
+    traced programs consume). Order-stable (sorted relative paths), bytes
+    not mtimes, so it is deterministic across machines and rebuilds.
+    Cached per-process for the installed tree (it cannot change under a
+    running server without a restart); an explicit ``pkg_root`` bypasses
+    the cache so tests can hash mutating trees.
+    """
+    default_root = pkg_root is None
+    if default_root:
+        pkg_root = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))
+        cached = _source_hash_cache.get(pkg_root)
+        if cached is not None:
+            return cached
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
+        dirnames.sort()
+        dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+        for fn in sorted(filenames):
+            if not (fn.endswith(".py") or fn.endswith(".cpp")
+                    or fn.endswith(".h")):
+                continue
+            full = os.path.join(dirpath, fn)
+            rel = os.path.relpath(full, pkg_root)
+            h.update(rel.encode())
+            with open(full, "rb") as f:
+                h.update(f.read())
+    digest = h.hexdigest()[:16]
+    if default_root:
+        _source_hash_cache[pkg_root] = digest
+    return digest
 
 
 class AotCache:
@@ -85,6 +127,7 @@ class AotCache:
         dev = jax.devices()[0]
         static = {
             "pkg": __version__,
+            "src": package_source_hash(),
             "jax": jax.__version__,
             "device": f"{dev.platform}/{getattr(dev, 'device_kind', '?')}",
             "config": config_to_dict(engine.model.cfg),

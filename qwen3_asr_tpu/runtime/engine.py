@@ -856,9 +856,14 @@ class TranscriptionEngine:
             log.info("Warmup bucket {}s compiled in {:.1f}s", sec,
                      time.time() - t0)
 
-        ws_tick_batch = _os.getenv("ASR_WS_TICK_BATCH", "").lower() == "true"
-        ws_prefix = _os.getenv("ASR_WS_PREFIX_CACHE", "").lower() == "true"
-        if ws_tick_batch and not ws_prefix:
+        # WS streaming modes: warm the executables for every mode the
+        # server-side policy (config.resolve_ws_mode) can pick at this
+        # window cap — under auto that can be two (lone-session and
+        # at-concurrency branches); explicit/legacy configs warm exactly
+        # their one mode.
+        from ..config import ws_warmup_profile
+        ws_modes = {m.name for m in ws_warmup_profile()}
+        if "tick" in ws_modes:
             # Compile the cross-session batched resume executables so the
             # first coalesced tick group doesn't pay a live compile. Ticks
             # only ever see windows ≤ the WS cap, and TickBatcher pads
@@ -885,20 +890,20 @@ class TranscriptionEngine:
                          "compiled in {:.1f}s", sec, shapes,
                          time.time() - t0)
 
-        if ws_prefix:
+        if "grouped" in ws_modes or "prefix" in ws_modes:
             # Pace a throwaway session across the cap so every stream
             # executable (block-encode shapes, segment-ladder rungs)
-            # compiles here, not on a live connection's first ticks. With
-            # tick batching also on, WS partials take the GROUPED pooled-
-            # cache path instead (runtime/stream_group.py) — pace a
-            # 2-member throwaway group, which compiles the same block
-            # encoders plus the batched gtick rungs at the configured
-            # slot count.
+            # compiles here, not on a live connection's first ticks.
+            # Grouped mode paces a 2-member throwaway group, which
+            # compiles the same block encoders plus the batched gtick
+            # rungs at the configured slot count; auto at long caps warms
+            # BOTH (a lone connection binds prefix-solo, concurrency
+            # binds grouped).
             t0 = time.time()
             cap = float(_os.getenv("WS_WINDOW_MAX_S", "6.0"))
             cap_n = int(cap * TARGET_SR)
             tick = int(0.45 * TARGET_SR)
-            if ws_tick_batch:
+            if "grouped" in ws_modes:
                 from .stream_group import StreamGroup
                 slots = int(_os.getenv("ASR_WS_GROUP_SLOTS", "8"))
                 grp = StreamGroup(self, cap, slots)
@@ -923,7 +928,8 @@ class TranscriptionEngine:
                 log.info("Warmup stream group ({} ticks, {} slots) "
                          "compiled in {:.1f}s", ticks, slots,
                          time.time() - t0)
-            else:
+                t0 = time.time()
+            if "prefix" in ws_modes:
                 sess = self.stream_session(cap, language)
                 chunk = sess.chunk_frames * HOP_LENGTH
                 audio = (rng.standard_normal(cap_n + 4 * chunk)

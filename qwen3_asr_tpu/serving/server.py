@@ -23,7 +23,7 @@ from aiohttp import WSMsgType, web
 from ..audio.codec import AudioDecodeError, decode_audio
 from ..audio.vad import default_flush_ticks as _vad_default_flush_ticks
 from ..audio.vad import is_speech
-from ..config import TARGET_SR, validate_env
+from ..config import TARGET_SR, resolve_ws_mode, validate_env
 from ..runtime.lifecycle import ModelManager
 from ..text.repetition import detect_and_fix_repetitions
 from ..utils.logging import log, set_request_id, reset_request_id
@@ -476,7 +476,8 @@ async def transcribe_stream(request: web.Request) -> web.StreamResponse:
 async def _transcribe_with_context(mgr: ModelManager, audio_bytes: bytes,
                                    pad_silence: bool, lang_code,
                                    use_vad: bool,
-                                   resume_tokens=None, session=None):
+                                   resume_tokens=None, session=None,
+                                   tick_batch=None):
     """Bandpass + VAD gate + priority-0 inference over the window bytes.
 
     Returns (text, token_ids). resume_tokens from the previous tick enable
@@ -533,13 +534,18 @@ async def _transcribe_with_context(mgr: ModelManager, audio_bytes: bytes,
                      len(text))
             return text, token_ids
 
-        # Cross-session tick batching (ASR_WS_TICK_BATCH=true): concurrent
-        # sessions' partial ticks coalesce into one batched resume dispatch
-        # (runtime/batcher.TickBatcher) — one device call per tick cadence
-        # per bucket instead of per session. Flushes keep the solo path
-        # (padded silence changes the audio and the window clears after).
-        if (not pad_silence
-                and os.getenv("ASR_WS_TICK_BATCH", "").lower() == "true"):
+        # Cross-session tick batching (tick/grouped modes from
+        # config.resolve_ws_mode; legacy ASR_WS_TICK_BATCH=true):
+        # concurrent sessions' partial ticks coalesce into one batched
+        # resume dispatch (runtime/batcher.TickBatcher) — one device call
+        # per tick cadence per bucket instead of per session. Flushes keep
+        # the solo path (padded silence changes the audio and the window
+        # clears after). ``tick_batch`` carries the connection's resolved
+        # mode; None (non-WS callers) falls back to the raw env flag.
+        if tick_batch is None:
+            tick_batch = os.getenv("ASR_WS_TICK_BATCH",
+                                   "").lower() == "true"
+        if not pad_silence and tick_batch:
             raw, token_ids = await asyncio.wait_for(
                 mgr.tick_batcher.transcribe_tick(audio, lang_code,
                                                  resume_tokens,
@@ -634,12 +640,18 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
     silent_ticks = 0    # consecutive silent ticks (VAD flush debounce)
     prev_tokens = None  # last partial's token ids (resume decoding)
 
-    # WS prefix caching (runtime/stream.py): a per-connection session
-    # carries encoder-block + decoder-KV state across partial ticks.
-    # Partial-tick windows become encoder-chunk-quantized (cache grid
-    # alignment); FLUSH/final windows keep the reference's sample-exact
-    # last-window_max_s semantics via this parallel buffer.
-    prefix_cache = os.getenv("ASR_WS_PREFIX_CACHE", "").lower() == "true"
+    # Streaming mode (config.resolve_ws_mode): picked per connection from
+    # the window cap + concurrent-session count at admission, with
+    # ASR_WS_STREAM_MODE / the legacy flags as explicit overrides.
+    # prefix (WS prefix caching, runtime/stream.py): a per-connection
+    # session carries encoder-block + decoder-KV state across partial
+    # ticks. Partial-tick windows become encoder-chunk-quantized (cache
+    # grid alignment); FLUSH/final windows keep the reference's
+    # sample-exact last-window_max_s semantics via this parallel buffer.
+    # Resolved after admission (needs the session count); placeholder
+    # values cover the pre-admission error paths, which never transcribe.
+    ws_mode = resolve_ws_mode(WS_WINDOW_MAX_S, 1)
+    prefix_cache = ws_mode.prefix
     stream_session = None
     exact_window = bytearray()   # maintained only under prefix_cache
 
@@ -660,11 +672,11 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
             return None
         if stream_session is None or stream_session.engine is not eng:
             try:
-                # With tick batching also on, sessions join a pooled-cache
-                # StreamGroup (runtime/stream_group.py): concurrent
+                # Grouped mode (prefix + tick): sessions join a pooled-
+                # cache StreamGroup (runtime/stream_group.py): concurrent
                 # members' ticks share one dispatch per cadence AND keep
                 # per-session cached encoder blocks / persistent KV.
-                if os.getenv("ASR_WS_TICK_BATCH", "").lower() == "true":
+                if ws_mode.tick:
                     stream_session = eng.stream_group_member(
                         WS_WINDOW_MAX_S, lang_code)
                 else:
@@ -717,6 +729,17 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
         request.app["ws_sessions"] = request.app.get("ws_sessions", 0) + 1
         mgr.ws_sessions = request.app["ws_sessions"]  # tick-batch hint
         admitted = True
+
+        # Resolve the streaming mode for THIS connection now that the
+        # concurrent-session count is known. Fixed for the connection's
+        # lifetime (prefix/grouped cache state binds to it); a fleet
+        # ramping past ASR_WS_TICK_MIN_SESSIONS converges to batched
+        # modes connection by connection.
+        ws_mode = resolve_ws_mode(WS_WINDOW_MAX_S,
+                                  request.app["ws_sessions"])
+        prefix_cache = ws_mode.prefix
+        log.info("[WS] streaming mode: {} (cap={}s, sessions={})",
+                 ws_mode.name, WS_WINDOW_MAX_S, request.app["ws_sessions"])
 
         await mgr.ensure_loaded()
         await ws.send_json({
@@ -859,7 +882,8 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
                         text, prev_tokens = await _transcribe_with_context(
                             mgr, bytes(audio_window), False, lang_code,
                             use_vad, resume_tokens=prev_tokens,
-                            session=session_for_tick())
+                            session=session_for_tick(),
+                            tick_batch=ws_mode.tick)
                         chunk_count += 1
                         if text:
                             await ws.send_json({"text": text,

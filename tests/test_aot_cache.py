@@ -92,6 +92,47 @@ def test_program_env_changes_fingerprint(ckpt_dir, tmp_path, monkeypatch):
     assert after - before, "env change reused a stale fingerprint"
 
 
+def test_source_hash_tracks_content(tmp_path):
+    """The package-source hash is byte-content-sensitive and order-stable."""
+    from qwen3_asr_tpu.runtime.aot_cache import package_source_hash
+    pkg = tmp_path / "pkg"
+    (pkg / "runtime").mkdir(parents=True)
+    (pkg / "runtime" / "engine.py").write_text("x = 1\n")
+    (pkg / "native.cpp").write_text("int main(){}\n")
+    h1 = package_source_hash(str(pkg))
+    assert h1 == package_source_hash(str(pkg)), "hash must be deterministic"
+    # Touching mtime alone must NOT change it (content hash, not mtimes)...
+    os.utime(pkg / "runtime" / "engine.py")
+    assert package_source_hash(str(pkg)) == h1
+    # ...but editing source bytes MUST.
+    (pkg / "runtime" / "engine.py").write_text("x = 2\n")
+    h2 = package_source_hash(str(pkg))
+    assert h2 != h1, "source edit did not change the fingerprint"
+    # Non-source files (docs, data) are ignored.
+    (pkg / "README.md").write_text("hello")
+    assert package_source_hash(str(pkg)) == h2
+
+
+def test_source_change_invalidates_blobs(ckpt_dir, tmp_path, monkeypatch):
+    """touch engine.py → blobs invalidate (the round-4 staleness hole).
+
+    Simulated by swapping the package_source_hash an AotCache sees, which
+    is exactly what an on-disk source edit does to the real function.
+    """
+    from qwen3_asr_tpu.runtime import aot_cache as ac
+    audio = _audio()
+    monkeypatch.setenv("ASR_AOT_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(ac, "package_source_hash", lambda root=None: "aaaa")
+    plain = _engine(ckpt_dir).transcribe(audio, 16000, language="en")
+    before = set(os.listdir(tmp_path))
+    assert before
+    monkeypatch.setattr(ac, "package_source_hash", lambda root=None: "bbbb")
+    again = _engine(ckpt_dir).transcribe(audio, 16000, language="en")
+    after = set(os.listdir(tmp_path))
+    assert after - before, "source-hash change reused a stale blob"
+    assert again[0].text == plain[0].text
+
+
 def test_batch_shapes_dispatch_separately(ckpt_dir, tmp_path, monkeypatch):
     audio = _audio()
     monkeypatch.setenv("ASR_AOT_CACHE_DIR", str(tmp_path))

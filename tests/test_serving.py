@@ -615,7 +615,8 @@ def test_ws_vad_flush_debounce(client, loop, monkeypatch):
     monkeypatch.setattr(server_mod, "is_speech", lambda a: next(it))
 
     async def fake_transcribe(mgr, audio, pad_silence, lang_code, use_vad,
-                              resume_tokens=None, session=None):
+                              resume_tokens=None, session=None,
+                              tick_batch=None):
         return "TEXT", None
     monkeypatch.setattr(server_mod, "_transcribe_with_context",
                         fake_transcribe)
@@ -652,7 +653,8 @@ def test_ws_vad_flush_single_tick(client, loop, monkeypatch):
     monkeypatch.setattr(server_mod, "is_speech", lambda a: next(it))
 
     async def fake_transcribe(mgr, audio, pad_silence, lang_code, use_vad,
-                              resume_tokens=None, session=None):
+                              resume_tokens=None, session=None,
+                              tick_batch=None):
         return "TEXT", None
     monkeypatch.setattr(server_mod, "_transcribe_with_context",
                         fake_transcribe)
