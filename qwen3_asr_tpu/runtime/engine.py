@@ -167,6 +167,18 @@ class TranscriptionEngine:
         """Wrap a fused jit fn in the AOT blob dispatcher when enabled."""
         return self._aot.wrap(fn, label) if self._aot else fn
 
+    @property
+    def executable_count(self) -> int:
+        """Live fused-executable entries across every per-shape cache.
+
+        Surfaced in /health so the e2e memory gate can see the leak class
+        ``device_arrays_mb`` cannot: compiled programs (and their device
+        allocations) accumulating across request churn. Steady-state
+        serving over a fixed shape set must hold this constant."""
+        return (len(self._generate_fns) + len(self._spec_fns)
+                + len(self._stream_fns)
+                + sum(len(g) for g in self._stream_groups.values()))
+
     def attach_draft(self, draft_model: AsrModel) -> None:
         """Enable token-level speculative decoding: `draft_model` proposes,
         this engine's model verifies. Output is identical to verifier-greedy

@@ -512,6 +512,14 @@ class ModelManager:
                 # (reference E2Etest/test_performance.py:183-204).
                 info["device_arrays_mb"] = round(sum(
                     a.nbytes for a in jax.live_arrays()) / 1024 ** 2)
+                # Executable churn is the leak class live-array accounting
+                # can't see (compiled programs hold device memory too):
+                # steady-state serving over a fixed shape set must hold
+                # this constant. Counts both engines' per-shape caches.
+                info["executable_count"] = sum(
+                    e.executable_count
+                    for e in (self.engine, self.fast_engine)
+                    if e is not None)
         except Exception:
             pass
         return info

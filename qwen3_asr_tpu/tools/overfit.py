@@ -78,6 +78,10 @@ def build_config(vocab_size: int, specials: dict, size: str = "base"):
       windowed-attention encoder — so quantization / speculative /
       streaming evidence measured on it exercises production-like
       per-layer arithmetic, not toy widths (VERDICT r3 weak #2).
+    * ``large``  — ~350 M: the round-5 drift-vs-scale point between the
+      113 M proof and the 1.7 B graph (VERDICT r4 #4): production
+      128-dim heads, 1280-wide decoder, 16 layers — the widest tier the
+      vendored 12-clip corpus still memorizes in a bounded chip budget.
     """
     from ..models.config import AsrConfig, AudioEncoderConfig, DecoderConfig
     enc = {
@@ -90,6 +94,9 @@ def build_config(vocab_size: int, specials: dict, size: str = "base"):
         "medium": dict(num_mel_bins=128, d_model=512, encoder_layers=8,
                        encoder_attention_heads=8, encoder_ffn_dim=2048,
                        output_dim=896, downsample_hidden_size=128),
+        "large": dict(num_mel_bins=128, d_model=768, encoder_layers=10,
+                      encoder_attention_heads=12, encoder_ffn_dim=3072,
+                      output_dim=1280, downsample_hidden_size=128),
     }[size]
     dec = {
         "draft": dict(hidden_size=96, intermediate_size=256,
@@ -101,6 +108,9 @@ def build_config(vocab_size: int, specials: dict, size: str = "base"):
         "medium": dict(hidden_size=896, intermediate_size=2432,
                        num_hidden_layers=10, num_attention_heads=14,
                        num_key_value_heads=2, head_dim=64),
+        "large": dict(hidden_size=1280, intermediate_size=3456,
+                      num_hidden_layers=16, num_attention_heads=10,
+                      num_key_value_heads=2, head_dim=128),
     }[size]
     return AsrConfig(
         encoder=AudioEncoderConfig(
@@ -129,7 +139,7 @@ def main():
     parser.add_argument("--draft", action="store_true",
                         help="half-size architecture (speculative draft)")
     parser.add_argument("--size", default=None,
-                        choices=["draft", "base", "medium"],
+                        choices=["draft", "base", "medium", "large"],
                         help="architecture tier (default: base, or draft "
                              "when --draft is given)")
     parser.add_argument("--tokenizer", default=None,

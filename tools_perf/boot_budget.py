@@ -260,6 +260,115 @@ def phase_cold(args):
     }))
 
 
+def phase_server(args):
+    """Boot the REAL worker process (eager load + FULL bucket warmup, the
+    production gateway-mode boot) to READY, then first token over HTTP.
+
+    --aot-dir routes every fused executable through the AOT blob cache
+    (runtime/aot_cache.py). Run it twice at the same dir: the first boot
+    compiles + serializes blobs (build), the second is the AOT boot the
+    reference's TRT-engine deserialization story maps to
+    (reference src/server.py engine-load path)."""
+    import urllib.request
+    port = int(os.getenv("BOOT_BUDGET_PORT", "18310"))
+    env = dict(os.environ)
+    env["MODEL_ID"] = f"preset:{args.preset}"
+    env["IDLE_TIMEOUT"] = "0"
+    env.pop("SKIP_WARMUP", None)          # warmup IS the boot being measured
+    if args.aot_dir:
+        env["ASR_AOT_CACHE_DIR"] = args.aot_dir
+    else:
+        env.pop("ASR_AOT_CACHE_DIR", None)
+    logpath = f"/tmp/boot_budget_server_{port}.log"
+    t0 = time.time()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "qwen3_asr_tpu.serving.worker",
+         "--port", str(port)],
+        env=env, cwd=REPO, stdout=open(logpath, "wb"),
+        stderr=subprocess.STDOUT)
+    ready_s = None
+    try:
+        while time.time() - t0 < 3000:
+            if proc.poll() is not None:
+                raise RuntimeError(
+                    f"worker died rc={proc.returncode}; log tail: "
+                    + open(logpath, errors="replace").read()[-800:])
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/health", timeout=2) as r:
+                    if r.status == 200:
+                        ready_s = time.time() - t0
+                        break
+            except Exception:
+                time.sleep(1.0)
+        if ready_s is None:
+            raise RuntimeError("worker never became ready")
+
+        import numpy as np
+        from qwen3_asr_tpu.audio.codec import encode_wav
+        rng = np.random.default_rng(0)
+        wav = encode_wav(
+            (rng.standard_normal(16000 * 6) * 0.02).astype(np.float32), 16000)
+        boundary = b"bb-boot-budget"
+        body = (b"--" + boundary + b"\r\n"
+                b'Content-Disposition: form-data; name="file"; '
+                b'filename="a.wav"\r\nContent-Type: audio/wav\r\n\r\n'
+                + wav + b"\r\n--" + boundary + b"--\r\n")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe", data=body,
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary.decode()}"})
+        t1 = time.time()
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.status == 200, r.status
+            r.read()
+        first_s = time.time() - t1
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+    print(json.dumps({
+        "phase": "server", "aot": bool(args.aot_dir),
+        "boot_to_ready_s": round(ready_s, 2),
+        "first_request_after_ready_s": round(first_s, 2),
+        "boot_to_first_token_s": round(ready_s + first_s, 2),
+    }))
+
+
+def drive_server(args):
+    """Three full-server boots: warm XLA cache, AOT build, AOT boot."""
+    import shutil
+    import tempfile
+    aot_dir = tempfile.mkdtemp(prefix="boot_budget_aot_")
+    plan = [("warm_cache", []),
+            ("aot_build", ["--aot-dir", aot_dir]),
+            ("aot_boot", ["--aot-dir", aot_dir])]
+    results = {}
+    try:
+        for name, extra in plan:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--phase", "server", "--preset", args.preset] + extra
+            p = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=3600, cwd=REPO)
+            line = ([ln for ln in p.stdout.splitlines()
+                     if ln.startswith("{")] or [None])[-1]
+            results[name] = (json.loads(line) if line and p.returncode == 0
+                             else {"error": (p.stderr or p.stdout)[-800:]})
+        blobs = [f for f in os.listdir(aot_dir)] if os.path.isdir(aot_dir) \
+            else []
+        results["aot_blobs"] = {
+            "count": len(blobs),
+            "total_mb": round(sum(os.path.getsize(os.path.join(aot_dir, f))
+                                  for f in blobs) / 1e6, 1)}
+        wc = results.get("warm_cache", {})
+        ab = results.get("aot_boot", {})
+        if "boot_to_ready_s" in wc and "boot_to_ready_s" in ab:
+            results["aot_vs_warm_cache_boot"] = round(
+                wc["boot_to_ready_s"] / max(ab["boot_to_ready_s"], 1e-9), 2)
+    finally:
+        shutil.rmtree(aot_dir, ignore_errors=True)
+    print(json.dumps(results, indent=1))
+
+
 def drive_all(args):
     results = {}
     blob = args.blob
@@ -292,7 +401,10 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--phase", default=None,
                         choices=["warm", "sweep", "aot-save", "aot-load",
-                                 "recompile", "cold"])
+                                 "recompile", "cold", "server"])
+    parser.add_argument("--server-boot", action="store_true",
+                        help="three FULL worker boots: warm cache / AOT "
+                             "build / AOT boot (boot-to-ready + first token)")
     parser.add_argument("--aot-dir", default="",
                         help="ASR_AOT_CACHE_DIR for --phase sweep")
     parser.add_argument("--all", action="store_true")
@@ -303,10 +415,13 @@ def main():
     args = parser.parse_args()
     if args.all:
         drive_all(args)
+    elif args.server_boot:
+        drive_server(args)
     else:
         {"warm": phase_warm, "sweep": phase_sweep,
          "aot-save": phase_aot_save, "aot-load": phase_aot_load,
-         "recompile": phase_recompile, "cold": phase_cold}[
+         "recompile": phase_recompile, "cold": phase_cold,
+         "server": phase_server}[
              args.phase or "warm"](args)
 
 

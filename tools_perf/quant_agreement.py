@@ -107,6 +107,79 @@ def prefill_logits_fn(engine, bucket_frames):
     return run
 
 
+def greedy_margin_fn(engine, bucket_frames, depth):
+    """Jitted: audio + prompt → (tokens [B,depth], margins [B,depth],
+    alive [B,depth]) along the bf16 reference's own greedy path.
+
+    margin[i] = top1 − top2 logit at decode step i — the separation the
+    quantization drift must stay inside for the argmax (and therefore the
+    text) to survive. alive masks steps after the row's EOS: margins past
+    EOS are not on any served path (round-4 verdict #4: connect the
+    random-init drift bound to TRAINED margins instead of leaving 'small
+    against trained margins' as an unquantified claim)."""
+    import jax
+    import jax.numpy as jnp
+    from qwen3_asr_tpu.models.decoder import (decoder_forward, embed_tokens,
+                                              init_kv_cache, lm_logits)
+    from qwen3_asr_tpu.ops.attention import AttnSpec
+
+    cfg = engine.model.cfg
+    build = engine._prompt_builder(bucket_frames)
+    cache_dtype = engine.cache_dtype
+    eos = cfg.eos_token_id
+
+    def margin_of(logits):
+        m1 = jnp.max(logits, axis=-1)
+        hot = jax.nn.one_hot(jnp.argmax(logits, -1), logits.shape[-1],
+                             dtype=logits.dtype)
+        m2 = jnp.max(logits - hot * jnp.float32(1e30), axis=-1)
+        return m1 - m2
+
+    @jax.jit
+    def run(params, audio, prefix_ids, valid_from):
+        inputs = build(params, audio, prefix_ids)
+        b, t, _ = inputs.shape
+        total = -(-(t + depth + 8) // 128) * 128
+        cache = init_kv_cache(cfg.decoder, b, total, dtype=cache_dtype)
+        positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+        spec = AttnSpec(causal=True, q_offset=0, valid_from=valid_from)
+        hidden, cache = decoder_forward(params["decoder"], cfg.decoder,
+                                        inputs, positions, cache,
+                                        jnp.int32(0), spec)
+        logits = lm_logits(params["decoder"], cfg.decoder,
+                           hidden[:, -1]).astype(jnp.float32)
+
+        toks0 = jnp.zeros((b, depth), jnp.int32)
+        margs0 = jnp.zeros((b, depth), jnp.float32)
+        alive0 = jnp.zeros((b, depth), jnp.bool_)
+
+        def body(i, carry):
+            logits, cache, toks, margs, alive, live = carry
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            toks = toks.at[:, i].set(tok)
+            margs = margs.at[:, i].set(margin_of(logits))
+            alive = alive.at[:, i].set(live)
+            live = live & (tok != eos)
+            pos = t + i
+            hidden = embed_tokens(params["decoder"], cfg, tok[:, None])
+            positions = jnp.full((b, 1), pos, jnp.int32)
+            step_spec = AttnSpec(valid_from=valid_from,
+                                 valid_to=jnp.full((b,), pos + 1, jnp.int32))
+            hidden, cache = decoder_forward(params["decoder"], cfg.decoder,
+                                            hidden, positions, cache, pos,
+                                            step_spec)
+            logits = lm_logits(params["decoder"], cfg.decoder,
+                               hidden[:, -1]).astype(jnp.float32)
+            return logits, cache, toks, margs, alive, live
+
+        live0 = jnp.ones((b,), jnp.bool_)
+        _, _, toks, margs, alive, _ = jax.lax.fori_loop(
+            0, depth, body, (logits, cache, toks0, margs0, alive0, live0))
+        return toks, margs, alive
+
+    return run
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--model", default="preset:1.7b")
@@ -114,6 +187,14 @@ def main():
     parser.add_argument("--clips-s", default="6,20")
     parser.add_argument("--depths", default="16,64,128,176")
     parser.add_argument("--data-dir", default="e2e/data/real")
+    parser.add_argument("--margins", action="store_true",
+                        help="measure bf16 greedy-path argmax margins and "
+                             "report them against each config's drift")
+    parser.add_argument("--margin-depth", type=int, default=64)
+    parser.add_argument("--out", default=None,
+                        help="write all result rows as JSON to this path "
+                             "(committed artifact, e.g. "
+                             "tools_perf/results/quant_agreement_17b.json)")
     args = parser.parse_args()
 
     from qwen3_asr_tpu.utils.platform import honor_platform_env
@@ -166,6 +247,7 @@ def main():
             ("int8_int4kv_w8a8", qparams, jnp.int4, True),
         ]
         token_rows, logit_rows = {}, {}
+        margin_stats = None
         for name, params, cache_dtype, act in configs:
             if cache_dtype == jnp.int4 and jax.default_backend() == "cpu":
                 cache_dtype = dtype  # int4 cache is a TPU lever
@@ -178,6 +260,20 @@ def main():
             logit_rows[name] = np.asarray(
                 lf(params, jnp.asarray(audio), jnp.asarray(prefix),
                    jnp.asarray(valid_from)))
+            if args.margins and name == "bf16":
+                mf = greedy_margin_fn(eng, bf, args.margin_depth)
+                _, margs, alive = mf(params, jnp.asarray(audio),
+                                     jnp.asarray(prefix),
+                                     jnp.asarray(valid_from))
+                m = np.asarray(margs)[np.asarray(alive)]
+                margin_stats = {
+                    "depth": args.margin_depth,
+                    "on_path_steps": int(m.size),
+                    "percentiles": {p: round(float(np.percentile(m, p)), 3)
+                                    for p in (1, 5, 10, 25, 50)},
+                    "min": round(float(m.min()), 4),
+                }
+                margin_stats["_samples"] = m  # for the drift comparison
             os.environ.pop("ASR_INT8_ACT", None)
 
         ref_t, ref_l = token_rows["bf16"], logit_rows["bf16"]
@@ -202,7 +298,7 @@ def main():
             top5 = np.argsort(-lg, axis=-1)[:, :5]
             overlap = np.mean([len(set(a) & set(b)) / 5.0
                                for a, b in zip(ref_top5, top5)])
-            results.append({
+            row = {
                 "model": args.model, "config": name, "bucket_s": bs,
                 "batch": len(rows),
                 "token_agreement_at_depth": agree,
@@ -214,8 +310,40 @@ def main():
                 "prefill_top1_match": round(float(
                     (lg.argmax(-1) == ref_top1).mean()), 3),
                 "prefill_top5_overlap": round(float(overlap), 3),
-            })
+            }
+            if margin_stats is not None:
+                # The bracket-connecting number (round-4 verdict #4): what
+                # fraction of this model's ON-PATH trained margins would a
+                # given drift flip? Evaluated at THIS config's measured
+                # drift and at the 1.7B stress bound's. A flip needs the
+                # top-2 gap to close, i.e. adversarially aligned drift on
+                # both logits: threshold 2x the per-logit drift.
+                m = margin_stats["_samples"]
+                row["margin_vs_drift"] = {
+                    "at_own_mean_drift": round(float(
+                        (m < 2 * diffs.mean()).mean()), 5),
+                    "at_own_max_drift": round(float(
+                        (m < 2 * diffs.max()).mean()), 5),
+                    "at_17b_stress_mean_0.23": round(float(
+                        (m < 2 * 0.23).mean()), 5),
+                    "at_17b_stress_max_1.39": round(float(
+                        (m < 2 * 1.39).mean()), 5),
+                    "margin_p50_over_17b_mean_drift": round(float(
+                        np.percentile(m, 50) / 0.23), 1),
+                }
+            results.append(row)
+            print(json.dumps(row))
+        if margin_stats is not None:
+            margin_stats.pop("_samples", None)
+            results.append({"model": args.model, "config": "bf16-margins",
+                            "bucket_s": bs, **margin_stats})
             print(json.dumps(results[-1]))
+
+    if args.out:
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
