@@ -183,8 +183,11 @@ def main():
     os.makedirs(args.output, exist_ok=True)
     tok_path = os.path.join(args.output, "tokenizer.json")
     if args.tokenizer:
-        import shutil
-        shutil.copyfile(args.tokenizer, tok_path)
+        # Same-path is the regeneration case: --force re-training a
+        # checkpoint dir in place, reusing its committed tokenizer.
+        if os.path.abspath(args.tokenizer) != os.path.abspath(tok_path):
+            import shutil
+            shutil.copyfile(args.tokenizer, tok_path)
     else:
         build_tokenizer([t for _, t, _ in rows], tok_path)
     tokenizer = BpeTokenizer.from_file(tok_path)
