@@ -47,6 +47,25 @@ def test_cited_artifacts_exist():
             f"  {f}:{n} -> {cite}" for f, n, cite in dangling))
 
 
+def test_cited_artifacts_git_tracked():
+    """Existing on disk is not enough: `e2e/reports/` is gitignored (runs
+    write there freely), so a cited report must be force-added or it
+    silently vanishes from history — exactly how round 4's citation
+    dangled. Requires cited artifacts to be in the git index."""
+    import subprocess
+    tracked = set(subprocess.run(
+        ["git", "ls-files"], cwd=REPO, capture_output=True,
+        text=True).stdout.splitlines())
+    if not tracked:
+        pytest.skip("not a git checkout")
+    untracked = [(f, n, cite) for f, n, cite in _citations()
+                 if cite not in tracked]
+    assert not untracked, (
+        "docs cite artifacts that exist but are not git-tracked "
+        "(git add -f them):\n" + "\n".join(
+            f"  {f}:{n} -> {cite}" for f, n, cite in untracked))
+
+
 def test_citations_found_at_all():
     """The regex must keep matching the real citation style — an empty
     scan would make test_cited_artifacts_exist vacuously green."""
