@@ -64,15 +64,83 @@ def asr_loss(params: dict, cfg: AsrConfig, mel: jax.Array,
     return -(token_logp * mask_f).sum() / jnp.maximum(mask_f.sum(), 1.0)
 
 
-def make_train_step(cfg: AsrConfig, optimizer: optax.GradientTransformation
-                    ) -> Callable:
-    """Build a jittable (state, batch) → (state, loss) step."""
+def _unnormalized_loss(params, cfg, mel, feature_lens, prompt_ids,
+                       target_ids, target_mask, valid_from):
+    """(negative weighted logp sum, weight sum) — the pre-normalization
+    pieces of asr_loss, so microbatch chunks can be accumulated exactly:
+    grad(sum num_c / sum den_c) = sum grad(num_c) / sum den_c since the
+    denominator (mask weight) is constant w.r.t. params."""
+    den = jnp.maximum(target_mask.astype(jnp.float32).sum(), 0.0)
+    num = asr_loss(params, cfg, mel, feature_lens, prompt_ids,
+                   target_ids, target_mask, valid_from
+                   ) * jnp.maximum(den, 1.0)
+    return num, den
+
+
+def make_train_step(cfg: AsrConfig, optimizer: optax.GradientTransformation,
+                    microbatch: int = 0) -> Callable:
+    """Build a jittable (state, batch) → (state, loss) step.
+
+    microbatch > 0 splits the batch rows into chunks of that size and
+    accumulates gradients over a fori_loop — peak activation memory drops
+    by B/microbatch while the update stays EXACTLY the full-batch update
+    (chunk numerators and mask weights are summed before the one
+    normalization; zero-mask pad rows contribute zero to both). This is
+    what lets the ~350M proof tier train on one 16 GB chip: the full-batch
+    backward's activations alone exceed HBM there.
+    """
 
     def step(state: TrainState, batch: dict) -> Tuple[TrainState, jax.Array]:
-        loss, grads = jax.value_and_grad(asr_loss)(
-            state.params, cfg, batch["mel"], batch["feature_lens"],
-            batch["prompt_ids"], batch["target_ids"], batch["target_mask"],
-            batch.get("valid_from"))
+        if not microbatch:
+            loss, grads = jax.value_and_grad(asr_loss)(
+                state.params, cfg, batch["mel"], batch["feature_lens"],
+                batch["prompt_ids"], batch["target_ids"],
+                batch["target_mask"], batch.get("valid_from"))
+        else:
+            b = batch["mel"].shape[0]
+            n_chunks = -(-b // microbatch)
+            pad = n_chunks * microbatch - b
+
+            def pad_rows(x):
+                if pad == 0:
+                    return x
+                widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+                return jnp.pad(x, widths)
+
+            mel = pad_rows(batch["mel"])
+            flens = pad_rows(batch["feature_lens"])
+            pids = pad_rows(batch["prompt_ids"])
+            tids = pad_rows(batch["target_ids"])
+            # pad rows carry zero mask -> zero contribution, exact.
+            tmask = pad_rows(batch["target_mask"])
+            vfrom = batch.get("valid_from")
+            vfrom = pad_rows(vfrom) if vfrom is not None else None
+
+            grad_fn = jax.value_and_grad(_unnormalized_loss, has_aux=True)
+            zero_grads = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+
+            def body(i, carry):
+                acc, num, den = carry
+                s = i * microbatch
+                take = lambda x: jax.lax.dynamic_slice_in_dim(
+                    x, s, microbatch, axis=0)
+                (n, d), g = grad_fn(
+                    state.params, cfg, take(mel), take(flens), take(pids),
+                    take(tids), take(tmask),
+                    take(vfrom) if vfrom is not None else None)
+                acc = jax.tree.map(
+                    lambda a, gi: a + gi.astype(jnp.float32), acc, g)
+                return acc, num + n, den + d
+
+            acc, num, den = jax.lax.fori_loop(
+                0, n_chunks, body,
+                (zero_grads, jnp.float32(0.0), jnp.float32(0.0)))
+            scale = 1.0 / jnp.maximum(den, 1.0)
+            grads = jax.tree.map(
+                lambda a, p: (a * scale).astype(p.dtype),
+                acc, state.params)
+            loss = num * scale
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)

@@ -142,6 +142,11 @@ def main():
                         choices=["draft", "base", "medium", "large"],
                         help="architecture tier (default: base, or draft "
                              "when --draft is given)")
+    parser.add_argument("--microbatch", type=int, default=None,
+                        help="gradient-accumulation chunk rows (default: 4 "
+                             "for --size large, else full-batch). The large "
+                             "tier's full-batch backward exceeds one chip's "
+                             "HBM; accumulation is update-exact")
     parser.add_argument("--tokenizer", default=None,
                         help="reuse an existing tokenizer.json (REQUIRED "
                              "for a draft paired with a main checkpoint: "
@@ -291,7 +296,10 @@ def main():
     optimizer = optax.chain(optax.clip_by_global_norm(1.0),
                             optax.adamw(schedule))
     state = init_train_state(params, optimizer)
-    step_fn = jax.jit(make_train_step(cfg, optimizer), donate_argnums=(0,))
+    micro = args.microbatch if args.microbatch is not None else (
+        4 if size == "large" else 0)
+    step_fn = jax.jit(make_train_step(cfg, optimizer, microbatch=micro),
+                      donate_argnums=(0,))
 
     n_strict = sum(1 for _, _, _, strict in items if strict)
 

@@ -57,6 +57,48 @@ def test_training_reduces_loss(setup):
     assert losses[-1] < losses[0] * 0.5, losses
 
 
+def test_microbatch_step_matches_full_batch(setup):
+    """Gradient-accumulation chunks must reproduce the FULL-batch update
+    exactly (chunk numerators/denominators summed before the one
+    normalization) — including when the batch needs pad rows. This is the
+    memory lever that fits the ~350M proof tier on one chip; exactness is
+    what lets its results stand in for full-batch training."""
+    model, batch = setup
+    # SGD: the update is linear in the gradient, so param agreement IS
+    # gradient agreement (adam's g/(sqrt(v)+eps) amplifies float-order
+    # noise near zero into sign flips and would test the optimizer, not
+    # the accumulation).
+    optimizer = optax.sgd(1e-2)
+    state0 = init_train_state(model.params, optimizer)
+    full = jax.jit(make_train_step(model.cfg, optimizer))
+    for micro in (1, 2):  # 2 rows: micro=1 -> 2 chunks; micro=2 -> 1 chunk
+        acc = jax.jit(make_train_step(model.cfg, optimizer,
+                                      microbatch=micro))
+        sf, lf = full(state0, batch)
+        sa, la = acc(state0, batch)
+        assert np.allclose(float(lf), float(la), rtol=1e-5), (micro, lf, la)
+        for pf, pa in zip(jax.tree.leaves(sf.params),
+                          jax.tree.leaves(sa.params)):
+            np.testing.assert_allclose(np.asarray(pf), np.asarray(pa),
+                                       rtol=2e-4, atol=2e-6)
+
+
+def test_microbatch_pad_rows_are_inert(setup):
+    """A batch whose rows don't divide the chunk size gets zero-mask pad
+    rows — the update must equal the unpadded full-batch update."""
+    model, batch = setup  # b=2; micro=3 pads one row
+    optimizer = optax.sgd(1e-2)
+    state0 = init_train_state(model.params, optimizer)
+    full = jax.jit(make_train_step(model.cfg, optimizer))
+    acc = jax.jit(make_train_step(model.cfg, optimizer, microbatch=3))
+    sf, lf = full(state0, batch)
+    sa, la = acc(state0, batch)
+    assert np.allclose(float(lf), float(la), rtol=1e-5)
+    for pf, pa in zip(jax.tree.leaves(sf.params), jax.tree.leaves(sa.params)):
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(pa),
+                                   rtol=2e-4, atol=2e-6)
+
+
 def test_grads_reach_both_towers(setup):
     model, batch = setup
     grads = jax.grad(asr_loss)(model.params, model.cfg, batch["mel"],
