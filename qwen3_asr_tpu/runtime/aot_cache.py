@@ -202,7 +202,13 @@ class _AotFn:
                 with open(fname, "rb") as f:
                     loaded = se.deserialize_and_load(
                         *pickle.loads(f.read()), execution_devices=devs)
-                result = loaded(params, *rest)
+                # Dispatch is async: a broken deserialized executable
+                # raises when the result is CONSUMED, which without this
+                # block happens outside the guard and 500s the request
+                # (seen on XLA:CPU after an unload/reload cycle:
+                # "Buffer Definition Event: Function ... not found").
+                # Block here so the trial truly proves execution.
+                result = jax.block_until_ready(loaded(params, *rest))
                 log.info("AOT blob loaded: {} in {:.2f}s",
                          os.path.basename(fname), time.time() - t0)
                 return loaded, result

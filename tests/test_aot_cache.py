@@ -80,6 +80,37 @@ def test_corrupt_blob_recompiles(ckpt_dir, tmp_path, monkeypatch):
                for f in os.listdir(tmp_path))
 
 
+def test_blob_that_fails_at_execution_recompiles(ckpt_dir, tmp_path,
+                                                 monkeypatch):
+    """A blob can deserialize fine and still be unexecutable (seen on
+    XLA:CPU after an unload/reload cycle: the async dispatch surfaced
+    'Buffer Definition Event: Function ... not found' OUTSIDE the load
+    guard and 500'd the request). The trial run must block on the result
+    so execution failure falls back to recompilation."""
+    audio = _audio()
+    monkeypatch.setenv("ASR_AOT_CACHE_DIR", str(tmp_path))
+    plain = _engine(ckpt_dir).transcribe(audio, 16000, language="en")
+    blobs = set(os.listdir(tmp_path))
+    assert blobs
+
+    class LazyBroken:
+        """Mimics an async-failing loaded executable: calling succeeds,
+        consuming the result raises (like a poisoned jax.Array)."""
+        def __call__(self, *a, **k):
+            class Poisoned:
+                def block_until_ready(self):
+                    raise RuntimeError("Buffer Definition Event: gone")
+                def __array__(self):
+                    raise RuntimeError("Buffer Definition Event: gone")
+            return Poisoned()
+
+    from jax.experimental import serialize_executable as se
+    monkeypatch.setattr(se, "deserialize_and_load",
+                        lambda *a, **k: LazyBroken())
+    again = _engine(ckpt_dir).transcribe(audio, 16000, language="en")
+    assert again[0].text == plain[0].text
+
+
 def test_program_env_changes_fingerprint(ckpt_dir, tmp_path, monkeypatch):
     audio = _audio()
     monkeypatch.setenv("ASR_AOT_CACHE_DIR", str(tmp_path))
