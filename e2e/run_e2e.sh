@@ -69,6 +69,10 @@ if [ "${1:-}" = "--with-trained-server" ]; then
   # warm only the small buckets and let the persistent compile cache make
   # on-demand bucket compiles cheap across runs.
   export USE_CUDA_GRAPHS=false
+  # ...and pin the minimal pair explicitly: the production default warms
+  # the full WS-reachable ladder (1/2/4/6/10 s at the 6 s cap), which on
+  # a CPU-run 113M checkpoint would add minutes to every suite boot.
+  export ASR_WARMUP_BUCKETS="${ASR_WARMUP_BUCKETS:-1,2}"
   export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$HOME/.cache/qwen3_asr_tpu_xla}"
   set -- "--with-server" "${@:2}"
   CKPT_OVERRIDE="$TRAINED_CKPT"

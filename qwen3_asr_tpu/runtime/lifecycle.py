@@ -30,6 +30,40 @@ from ..utils.logging import log
 from .queue import PriorityInferQueue, infer_executor
 
 
+def _warmup_buckets():
+    """Buckets the load-time warmup sweep covers.
+
+    Priority: ``USE_CUDA_GRAPHS=true`` (the reference's kernel-cache
+    warming flag, mapped — reference src/server.py:437-458) sweeps the
+    FULL ladder; ``ASR_WARMUP_BUCKETS="1,2,6"`` names an explicit list;
+    the default is the WS-REACHABLE prefix of the ladder — every bucket
+    a streaming session at WS_WINDOW_MAX_S can touch, including the
+    flush window's (cap + WS_FLUSH_SILENCE_MS of padded silence, which
+    rounds UP to the next bucket).  The old default (smallest two) left
+    the 4 s/6 s/flush buckets cold at the default 6 s cap: a paced WS
+    session's first tick into each paid a live compile-or-load (13–24 s
+    measured over the tunnel, 2026-08-21) and the 450 ms cadence never
+    recovered — warmup exists precisely so recompile stampedes are
+    impossible at runtime."""
+    from ..runtime.engine import AUDIO_BUCKETS_S
+    if os.getenv("USE_CUDA_GRAPHS", "").lower() == "true":
+        return AUDIO_BUCKETS_S
+    explicit = os.getenv("ASR_WARMUP_BUCKETS", "").strip()
+    if explicit:
+        ladder = {float(b) for b in explicit.split(",") if b.strip()}
+        return tuple(b for b in AUDIO_BUCKETS_S if b in ladder) \
+            or AUDIO_BUCKETS_S[:2]
+    cap = float(os.getenv("WS_WINDOW_MAX_S", "6.0") or 6.0)
+    flush_s = cap + int(os.getenv("WS_FLUSH_SILENCE_MS", "600")) / 1000.0
+    need = [b for b in AUDIO_BUCKETS_S if b <= cap]
+    for b in AUDIO_BUCKETS_S:
+        if b >= flush_s:
+            if b not in need:
+                need.append(b)
+            break
+    return tuple(need) or AUDIO_BUCKETS_S[:2]
+
+
 def _load_engine_sync(model_id: str):
     import jax
     import jax.numpy as jnp
@@ -230,13 +264,11 @@ class ModelManager:
                 log.error("Token-level speculative unavailable ({}); "
                           "falling back to result-level", e)
 
-        # Warmup: small buckets always; all buckets when USE_CUDA_GRAPHS=true
-        # (the mapped equivalent of CUDA kernel-cache warming,
-        # reference src/server.py:437-458).
-        sweep_all = os.getenv("USE_CUDA_GRAPHS", "").lower() == "true"
+        # Warmup: the WS-reachable ladder by default, everything with
+        # USE_CUDA_GRAPHS=true, an explicit ASR_WARMUP_BUCKETS list
+        # otherwise (_warmup_buckets above).
         if os.getenv("SKIP_WARMUP", "").lower() != "true":
-            from ..runtime.engine import AUDIO_BUCKETS_S
-            buckets = AUDIO_BUCKETS_S if sweep_all else AUDIO_BUCKETS_S[:2]
+            buckets = _warmup_buckets()
             self.engine.warmup(buckets)
             if self.fast_engine is not None:
                 self.fast_engine.warmup(buckets)

@@ -67,7 +67,7 @@ def get_manager(request: web.Request) -> ModelManager:
 async def health(request: web.Request) -> web.Response:
     mgr = get_manager(request)
     info = mgr.health_info()
-    info["active_ws_sessions"] = request.app.get("ws_sessions", 0)
+    info["active_ws_sessions"] = mgr.ws_sessions
     info["aligner"] = _aligner_health_state()
     return web.json_response(info)
 
@@ -78,8 +78,7 @@ async def metrics_endpoint(request: web.Request) -> web.Response:
     mgr = get_manager(request)
     metrics.gauge("asr_model_loaded", 1.0 if mgr.engine is not None else 0.0)
     metrics.gauge("asr_queue_depth", float(mgr.queue.depth))
-    metrics.gauge("asr_ws_sessions",
-                  float(request.app.get("ws_sessions", 0)))
+    metrics.gauge("asr_ws_sessions", float(mgr.ws_sessions))
     return web.Response(text=metrics.render(),
                         content_type="text/plain", charset="utf-8")
 
@@ -714,8 +713,7 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
         # sessions each added session degrades EVERY session's partial
         # latency, so reject-with-retry beats silent backlog. 0 = off.
         max_sessions = int(os.getenv("ASR_MAX_SESSIONS", "0") or 0)
-        if max_sessions > 0 and request.app.get("ws_sessions", 0) >= \
-                max_sessions:
+        if max_sessions > 0 and mgr.ws_sessions >= max_sessions:
             log.warning("[WS] session limit reached ({}), rejecting",
                         max_sessions)
             await ws.send_json({
@@ -726,8 +724,10 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
                 "statusCode": 503})
             await ws.close(code=aiohttp.WSCloseCode.TRY_AGAIN_LATER)
             return ws
-        request.app["ws_sessions"] = request.app.get("ws_sessions", 0) + 1
-        mgr.ws_sessions = request.app["ws_sessions"]  # tick-batch hint
+        # Counted on the manager, not the aiohttp app: app-state writes
+        # after startup are deprecated, and the manager is what the tick
+        # batcher and mode policy read anyway.
+        mgr.ws_sessions += 1
         admitted = True
 
         # Resolve the streaming mode for THIS connection now that the
@@ -735,11 +735,10 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
         # lifetime (prefix/grouped cache state binds to it); a fleet
         # ramping past ASR_WS_TICK_MIN_SESSIONS converges to batched
         # modes connection by connection.
-        ws_mode = resolve_ws_mode(WS_WINDOW_MAX_S,
-                                  request.app["ws_sessions"])
+        ws_mode = resolve_ws_mode(WS_WINDOW_MAX_S, mgr.ws_sessions)
         prefix_cache = ws_mode.prefix
         log.info("[WS] streaming mode: {} (cap={}s, sessions={})",
-                 ws_mode.name, WS_WINDOW_MAX_S, request.app["ws_sessions"])
+                 ws_mode.name, WS_WINDOW_MAX_S, mgr.ws_sessions)
 
         await mgr.ensure_loaded()
         await ws.send_json({
@@ -921,8 +920,7 @@ async def websocket_transcribe(request: web.Request) -> web.WebSocketResponse:
             pass
     finally:
         if admitted:
-            request.app["ws_sessions"] -= 1
-            mgr.ws_sessions = request.app["ws_sessions"]
+            mgr.ws_sessions -= 1
         if stream_session is not None:
             # Free the session's device KV/encoder caches with the
             # connection — they must not outlive it in HBM.
