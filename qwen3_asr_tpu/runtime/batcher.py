@@ -30,13 +30,16 @@ from ..utils.logging import log
 
 
 class _Pending:
-    __slots__ = ("audio", "language", "future", "submit_time")
+    __slots__ = ("audio", "language", "future", "submit_time", "priority")
 
-    def __init__(self, audio, language, future):
+    def __init__(self, audio, language, future, priority=1):
         self.audio = audio
         self.language = language
         self.future = future
         self.submit_time = time.time()
+        # Queue lane for the request (0 = WS express, 1 = HTTP standard).
+        # A coalesced group dispatches at its most urgent member's lane.
+        self.priority = priority
 
 
 class _PendingTick:
@@ -336,9 +339,14 @@ class MicroBatcher(_Collector):
             max_batch or int(os.getenv("ASR_MAX_BATCH", "8")))
 
     async def transcribe(self, audio: np.ndarray, sr: int,
-                         language: Optional[str], return_timestamps: bool):
+                         language: Optional[str], return_timestamps: bool,
+                         priority: int = 1):
         """Batched when possible; falls back to a solo job for requests that
-        can't batch (timestamps, resampling, long audio)."""
+        can't batch (timestamps, resampling, long audio).
+
+        ``priority`` is the queue lane (0 = WS express — used by batched
+        WS flushes — 1 = HTTP standard); a mixed group dispatches at its
+        most urgent member's lane."""
         from ..runtime.engine import MAX_SEGMENT_S, TARGET_SR
         mgr = self.manager
         if mgr.pool_eligible(audio, sr, return_timestamps):
@@ -352,7 +360,7 @@ class MicroBatcher(_Collector):
             return await mgr.queue.submit(
                 lambda: mgr.transcribe_sync(audio, sr, language,
                                             return_timestamps),
-                priority=1)
+                priority=priority)
 
         engine = mgr.engine
         bucket = engine.bucket_frames(len(audio))
@@ -364,7 +372,7 @@ class MicroBatcher(_Collector):
         key = (bucket, language or "")
 
         future = asyncio.get_event_loop().create_future()
-        pending = _Pending(audio, language, future)
+        pending = _Pending(audio, language, future, priority=priority)
         await self._enqueue(key, pending)
         return await future
 
@@ -400,4 +408,5 @@ class MicroBatcher(_Collector):
                     start_time=0.0, end_time=len(p.audio) / TARGET_SR)])
             return out
 
-        await self._dispatch(group, run, priority=1)
+        await self._dispatch(group, run,
+                             priority=min(p.priority for p in group))

@@ -901,6 +901,22 @@ class TranscriptionEngine:
                 log.info("Warmup tick-batch bucket {}s (shapes {}) "
                          "compiled in {:.1f}s", sec, shapes,
                          time.time() - t0)
+            # Concurrent finals coalesce through the micro-batcher
+            # (serving/server.py batched flush), which dispatches PLAIN
+            # batched executables on the FLUSH bucket (window cap +
+            # WS_FLUSH_SILENCE_MS of padding rounds up the ladder) — warm
+            # those too or the first flush herd pays a live compile.
+            flush_s = cap + int(_os.getenv("WS_FLUSH_SILENCE_MS",
+                                           "600")) / 1000.0
+            fb, fs = self.bucket_frames(int(TARGET_SR * flush_s))
+            dummy = (rng.standard_normal(int(TARGET_SR * flush_s))
+                     .astype(np.float32) * 0.01)
+            t0 = time.time()
+            for bsz in shapes:
+                last = self._run_bucket([dummy] * bsz, fb, fs, language,
+                                        fetch=False)
+            log.info("Warmup batched-flush bucket {}s (shapes {}) "
+                     "compiled in {:.1f}s", fs, shapes, time.time() - t0)
 
         if "grouped" in ws_modes or "prefix" in ws_modes:
             # Pace a throwaway session across the cap so every stream

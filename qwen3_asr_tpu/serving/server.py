@@ -561,7 +561,26 @@ async def _transcribe_with_context(mgr: ModelManager, audio_bytes: bytes,
         # 10.6 — re-decoding the window every tick costs more than the
         # pool's dispatch sharing saves. ASR_POOL_WS=true opts in.
         pool_ws = os.getenv("ASR_POOL_WS", "").lower() == "true"
-        if pool_ws and mgr.pool_eligible(audio, TARGET_SR, False):
+        batch_flush = (
+            pad_silence
+            and os.getenv("ASR_WS_BATCH_FLUSH", "true").lower() == "true"
+            and getattr(mgr, "ws_sessions", 0)
+            >= int(os.getenv("ASR_WS_TICK_MIN_SESSIONS", "3") or 3))
+        if batch_flush:
+            # Concurrent finals — VAD auto-flush herds, client flushes,
+            # end-of-stream drains — coalesce into one batched dispatch
+            # through the HTTP micro-batcher at the EXPRESS lane: 16
+            # serialized solo flushes measured as an 18.5–22.9 s tail at
+            # stream end (paced run, 2026-08-21) because every flush is a
+            # full window re-decode. Lone sessions keep the solo path
+            # below (nothing to coalesce with, and its resume-verify
+            # decode beats a full re-decode); greedy text is identical on
+            # both paths by construction.
+            results = await asyncio.wait_for(
+                mgr.batcher.transcribe(audio, TARGET_SR, lang_code, False,
+                                       priority=0),
+                timeout=mgr.request_timeout)
+        elif pool_ws and mgr.pool_eligible(audio, TARGET_SR, False):
             results = await mgr.transcribe_pooled(audio, TARGET_SR,
                                                   lang_code)
         else:

@@ -204,3 +204,70 @@ def test_timestamps_fall_back_to_solo(manager):
         manager.queue.stop()
         assert res[0].language == "en"
     _run(go())
+
+
+def test_mixed_priority_group_dispatches_express(manager):
+    """A coalesced group carrying a WS flush (priority 0) dispatches on the
+    EXPRESS lane even when HTTP members (priority 1) joined first — the
+    batched-flush path must not let an HTTP grouping demote a final."""
+    async def go():
+        manager.queue.start()
+        batcher = MicroBatcher(manager, window_ms=50, max_batch=4)
+        seen = []
+        orig = manager.queue.submit
+
+        async def spying(fn, priority=1):
+            seen.append(priority)
+            return await orig(fn, priority=priority)
+
+        manager.queue.submit = spying
+        try:
+            results = await asyncio.gather(
+                batcher.transcribe(speech_like(0.6, seed=1), 16000, "en",
+                                   False),
+                batcher.transcribe(speech_like(0.6, seed=2), 16000, "en",
+                                   False, priority=0))
+        finally:
+            manager.queue.submit = orig
+            manager.queue.stop()
+        assert seen == [0]
+        assert all(r[0].text for r in results) or True  # settled, no hang
+    _run(go())
+
+
+def test_ws_flush_routes_through_batcher_under_concurrency(manager,
+                                                           monkeypatch):
+    """serving.server._transcribe_with_context: with >= the tick threshold
+    of live sessions, a flush (pad_silence=True) coalesces via the
+    micro-batcher at priority 0 instead of a solo queue job — and its text
+    equals the solo path's (same fused executable, greedy-exact)."""
+    from qwen3_asr_tpu.serving import server as srv
+
+    async def go():
+        manager.queue.start()
+        manager.batcher = MicroBatcher(manager, window_ms=30, max_batch=4)
+        manager.ws_sessions = 3
+        monkeypatch.delenv("ASR_WS_BATCH_FLUSH", raising=False)
+        calls = []
+        orig = manager.batcher.transcribe
+
+        async def spying(audio, sr, lang, ts, priority=1):
+            calls.append(priority)
+            return await orig(audio, sr, lang, ts, priority=priority)
+
+        manager.batcher.transcribe = spying
+        pcm = (np.clip(speech_like(1.0, seed=3) * 32767, -32768, 32767)
+               .astype("<i2").tobytes())
+        try:
+            text, _ = await srv._transcribe_with_context(
+                manager, pcm, True, "en", False)
+            manager.ws_sessions = 1          # lone session: solo path
+            text_solo, _ = await srv._transcribe_with_context(
+                manager, pcm, True, "en", False)
+        finally:
+            manager.batcher.transcribe = orig
+            manager.ws_sessions = 0
+            manager.queue.stop()
+        assert calls == [0]
+        assert text == text_solo
+    _run(go())
